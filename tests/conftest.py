@@ -1,0 +1,35 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from zarr_datafusion_search_spark.engine import build_session
+
+    spark = build_session(
+        app_name="zdss-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "4g"},
+    )
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def parity_store(tmp_path_factory):
+    from zarr_datafusion_search_spark.testing import make_parity_fixture
+
+    path = str(tmp_path_factory.mktemp("zarr") / "zarr_store.zarr")
+    return make_parity_fixture(path)

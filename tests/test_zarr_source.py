@@ -1,0 +1,183 @@
+"""Ports of the reference's own tests, plus scale-path coverage.
+
+- schema golden test (reference: src/schema.rs:134-160)
+- end-to-end SQL scan: SELECT * -> 3 rows x 3 cols (src/table_provider.rs:307-325)
+- projection + filter: 1 row x 2 cols, collection_a (src/table_provider.rs:327-358
+  — ignored upstream, passing here)
+- golden Arrow values incl. exact epoch millis (src/testing/load_into_arrow.rs:76-97)
+- chunk partitioning / pruning / pushdown (the scale path the reference lacks)
+"""
+
+import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from zarr_datafusion_search_spark import ZarrTable
+from zarr_datafusion_search_spark.sources import zarrv3
+from zarr_datafusion_search_spark.testing import (
+    GOLDEN_BBOXES,
+    GOLDEN_COLLECTIONS,
+    GOLDEN_EPOCH_MS,
+    make_scaled_fixture,
+)
+
+
+def test_schema_golden(parity_store):
+    """Inferred schema == hand-built expected schema, sorted field order."""
+    table = ZarrTable(parity_store, "/meta")
+    assert [f.name for f in table.schema.fields] == ["bbox", "collection", "date"]
+    bbox, collection, date = table.schema.fields
+    assert bbox.dataType == T.StringType() and not bbox.nullable
+    assert bbox.metadata == {
+        "geoarrow:extension": "geoarrow.wkt",
+        "crs": "EPSG:4326",
+    }
+    assert collection.dataType == T.StringType() and not collection.nullable
+    assert date.dataType == T.TimestampNTZType() and not date.nullable
+
+
+def test_select_star(spark, parity_store):
+    """SELECT * FROM zarr_table -> 1 batch, 3 rows, 3 cols."""
+    ZarrTable(parity_store, "/meta").register(spark, "zarr_table")
+    rows = spark.sql("SELECT * FROM zarr_table").collect()
+    assert len(rows) == 3
+    assert len(rows[0]) == 3
+
+
+def test_projection_filter(spark, parity_store):
+    """SELECT collection, date ... WHERE collection = 'collection_a'."""
+    ZarrTable(parity_store, "/meta").register(spark, "zarr_table")
+    rows = spark.sql(
+        "SELECT collection, date FROM zarr_table WHERE collection = 'collection_a'"
+    ).collect()
+    assert len(rows) == 1
+    assert len(rows[0]) == 2
+    assert rows[0].collection == "collection_a"
+    assert rows[0].date == datetime.datetime(2023, 1, 1)
+
+
+def test_golden_values(spark, parity_store):
+    df = ZarrTable(parity_store, "/meta").to_df(spark).orderBy("date")
+    rows = df.collect()
+    assert [r.collection for r in rows] == GOLDEN_COLLECTIONS
+    assert [r.bbox for r in rows] == GOLDEN_BBOXES
+    epoch = datetime.datetime(1970, 1, 1)
+    ms = [int((r.date - epoch).total_seconds() * 1000) for r in rows]
+    assert ms == GOLDEN_EPOCH_MS
+
+
+def test_column_pruning(spark, parity_store):
+    df = ZarrTable(parity_store, "/meta").to_df(spark, columns=["collection"])
+    assert df.columns == ["collection"]
+    assert df.count() == 3
+
+
+def test_chunked_scan_partitions(spark, tmp_path):
+    """A multi-chunk store scans in parallel, one partition per chunk range."""
+    store = make_scaled_fixture(str(tmp_path / "big.zarr"), n_rows=10_000, chunk_rows=1000)
+    df = ZarrTable(store, "/meta").to_df(spark)
+    assert df.count() == 10_000
+    # distinct collections bounded by generator alphabet
+    n_coll = df.select("collection").distinct().count()
+    assert 1 <= n_coll <= 8
+    # date range filter returns a strict subset
+    sub = df.filter("date >= timestamp_ntz'2023-06-01 00:00:00'").count()
+    assert 0 < sub < 10_000
+
+
+def test_filter_pushdown_applies(spark, tmp_path):
+    store = make_scaled_fixture(str(tmp_path / "push.zarr"), n_rows=5000, chunk_rows=512)
+    df = ZarrTable(store, "/meta").to_df(spark)
+    got = df.filter("collection = 'collection_a'").count()
+    import duckdb  # independent recount via the raw chunks
+
+    metas = zarrv3.open_group(store, "meta")
+    vals = metas.arrays["collection"].read_range(0, 5000)
+    assert got == sum(1 for v in vals if v == "collection_a")
+
+
+def test_uneven_last_chunk(tmp_path):
+    store = str(tmp_path / "odd.zarr")
+    zarrv3.write_group(store, "g", {"x": np.arange(10, dtype=np.int64)}, chunk_rows=3)
+    meta = zarrv3.open_array(store, "g/x")
+    assert meta.n_chunks == 4
+    assert list(meta.read_range(0, 10)) == list(range(10))
+    assert list(meta.read_range(2, 8)) == [2, 3, 4, 5, 6, 7]
+
+
+@pytest.mark.parametrize(
+    "np_dtype,spark_type",
+    [
+        (np.int8, T.ByteType()),
+        (np.int16, T.ShortType()),
+        (np.int32, T.IntegerType()),
+        (np.int64, T.LongType()),
+        (np.float32, T.FloatType()),
+        (np.float64, T.DoubleType()),
+        (np.bool_, T.BooleanType()),
+        (np.uint8, T.ShortType()),
+        (np.uint16, T.IntegerType()),
+        (np.uint32, T.LongType()),
+        (np.uint64, T.DecimalType(20, 0)),
+        (np.float16, T.FloatType()),
+    ],
+)
+def test_dtype_roundtrip(spark, tmp_path, np_dtype, spark_type):
+    """One tiny array per supported dtype row of SURVEY §1.3."""
+    name = np.dtype(np_dtype).name
+    store = str(tmp_path / f"dt_{name}.zarr")
+    if np_dtype is np.bool_:
+        data = np.array([True, False, True])
+    else:
+        data = np.array([0, 1, 2], dtype=np_dtype)
+    zarrv3.write_group(store, "g", {"x": data}, chunk_rows=3)
+    df = ZarrTable(store, "g").to_df(spark)
+    assert df.schema.fields[0].dataType == spark_type
+    got = [r.x for r in df.orderBy("x").collect()]
+    if np_dtype is np.bool_:
+        assert got == [False, True, True]
+    else:
+        assert [int(v) for v in got] == [0, 1, 2]
+
+
+def test_datetime_units(spark, tmp_path):
+    for unit in ("s", "ms", "us"):
+        store = str(tmp_path / f"ts_{unit}.zarr")
+        data = np.array(["2023-01-01T00:00:00", "2023-06-15T12:34:56"]).astype(
+            f"datetime64[{unit}]"
+        )
+        zarrv3.write_group(store, "g", {"t": data})
+        df = ZarrTable(store, "g").to_df(spark)
+        assert df.schema.fields[0].dataType == T.TimestampNTZType()
+        rows = df.orderBy("t").collect()
+        assert rows[0].t == datetime.datetime(2023, 1, 1)
+        assert rows[1].t == datetime.datetime(2023, 6, 15, 12, 34, 56)
+
+
+def test_unsupported_dtypes_error():
+    """complex / extension / day-unit datetimes error (src/schema.rs:89-122)."""
+    with pytest.raises(zarrv3.ZarrError):
+        zarrv3.parse_dtype("complex64")
+    with pytest.raises(zarrv3.ZarrError):
+        zarrv3.parse_dtype({"name": "weird.ext", "configuration": {}})
+    with pytest.raises(zarrv3.ZarrError):
+        zarrv3.parse_dtype({"name": "numpy.datetime64", "configuration": {"unit": "D"}})
+
+
+def test_bbox_requires_string(tmp_path):
+    store = str(tmp_path / "badbbox.zarr")
+    zarrv3.write_group(store, "g", {"bbox": np.arange(3, dtype=np.int64)})
+    with pytest.raises(zarrv3.ZarrError):
+        ZarrTable(store, "g")
+
+
+def test_reads_reference_equivalent_layout(spark, parity_store):
+    """Our writer's layout matches what the reference's zarr-python fixture
+    generator produces; the raw reader returns the golden values directly."""
+    group = zarrv3.open_group(parity_store, "meta")
+    assert sorted(group.arrays) == ["bbox", "collection", "date"]
+    assert list(group.arrays["collection"].read_range(0, 3)) == GOLDEN_COLLECTIONS
+    dates = group.arrays["date"].read_range(0, 3)
+    assert list(np.asarray(dates, dtype=np.int64)) == GOLDEN_EPOCH_MS

@@ -1,0 +1,504 @@
+"""Minimal pure-Python Zarr v3 store reader/writer.
+
+The execution environment has no ``zarr``/``numcodecs``/``zstandard``
+packages, so this module implements the small subset of the Zarr v3 spec the
+engine needs, using only ``numpy`` + ``pyarrow`` (whose bundled zstd codec
+handles (de)compression; streaming decompression avoids needing the
+decompressed size up front).
+
+Scope (mirrors what the reference engine consumes / produces):
+
+- Zarr v3 stores on a local filesystem (``zarr_format: 3`` directory layout
+  with per-node ``zarr.json`` metadata and ``c/<i>`` chunk keys). The
+  reference reads the same layout via the ``zarrs`` crate
+  (reference: src/table_provider.rs:100-104).
+- 1-D arrays only for table reads — the data model is "a group of parallel
+  1-D arrays = one table" (reference: README.md:5-16).
+- dtypes: bool, (u)int8/16/32/64, float16/32/64, raw bits, variable-length
+  UTF-8 strings, and ``numpy.datetime64`` with s/ms/us/ns units — exactly the
+  supported set of the reference's type mapping (reference: src/schema.rs:56-125).
+  Complex, extension, and other datetime units raise, matching
+  src/schema.rs:89-122.
+- codecs: ``bytes`` (endian), ``vlen-utf8``, ``vlen-bytes``, ``zstd``,
+  ``gzip``, ``crc32c`` (checksum verified and stripped). The reference's own
+  fixture uses ``vlen-utf8``+``zstd`` and ``bytes``+``zstd``
+  (data/zarr_store.zarr/meta/*/zarr.json).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Any, Iterator, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+
+class ZarrError(ValueError):
+    """Error reading or interpreting a Zarr v3 store."""
+
+
+# ---------------------------------------------------------------------------
+# dtype handling
+# ---------------------------------------------------------------------------
+
+_FIXED_NUMPY: dict[str, str] = {
+    "bool": "|b1",
+    "int8": "|i1",
+    "int16": "<i2",
+    "int32": "<i4",
+    "int64": "<i8",
+    "uint8": "|u1",
+    "uint16": "<u2",
+    "uint32": "<u4",
+    "uint64": "<u8",
+    "float16": "<f2",
+    "float32": "<f4",
+    "float64": "<f8",
+}
+
+_DATETIME_UNITS = {"s", "ms", "us", "ns"}
+
+
+@dataclass(frozen=True)
+class ZarrDType:
+    """Normalized Zarr v3 data type.
+
+    ``kind`` is one of the fixed numeric names above, ``"string"``,
+    ``"bytes"``, ``"raw"`` (raw bits, ``nbytes`` set), or ``"datetime64"``
+    (``unit`` set).
+    """
+
+    kind: str
+    unit: str | None = None
+    nbytes: int | None = None
+
+    @property
+    def is_variable(self) -> bool:
+        return self.kind in ("string", "bytes")
+
+    def numpy_dtype(self) -> np.dtype:
+        if self.kind in _FIXED_NUMPY:
+            return np.dtype(_FIXED_NUMPY[self.kind])
+        if self.kind == "datetime64":
+            return np.dtype("<i8")  # epoch ticks in self.unit
+        if self.kind == "raw":
+            return np.dtype(f"|V{self.nbytes}")
+        raise ZarrError(f"no fixed numpy dtype for {self}")
+
+
+def parse_dtype(data_type: Any) -> ZarrDType:
+    """Parse the ``data_type`` member of a v3 array metadata document.
+
+    Unsupported types raise, mirroring the reference's explicit error paths
+    for complex/extension/other (reference: src/schema.rs:89-122).
+    """
+    if isinstance(data_type, str):
+        if data_type in _FIXED_NUMPY:
+            return ZarrDType(data_type)
+        if data_type == "string":
+            return ZarrDType("string")
+        if data_type == "bytes":
+            return ZarrDType("bytes")
+        if data_type.startswith("r") and data_type[1:].isdigit():
+            bits = int(data_type[1:])
+            if bits % 8 != 0:
+                raise ZarrError(f"raw bits not byte-aligned: {data_type}")
+            return ZarrDType("raw", nbytes=bits // 8)
+        if data_type.startswith("complex"):
+            raise ZarrError(f"complex types are not supported: {data_type}")
+        raise ZarrError(f"unsupported Zarr data type: {data_type!r}")
+    if isinstance(data_type, dict):
+        name = data_type.get("name")
+        config = data_type.get("configuration", {}) or {}
+        if name == "numpy.datetime64":
+            unit = config.get("unit")
+            if unit not in _DATETIME_UNITS:
+                raise ZarrError(
+                    f"unsupported numpy.datetime64 unit {unit!r} "
+                    "(only s/ms/us/ns are supported)"
+                )
+            if config.get("scale_factor", 1) != 1:
+                raise ZarrError("numpy.datetime64 scale_factor != 1 unsupported")
+            return ZarrDType("datetime64", unit=unit)
+        raise ZarrError(f"unsupported extension data type: {name!r}")
+    raise ZarrError(f"unparseable data_type: {data_type!r}")
+
+
+def dtype_to_json(dt: ZarrDType) -> Any:
+    if dt.kind == "datetime64":
+        return {
+            "name": "numpy.datetime64",
+            "configuration": {"unit": dt.unit, "scale_factor": 1},
+        }
+    if dt.kind == "raw":
+        return f"r{dt.nbytes * 8}"
+    return dt.kind
+
+
+# ---------------------------------------------------------------------------
+# codecs
+# ---------------------------------------------------------------------------
+
+
+def _zstd_decompress(raw: bytes) -> bytes:
+    with pa.input_stream(pa.BufferReader(raw), compression="zstd") as f:
+        return f.read()
+
+
+def _zstd_compress(raw: bytes, level: int = 0) -> bytes:
+    return pa.Codec("zstd", compression_level=level).compress(raw, asbytes=True)
+
+
+def _decode_vlen(buf: bytes) -> list[str] | list[bytes]:
+    """numcodecs VLen layout: u32 item count, then (u32 length, payload)*."""
+    (n,) = struct.unpack_from("<I", buf, 0)
+    off = 4
+    out: list[bytes] = []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        out.append(buf[off : off + ln])
+        off += ln
+    return out
+
+
+def _encode_vlen(items: Sequence[bytes]) -> bytes:
+    parts = [struct.pack("<I", len(items))]
+    for it in items:
+        parts.append(struct.pack("<I", len(it)))
+        parts.append(it)
+    return b"".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# array metadata
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ZarrArrayMeta:
+    """Parsed ``zarr.json`` for one 1-D array."""
+
+    store_path: str
+    path: str  # path within the store, e.g. "meta/date"
+    name: str  # column name = path with group prefix stripped (src/schema.rs:43-53)
+    shape: tuple[int, ...]
+    chunk_shape: tuple[int, ...]
+    dtype: ZarrDType
+    codecs: list[dict]
+    fill_value: Any
+    separator: str = "/"
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def chunk_rows(self) -> int:
+        return self.chunk_shape[0]
+
+    @property
+    def n_chunks(self) -> int:
+        return max(1, math.ceil(self.n_rows / self.chunk_rows)) if self.n_rows else 0
+
+    def chunk_file(self, index: int) -> str:
+        # default chunk key encoding: "c" + separator + index (1-D)
+        return os.path.join(
+            self.store_path, self.path, "c" + self.separator + str(index)
+        )
+
+    # -- decoding -----------------------------------------------------------
+
+    def decode_chunk(self, raw: bytes | None, rows: int) -> np.ndarray | list:
+        """Decode one chunk's bytes into ``rows`` logical values.
+
+        ``raw is None`` means the chunk file is absent → fill value.
+        """
+        if raw is None:
+            return self._fill(rows)
+        buf = raw
+        # bytes->bytes codecs run last on encode, so undo them first
+        array_codec: dict | None = None
+        for codec in reversed(self.codecs):
+            cname = codec.get("name")
+            if cname == "zstd":
+                buf = _zstd_decompress(bytes(buf))
+            elif cname == "gzip":
+                buf = zlib.decompress(bytes(buf), wbits=31)
+            elif cname == "crc32c":
+                # checksum codec appends 4 bytes; verify with crc32 unavailable
+                # (crc32c lib not bundled) -> strip without verification
+                buf = buf[:-4]
+            elif cname in ("bytes", "vlen-utf8", "vlen-bytes"):
+                array_codec = codec
+            elif cname in ("transpose", "sharding_indexed", "blosc"):
+                raise ZarrError(f"unsupported codec: {cname}")
+            else:
+                raise ZarrError(f"unknown codec: {cname}")
+        if array_codec is None:
+            raise ZarrError(f"array {self.path} has no array->bytes codec")
+        cname = array_codec["name"]
+        if cname == "vlen-utf8":
+            vals = [b.decode("utf-8") for b in _decode_vlen(bytes(buf))]
+            return vals[:rows]
+        if cname == "vlen-bytes":
+            return list(_decode_vlen(bytes(buf)))[:rows]
+        # fixed-width "bytes" codec
+        endian = (array_codec.get("configuration") or {}).get("endian", "little")
+        np_dt = self.dtype.numpy_dtype()
+        if endian == "big":
+            np_dt = np_dt.newbyteorder(">")
+        arr = np.frombuffer(bytes(buf), dtype=np_dt)
+        return arr[:rows]
+
+    def _fill(self, rows: int):
+        if self.dtype.is_variable:
+            fv = self.fill_value if self.fill_value is not None else ""
+            return [fv] * rows
+        np_dt = self.dtype.numpy_dtype()
+        fv = self.fill_value
+        if fv is None:
+            fv = 0
+        return np.full(rows, fv, dtype=np_dt)
+
+    # -- range read ---------------------------------------------------------
+
+    def read_range(self, start: int, stop: int) -> np.ndarray | list:
+        """Read logical rows [start, stop) across covering chunks."""
+        stop = min(stop, self.n_rows)
+        if stop <= start:
+            return [] if self.dtype.is_variable else np.empty(0, self.dtype.numpy_dtype())
+        crows = self.chunk_rows
+        first, last = start // crows, (stop - 1) // crows
+        pieces: list = []
+        for ci in range(first, last + 1):
+            c_start = ci * crows
+            c_len = min(crows, self.n_rows - c_start)
+            path = self.chunk_file(ci)
+            raw = None
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    raw = f.read()
+            vals = self.decode_chunk(raw, c_len)
+            lo = max(start, c_start) - c_start
+            hi = min(stop, c_start + c_len) - c_start
+            pieces.append(vals[lo:hi])
+        if self.dtype.is_variable:
+            out: list = []
+            for p in pieces:
+                out.extend(p)
+            return out
+        return pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
+
+
+def _load_json(path: str) -> dict:
+    with open(path, "r", encoding="utf-8") as f:
+        return json.load(f)
+
+
+def open_array(store_path: str, array_path: str) -> ZarrArrayMeta:
+    array_path = array_path.strip("/")
+    meta_path = os.path.join(store_path, array_path, "zarr.json")
+    if not os.path.exists(meta_path):
+        raise ZarrError(f"no zarr.json at {meta_path}")
+    doc = _load_json(meta_path)
+    if doc.get("zarr_format") != 3 or doc.get("node_type") != "array":
+        raise ZarrError(f"{meta_path} is not a Zarr v3 array")
+    shape = tuple(doc["shape"])
+    grid = doc.get("chunk_grid", {})
+    if grid.get("name") != "regular":
+        raise ZarrError(f"unsupported chunk grid: {grid.get('name')}")
+    chunk_shape = tuple(grid["configuration"]["chunk_shape"])
+    cke = doc.get("chunk_key_encoding", {}) or {}
+    sep = (cke.get("configuration") or {}).get("separator", "/")
+    return ZarrArrayMeta(
+        store_path=store_path,
+        path=array_path,
+        name=array_path.rsplit("/", 1)[-1],
+        shape=shape,
+        chunk_shape=chunk_shape,
+        dtype=parse_dtype(doc["data_type"]),
+        codecs=doc.get("codecs", []),
+        fill_value=doc.get("fill_value"),
+        separator=sep,
+    )
+
+
+@dataclass
+class ZarrGroup:
+    """A Zarr v3 group of parallel 1-D arrays = one relational table.
+
+    Column names are array names; fields are sorted lexicographically for a
+    consistent order, matching the reference (src/schema.rs:39).
+    """
+
+    store_path: str
+    group_path: str
+    arrays: dict[str, ZarrArrayMeta] = field(default_factory=dict)
+
+    @property
+    def n_rows(self) -> int:
+        if not self.arrays:
+            return 0
+        return next(iter(self.arrays.values())).n_rows
+
+
+def open_group(store_path: str, group_path: str = "/") -> ZarrGroup:
+    """Open a group and discover its immediate child 1-D arrays."""
+    group_rel = group_path.strip("/")
+    group_dir = os.path.join(store_path, group_rel) if group_rel else store_path
+    meta_path = os.path.join(group_dir, "zarr.json")
+    if not os.path.exists(meta_path):
+        raise ZarrError(f"no zarr.json at {meta_path}")
+    doc = _load_json(meta_path)
+    if doc.get("zarr_format") != 3 or doc.get("node_type") != "group":
+        raise ZarrError(f"{meta_path} is not a Zarr v3 group")
+    arrays: dict[str, ZarrArrayMeta] = {}
+    for entry in sorted(os.listdir(group_dir)):
+        child_dir = os.path.join(group_dir, entry)
+        child_meta = os.path.join(child_dir, "zarr.json")
+        if not (os.path.isdir(child_dir) and os.path.exists(child_meta)):
+            continue
+        child_doc = _load_json(child_meta)
+        if child_doc.get("node_type") != "array":
+            continue
+        rel = (group_rel + "/" + entry) if group_rel else entry
+        meta = open_array(store_path, rel)
+        if len(meta.shape) != 1:
+            raise ZarrError(
+                f"array {rel} has rank {len(meta.shape)}; the table model "
+                "requires parallel 1-D arrays (reference README.md:5-16)"
+            )
+        arrays[entry] = meta
+    if not arrays:
+        raise ZarrError(f"group {group_path} contains no 1-D arrays")
+    lengths = {m.n_rows for m in arrays.values()}
+    if len(lengths) > 1:
+        raise ZarrError(f"group arrays disagree on length: {lengths}")
+    return ZarrGroup(store_path=store_path, group_path=group_path, arrays=arrays)
+
+
+# ---------------------------------------------------------------------------
+# writer (fixtures + sink)
+# ---------------------------------------------------------------------------
+
+
+def write_group(
+    store_path: str,
+    group_path: str,
+    columns: dict[str, Any],
+    chunk_rows: int = 65536,
+    zstd_level: int = 0,
+) -> None:
+    """Write a dict of parallel 1-D columns as a Zarr v3 group.
+
+    Accepts numpy arrays (numeric / datetime64) and lists of ``str``. Layout,
+    codecs, and metadata match what ``zarr-python`` v3 produces for the
+    reference fixture (data/zarr_store.zarr): ``vlen-utf8``+``zstd`` for
+    strings, ``bytes``(little)+``zstd`` for fixed-width types.
+    """
+    group_rel = group_path.strip("/")
+    os.makedirs(store_path, exist_ok=True)
+    _write_json(
+        os.path.join(store_path, "zarr.json"),
+        {"zarr_format": 3, "node_type": "group", "attributes": {}},
+    )
+    group_dir = os.path.join(store_path, group_rel) if group_rel else store_path
+    if group_rel:
+        os.makedirs(group_dir, exist_ok=True)
+        _write_json(
+            os.path.join(group_dir, "zarr.json"),
+            {"zarr_format": 3, "node_type": "group", "attributes": {}},
+        )
+    lengths = set()
+    for name, values in columns.items():
+        lengths.add(len(values))
+    if len(lengths) > 1:
+        raise ZarrError(f"columns disagree on length: {lengths}")
+    for name, values in columns.items():
+        _write_array(group_dir, name, values, chunk_rows, zstd_level)
+
+
+def _write_json(path: str, doc: dict) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(doc, f, indent=2)
+
+
+def _numpy_to_zarr_dtype(arr: np.ndarray) -> ZarrDType:
+    kind = arr.dtype.kind
+    if kind == "M":
+        unit = np.datetime_data(arr.dtype)[0]
+        if unit not in _DATETIME_UNITS:
+            raise ZarrError(f"unsupported datetime64 unit for writing: {unit}")
+        return ZarrDType("datetime64", unit=unit)
+    name = arr.dtype.name
+    if name in _FIXED_NUMPY:
+        return ZarrDType(name)
+    raise ZarrError(f"unsupported numpy dtype for writing: {arr.dtype}")
+
+
+def _write_array(
+    group_dir: str, name: str, values: Any, chunk_rows: int, zstd_level: int
+) -> None:
+    arr_dir = os.path.join(group_dir, name)
+    os.makedirs(arr_dir, exist_ok=True)
+    is_string = not isinstance(values, np.ndarray)
+    if is_string:
+        n = len(values)
+        dt: Any = "string"
+        codecs = [
+            {"name": "vlen-utf8", "configuration": {}},
+            {"name": "zstd", "configuration": {"level": zstd_level, "checksum": False}},
+        ]
+        fill: Any = ""
+    else:
+        n = len(values)
+        zdt = _numpy_to_zarr_dtype(values)
+        dt = dtype_to_json(zdt)
+        codecs = [
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "zstd", "configuration": {"level": zstd_level, "checksum": False}},
+        ]
+        fill = -9223372036854775808 if zdt.kind == "datetime64" else 0
+    chunk = min(chunk_rows, max(n, 1))
+    _write_json(
+        os.path.join(arr_dir, "zarr.json"),
+        {
+            "shape": [n],
+            "data_type": dt,
+            "chunk_grid": {
+                "name": "regular",
+                "configuration": {"chunk_shape": [chunk]},
+            },
+            "chunk_key_encoding": {
+                "name": "default",
+                "configuration": {"separator": "/"},
+            },
+            "fill_value": fill,
+            "codecs": codecs,
+            "attributes": {},
+            "zarr_format": 3,
+            "node_type": "array",
+            "storage_transformers": [],
+        },
+    )
+    os.makedirs(os.path.join(arr_dir, "c"), exist_ok=True)
+    for ci in range(max(1, math.ceil(n / chunk)) if n else 0):
+        lo, hi = ci * chunk, min((ci + 1) * chunk, n)
+        if is_string:
+            payload = _encode_vlen([v.encode("utf-8") for v in values[lo:hi]])
+        else:
+            sl = values[lo:hi]
+            if sl.dtype.kind == "M":
+                sl = sl.astype("<i8")
+            else:
+                sl = sl.astype(sl.dtype.newbyteorder("<"))
+            payload = sl.tobytes()
+        with open(os.path.join(arr_dir, "c", str(ci)), "wb") as f:
+            f.write(_zstd_compress(payload, zstd_level))
