@@ -1,0 +1,109 @@
+"""Query registry: every capability from SURVEY.md §2 as a named pair of
+(PySpark plan, DuckDB oracle SQL).
+
+The reference's API contract is "register the table, then run arbitrary SQL"
+(reference: README.md:29-42) — its capability surface is the embedding
+engine's SQL dialect. Here each declared capability is a ``QuerySpec``:
+
+- ``spark``: a callable ``(SparkSession, sf_dir) -> DataFrame`` building the
+  plan with the DataFrame API (Catalyst optimizes it);
+- ``oracle``: equivalent ANSI SQL that DuckDB runs on the same parquet for
+  the correctness gate (``None`` for ops SQL can't express — the driver then
+  records a weaker rows-only check).
+
+Column names are aliased identically on both sides: the driver's compare
+sorts columns by name before hashing values.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    doc: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str] = None, doc: str = ""):
+    """Decorator adding a query builder to the registry."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name=name, doc=doc or fn.__doc__ or "", spark=fn, oracle=oracle)
+        return fn
+
+    return wrap
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name}")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        return _read_nanos_parquet(spark, path)
+    return spark.read.parquet(path)
+
+
+def _read_nanos_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects ([PARQUET_TYPE_ILLEGAL]). Bridge through pyarrow with a ns->us
+    cast. This materializes through the driver — acceptable for the synthetic
+    fixtures; a production pipeline would rewrite the source to us precision
+    (Spark's native resolution) at ingest.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    if not any(
+        pa.types.is_timestamp(f.type) and f.type.unit == "ns" for f in schema
+    ):
+        return spark.read.parquet(path)
+    t = pq.read_table(path)
+    fields = []
+    for f in t.schema:
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+            fields.append(pa.field(f.name, pa.timestamp("us", tz=f.type.tz)))
+        else:
+            fields.append(f)
+    # safe=False truncates sub-microsecond ticks — the same truncation a
+    # DuckDB TIMESTAMP_NS -> python datetime fetch applies on the oracle side
+    t = t.cast(pa.schema(fields), safe=False)
+    return spark.createDataFrame(t)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view for spark.sql queries."""
+    for t in TABLES:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import all query modules (side effect: fills REGISTRY)."""
+    import zarr_datafusion_search_spark.plans.sql_surface  # noqa: F401
+    import zarr_datafusion_search_spark.plans.pipeline_ops  # noqa: F401
+    import zarr_datafusion_search_spark.plans.zarr_queries  # noqa: F401
+
+    return REGISTRY

@@ -1,0 +1,71 @@
+"""The reference's own two queries, run through our Zarr data source.
+
+These are the direct ports of the reference's end-to-end tests
+(src/table_provider.rs:317-324 full scan; :338-357 projection+filter). The
+DuckDB oracle is the golden fixture as literal VALUES — the store contents
+are deterministic (FIXTURES.md §A), so the oracle is exact.
+
+The fixture store lives at ``data/zarr_store.zarr`` inside the repo (same
+location as the reference's checked-in golden store) and is regenerated on
+demand by ``zarr_datafusion_search_spark.testing.make_parity_fixture``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from zarr_datafusion_search_spark.plans.registry import register
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+FIXTURE_STORE = os.path.join(_REPO_ROOT, "data", "zarr_store.zarr")
+
+
+def _store() -> str:
+    if not os.path.exists(os.path.join(FIXTURE_STORE, "zarr.json")):
+        from zarr_datafusion_search_spark.testing import make_parity_fixture
+
+        make_parity_fixture(FIXTURE_STORE)
+    return FIXTURE_STORE
+
+
+_GOLDEN_VALUES = """
+    (VALUES
+      ('POLYGON ((10 -10, 10 10, -10 10, -10 -10, 10 -10))', 'collection_a',
+       TIMESTAMP '2023-01-01 00:00:00'),
+      ('POLYGON ((20 -20, 20 20, -20 20, -20 -20, 20 -20))', 'collection_b',
+       TIMESTAMP '2023-01-02 00:00:00'),
+      ('POLYGON ((30 -30, 30 30, -30 30, -30 -30, 30 -30))', 'collection_c',
+       TIMESTAMP '2023-01-03 00:00:00')
+    ) AS t(bbox, collection, date)
+"""
+
+
+@register(
+    "zarr_full_scan",
+    oracle=f"SELECT bbox, collection, date FROM {_GOLDEN_VALUES}",
+    doc="SELECT * over the Zarr group scan (reference src/table_provider.rs:317).",
+)
+def zarr_full_scan(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark import ZarrTable
+
+    return ZarrTable(_store(), "/meta").to_df(spark)
+
+
+@register(
+    "zarr_projection_filter",
+    oracle=f"""
+    SELECT collection, date FROM {_GOLDEN_VALUES}
+    WHERE collection = 'collection_a'
+    """,
+    doc="Projection + equality predicate over the Zarr scan "
+    "(reference src/table_provider.rs:338-357; pushed to the source here).",
+)
+def zarr_projection_filter(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark import ZarrTable
+
+    df = ZarrTable(_store(), "/meta").to_df(spark)
+    return df.filter(df.collection == "collection_a").select("collection", "date")
