@@ -1,0 +1,133 @@
+"""Semantic tests for the pipeline operators (beyond the oracle hash-match):
+LSH recall, multimodal feature values, as-of correctness on a hand-built
+case, sessionization gap logic."""
+
+import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from zarr_datafusion_search_spark.operators import (
+    asof,
+    dedup,
+    multimodal,
+    sessions,
+    similarity,
+)
+from zarr_datafusion_search_spark.plans.registry import table
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    approx = similarity.lsh_topk(emb, queries, k=10)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 8 planes / 256 buckets on 64-dim random vectors: recall is modest by
+    # design; it must at least beat random chance materially
+    assert recall > 0.2, f"LSH recall {recall}"
+    # LSH results must be a deterministic subset relationship: every LSH hit
+    # at rank r must have cosine <= the exact rank-r cosine
+    assert approx.count() <= 8 * 10
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    got = pairs.collect()
+    assert all(r.jaccard >= 0.5 for r in got)
+    # the synthetic corpus plants high-jaccard near-dups
+    assert len(got) > 0
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (5, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.n_copies for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_simhash_identical_docs_equal(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zzz qqq xxx yyy www vvv")],
+        ["doc_id", "text"],
+    )
+    hashes = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    assert hashes[1] == hashes[2]
+    assert hashes[1] != hashes[3]
+
+
+def test_asof_join_hand_case(spark):
+    ts = datetime.datetime
+    left = spark.createDataFrame(
+        [
+            (1, ts(2024, 1, 1, 10, 0), 100),
+            (1, ts(2024, 1, 1, 12, 0), 101),
+            (2, ts(2024, 1, 1, 9, 0), 200),
+        ],
+        ["user_id", "ts", "event_id"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(2024, 1, 1, 9, 30), 5.0),
+            (1, ts(2024, 1, 1, 11, 0), 7.0),
+            (2, ts(2024, 1, 1, 9, 30), 9.0),  # after left's event -> no match
+        ],
+        ["user_id", "ts", "value"],
+    )
+    out = {
+        r.event_id: (r.ts_right, r.value_right)
+        for r in asof.asof_join(left, right, "user_id", "ts", ["value"]).collect()
+    }
+    assert out[100] == (ts(2024, 1, 1, 9, 30), 5.0)
+    assert out[101] == (ts(2024, 1, 1, 11, 0), 7.0)
+    assert out[200] == (None, None)
+
+
+def test_asof_join_equal_ts_matches(spark):
+    ts = datetime.datetime
+    left = spark.createDataFrame([(1, ts(2024, 1, 1, 10, 0), 1)], ["user_id", "ts", "event_id"])
+    right = spark.createDataFrame([(1, ts(2024, 1, 1, 10, 0), 2.5)], ["user_id", "ts", "value"])
+    row = asof.asof_join(left, right, "user_id", "ts", ["value"]).collect()[0]
+    assert row.value_right == 2.5  # >= semantics: equal timestamps match
+
+
+def test_sessionize_gap_boundary(spark):
+    ts = datetime.datetime
+    df = spark.createDataFrame(
+        [
+            (1, ts(2024, 1, 1, 10, 0), 1, 1.0),
+            (1, ts(2024, 1, 1, 10, 29), 2, 1.0),   # same session (29 min)
+            (1, ts(2024, 1, 1, 11, 0), 3, 1.0),    # 31 min gap -> new session
+        ],
+        ["user_id", "ts", "event_id", "value"],
+    )
+    out = sessions.sessionize(df, gap_minutes=30).collect()
+    sess = {r.event_id: r.session_id for r in out}
+    assert sess[1] == sess[2] != sess[3]
+
+
+def test_multimodal_fake_features(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.attach_fake_media(docs)
+    feats = multimodal.extract_media_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    originals = {r.doc_id: r.text for r in docs.collect()}
+    for r in rows:
+        raw = originals[r.doc_id].encode("utf-8")
+        assert r.n_bytes == len(raw)
+        assert r.first_byte == raw[0]
+        assert r.byte_checksum == sum(raw) % (1 << 31)
+        assert r.media_format == "image/png"
+
+
+def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").limit(2)
+    media = multimodal.attach_fake_media(docs)
+    feats = multimodal.extract_media_features(media, fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        feats.collect()

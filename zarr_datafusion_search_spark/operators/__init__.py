@@ -1,0 +1,10 @@
+from zarr_datafusion_search_spark.operators import (
+    asof,
+    dedup,
+    multimodal,
+    sessions,
+    similarity,
+    text,
+)
+
+__all__ = ["asof", "dedup", "multimodal", "sessions", "similarity", "text"]

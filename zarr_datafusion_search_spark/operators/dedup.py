@@ -1,0 +1,334 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are pure DataFrame compositions (no Python UDFs): the hot path
+stays JVM-side, shuffles only on hash keys, and every intermediate is a
+normal Spark plan that AQE can re-partition. Hashing uses the md5-derived
+60-bit family from ``functions.hashing`` so the DuckDB oracle reproduces
+results exactly.
+
+Scale notes (the 100 TB story):
+
+- exact dedup shuffles once on a 60-bit fingerprint — uniform keys, no skew;
+- MinHash/LSH never materializes the O(n^2) pair space: candidates come from
+  an equi-join on (band, band-signature), i.e. only colliding buckets meet;
+- SimHash reduces each doc to one 32-bit int; near-dup candidates come from
+  band-exact matches (4 x 8-bit bands finds all pairs with Hamming
+  distance <= 3 by pigeonhole);
+- n-gram Jaccard uses an inverted-index join on shingles: the shuffle is
+  bounded by total shingle occurrences, not doc pairs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from zarr_datafusion_search_spark.functions.hashing import h64, h64_seeded
+
+# ---------------------------------------------------------------------------
+# tokenize / shingle (shared by several dedup flavors)
+# ---------------------------------------------------------------------------
+
+
+def tokens_col(text_col: str = "text"):
+    """Lower-cased whitespace tokens with empties removed."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+
+
+def with_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) with distinct word n-gram shingles; docs shorter than
+    ``n`` tokens are dropped (no full shingle exists)."""
+    toks = tokens_col(text_col)
+    shingle_exprs = [F.element_at(F.col("_toks"), F.col("_i") + j) for j in range(n)]
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+                        lambda i: F.concat_ws(
+                            " ",
+                            *[
+                                F.element_at(F.col("_toks"), i + j)
+                                for j in range(n)
+                            ],
+                        ),
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest-id row per exact text fingerprint.
+
+    One shuffle on the fingerprint; min-by keeps the survivor without a
+    second pass. Equivalent to ``dropDuplicates`` but with a deterministic
+    survivor and an auditable key.
+    """
+    fp = h64(text_col).alias("fingerprint")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup_stats(df: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-group duplication stats: rows, distinct fingerprints, dup rows."""
+    return (
+        df.select(group_col, h64("text").alias("fingerprint"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("fingerprint").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.countDistinct("fingerprint")).alias("n_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, hash_idx, minhash): min over the doc's shingles per hash fn.
+
+    The k hash functions are seeded members of one md5 family; the explode
+    multiplies rows by k before a map-side-combinable min aggregation.
+    """
+    return (
+        shingled.withColumn(
+            "hash_idx", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
+        )
+        .select(
+            id_col,
+            "hash_idx",
+            h64_seeded("shingle", F.col("hash_idx")).alias("h"),
+        )
+        .groupBy(id_col, "hash_idx")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_band_signatures(
+    signatures: DataFrame, rows_per_band: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band, sig): md5 over the band's minhashes in hash_idx order."""
+    return (
+        signatures.withColumn("band", F.expr(f"hash_idx div {rows_per_band}"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("hash_idx", "minhash"))
+                        ),
+                        lambda s: s.getField("minhash").cast("string"),
+                    ),
+                ).cast("binary")
+            ).alias("sig")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH with exact Jaccard verification.
+
+    Pipeline: shingle -> k minhashes -> b=k/r band signatures -> candidate
+    pairs from band-equality join -> exact Jaccard on shingle sets ->
+    threshold filter. Only buckets that collide are joined; the O(n^2)
+    space is never touched.
+    """
+    sh = with_shingles(df, id_col, text_col).cache()
+    sigs = minhash_signatures(sh, num_hashes, id_col)
+    bands = lsh_band_signatures(sigs, rows_per_band, id_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, id_col, jaccard_threshold)
+
+
+def _verify_jaccard(
+    cand: DataFrame, shingled: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    s1 = shingled.alias("s1")
+    s2 = shingled.alias("s2")
+    inter = (
+        cand.join(s1, F.col("doc_a") == F.col(f"s1.{id_col}"))
+        .join(
+            s2,
+            (F.col("doc_b") == F.col(f"s2.{id_col}"))
+            & (F.col("s1.shingle") == F.col("s2.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index self-join
+    (no LSH approximation; the join is bounded by shared-shingle pairs)."""
+    sh = with_shingles(df, id_col, text_col)
+    s1 = sh.alias("s1")
+    s2 = sh.alias("s2")
+    cand = (
+        s1.join(
+            s2,
+            (F.col("s1.shingle") == F.col("s2.shingle"))
+            & (F.col(f"s1.{id_col}") < F.col(f"s2.{id_col}")),
+        )
+        .select(
+            F.col(f"s1.{id_col}").alias("doc_a"),
+            F.col(f"s2.{id_col}").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_inter")
+    )
+    return (
+        cand.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash per document over distinct lower-cased tokens.
+
+    Bit b of the hash is 1 iff the majority of token hashes have bit b set
+    (ties count as set). Entirely built-in expressions: explode tokens x
+    bit positions, signed sum per bit, reassemble with shifts.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
+        .select(id_col, h64("tok").alias("h"))
+        .withColumn("bit", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))))
+        .select(
+            id_col,
+            "bit",
+            # shiftright via expr: the DSL builtin requires a literal count
+            F.when(F.expr("shiftright(h, bit)").bitwiseAND(1) == 1, 1)
+            .otherwise(-1)
+            .alias("sign"),
+        )
+    )
+    per_bit = toks.groupBy(id_col, "bit").agg(F.sum("sign").alias("s"))
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.expr("shiftleft(1L, bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidates via the band trick: split the 32-bit hash into 4 bytes; any
+    pair within Hamming distance 3 agrees exactly on >= 1 byte (pigeonhole),
+    so an equi-join on (band, byte) finds all of them without O(n^2).
+    """
+    sh = simhash(df, id_col, text_col)
+    banded = (
+        sh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .withColumn("byte", F.expr("shiftright(simhash, band * 8)").bitwiseAND(255))
+        .select(id_col, "simhash", "band", "byte")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,110 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All built-in expressions (JVM, codegen) — no
+Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from zarr_datafusion_search_spark.functions.hashing import h64
+from zarr_datafusion_search_spark.operators.dedup import tokens_col
+
+#: Marker-token lists per language for the n-gram/stopword heuristic.
+#: Deterministic and tiny on purpose: language ID at pipeline scale is a
+#: first-pass router, not a classifier; order of the CASE chain breaks ties.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+#: BPE-ish token regex: word pieces, digit runs, single punctuation marks.
+BPE_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "it", "on", "for")
+
+
+def _marker_score(lang: str):
+    toks = tokens_col("text")
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Predict language from marker-token counts; deterministic CASE-chain
+    argmax (first language in priority order wins ties); 'und' if no
+    markers matched at all."""
+    scored = df.select(
+        id_col,
+        *[_marker_score(lang).alias(f"score_{lang}") for lang in LANG_MARKERS],
+    )
+    langs = list(LANG_MARKERS)
+    pred = F.lit("und")
+    # build the CASE chain back-to-front so earlier langs win ties
+    for lang in reversed(langs):
+        cond = F.col(f"score_{lang}") > 0
+        for other in langs:
+            if langs.index(other) < langs.index(lang):
+                cond = cond & (F.col(f"score_{lang}") > F.col(f"score_{other}"))
+            elif other != lang:
+                cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{other}"))
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return scored.select(
+        id_col, *[f"score_{lang}" for lang in langs], pred.alias("predicted_lang")
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]:
+    token count, mean token length, punctuation ratio, stopword ratio."""
+    toks = tokens_col("text")
+    n_toks = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_toks, F.lit(1))
+    mean_tok_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_toks, F.lit(1))
+    # composite: long enough, some stopwords, not punctuation soup
+    score = (
+        F.least(n_toks.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
+    )
+    return df.select(
+        id_col,
+        n_toks.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count and BPE-ish regex token count per document."""
+    return df.select(
+        id_col,
+        F.size(tokens_col("text")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_REGEX), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprint over normalized text (lower-cased,
+    whitespace-collapsed): full md5 hex + 60-bit integer form."""
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return df.select(
+        id_col,
+        F.md5(norm.cast("binary")).alias("fp_md5"),
+        h64(norm).alias("fp_int"),
+    )

@@ -1,4 +1,518 @@
-"""Training-data pipeline operators as registry queries (filled by
-operators/*; see that package for the implementations)."""
+"""Training-data pipeline operators as registry queries with DuckDB oracles.
+
+These are the beyond-parity operators a 100 TB LLM-data pipeline needs
+(dedup, similarity search, text analysis, multimodal, as-of/sessionization).
+Implementations live in ``operators/``; this module binds each to the
+synthetic tables and writes the equivalent DuckDB SQL. The md5-derived hash
+family (functions/hashing.py) makes even MinHash/SimHash exactly
+reproducible in the oracle.
+"""
 
 from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from zarr_datafusion_search_spark.functions.hashing import duckdb_h64
+from zarr_datafusion_search_spark.operators import (
+    asof,
+    dedup,
+    multimodal,
+    sessions,
+    similarity,
+    text,
+)
+from zarr_datafusion_search_spark.plans.registry import register, table
+
+# shared oracle CTE fragments -------------------------------------------------
+
+_TOKS = r"""
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> len(x) > 0) AS t
+  FROM documents
+)"""
+
+_SHINGLES = (
+    _TOKS
+    + r""",
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM toks WHERE len(t) >= 3
+)"""
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT {duckdb_h64('text')} AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup: one shuffle on a 60-bit text fingerprint; survivor = "
+    "lowest doc_id. Uniform hash keys -> no skew at any scale.",
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dedup(table(spark, sf, "documents"))
+
+
+@register(
+    "dedup_exact_stats",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_rows,
+           count(DISTINCT {duckdb_h64('text')}) AS n_distinct,
+           count(*) - count(DISTINCT {duckdb_h64('text')}) AS n_dups
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Per-source duplication audit (rows vs distinct fingerprints).",
+)
+def dedup_exact_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dedup_stats(table(spark, sf, "documents"))
+
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLES},
+mh AS (
+  SELECT doc_id, i.i AS hash_idx,
+         min({duckdb_h64("i.i::VARCHAR || ':' || shingle")}) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) i
+  GROUP BY doc_id, i.i
+),
+bands AS (
+  SELECT doc_id, hash_idx // 4 AS band,
+         md5(string_agg(minhash::VARCHAR, ',' ORDER BY hash_idx)) AS sig
+  FROM mh GROUP BY doc_id, hash_idx // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc_a
+  JOIN sh s2 ON s2.doc_id = c.doc_b AND s1.shingle = s2.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= 0.5
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_ORACLE,
+    doc="MinHash(16) + LSH(4 bands x 4 rows) near-dup pairs with exact "
+    "Jaccard verification at >= 0.5. Candidates come from band-signature "
+    "equality joins only — the O(n^2) pair space is never materialized.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        table(spark, sf, "documents"),
+        num_hashes=16,
+        rows_per_band=4,
+        jaccard_threshold=0.5,
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh s1 JOIN sh s2
+        ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= 0.2
+    """,
+    doc="Exact 3-gram Jaccard pairs >= 0.2 via inverted-index self-join "
+    "(shuffle bounded by shingle postings, not doc pairs).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        table(spark, sf, "documents"), n=3, threshold=0.2
+    )
+
+
+_SIMHASH_CTE = f"""
+tokh AS (
+  SELECT doc_id, {duckdb_h64('tok')} AS h FROM (
+    SELECT doc_id, unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '\\s+'), x -> len(x) > 0))) AS tok
+    FROM documents
+  )
+),
+bits AS (
+  SELECT doc_id, b.b AS bit,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tokh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM bits GROUP BY doc_id
+)"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sim",
+    doc="32-bit SimHash per document (majority vote over token-hash bits); "
+    "each doc reduces to one integer — the cheapest near-dup sketch.",
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash(table(spark, sf, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    banded AS (
+      SELECT doc_id, simhash, b.b AS band, (simhash >> (b.b * 8)) & 255 AS byte
+      FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup pairs with Hamming <= 3; pigeonhole banding (4 x "
+    "8-bit bands) guarantees every qualifying pair collides on >= 1 band.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash_pairs(table(spark, sf, "documents"), max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+          >= 0.4
+    """,
+    doc="Embedding near-dup pairs (cosine >= 0.4, double precision, rounded "
+    "to 6dp). Exact baseline; the LSH variant is the scale path.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        table(spark, sf, "embeddings"), threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+        f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+        f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+    )
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_duck_cos('q.embedding', 'c.embedding')}, 6) AS cosine,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round({_duck_cos('q.embedding', 'c.embedding')}, 6) DESC,
+                        c.vec_id) AS INTEGER) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 8
+    ) WHERE rank <= 10
+    """,
+    doc="Exact top-10 cosine neighbors for 8 query vectors; queries are "
+    "broadcast, ranking ties break on neighbor id.",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    return similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=10
+    )
+
+
+def _lsh_oracle(n_tables: int = 4, planes_per_table: int = 4) -> str:
+    def bucket_expr(v: str, tbl: int) -> str:
+        terms = []
+        for p in range(planes_per_table):
+            plane = similarity._hyperplane(64, tbl * planes_per_table + p)
+            lits = ", ".join(repr(x) for x in plane)
+            terms.append(
+                f"(CASE WHEN list_dot_product({v}::DOUBLE[], [{lits}]) >= 0 "
+                f"THEN {1 << p}::BIGINT ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    buckets = ", ".join(
+        f"{bucket_expr('embedding', t)} AS b{t}" for t in range(n_tables)
+    )
+    any_match = " OR ".join(f"q.b{t} = c.b{t}" for t in range(n_tables))
+    return f"""
+    WITH c AS (SELECT vec_id, embedding, {buckets} FROM embeddings),
+    q AS (SELECT * FROM c WHERE vec_id < 8)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_duck_cos('q.embedding', 'c.embedding')}, 6) AS cosine,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round({_duck_cos('q.embedding', 'c.embedding')}, 6) DESC,
+                        c.vec_id) AS INTEGER) AS rank
+      FROM q JOIN c ON ({any_match}) AND q.vec_id <> c.vec_id
+    ) WHERE rank <= 10
+    """
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=_lsh_oracle(),
+    doc="Approximate top-10 via multi-table sign-random-projection LSH "
+    "(4 tables x 4 deterministic hyperplanes); candidates collide in any "
+    "table. The oracle embeds the identical hyperplane literals.",
+)
+def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _lang_score(lang: str) -> str:
+    lits = ", ".join(f"'{m}'" for m in text.LANG_MARKERS[lang])
+    return (
+        f"CAST(len(list_filter(t, x -> list_contains([{lits}], x))) AS INTEGER)"
+    )
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH {_TOKS},
+    scored AS (
+      SELECT doc_id,
+             {_lang_score('en')} AS score_en,
+             {_lang_score('de')} AS score_de,
+             {_lang_score('es')} AS score_es,
+             {_lang_score('fr')} AS score_fr
+      FROM toks
+    )
+    SELECT doc_id, score_en, score_de, score_es, score_fr,
+           CASE
+             WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_es
+                  AND score_en >= score_fr THEN 'en'
+             WHEN score_de > 0 AND score_de > score_en AND score_de >= score_es
+                  AND score_de >= score_fr THEN 'de'
+             WHEN score_es > 0 AND score_es > score_en AND score_es > score_de
+                  AND score_es >= score_fr THEN 'es'
+             WHEN score_fr > 0 AND score_fr > score_en AND score_fr > score_de
+                  AND score_fr > score_es THEN 'fr'
+             ELSE 'und'
+           END AS predicted_lang
+    FROM scored
+    """,
+    doc="Marker-token language ID with a deterministic priority-ordered "
+    "argmax (en > de > es > fr on ties).",
+)
+def text_language_id(spark: SparkSession, sf: str) -> DataFrame:
+    out = text.language_id(table(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        *[F.col(f"score_{lang}").cast("int").alias(f"score_{lang}") for lang in text.LANG_MARKERS],
+        "predicted_lang",
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH {_TOKS},
+    feat AS (
+      SELECT d.doc_id,
+             len(t) AS n_tokens,
+             list_aggregate(list_transform(t, x -> len(x)), 'sum')::DOUBLE
+               / greatest(len(t), 1) AS mean_token_len,
+             (length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))::DOUBLE
+               / greatest(length(d.text), 1) AS punct_ratio,
+             len(list_filter(t, x -> list_contains(
+                 ['the','a','of','and','is','to','in','it','on','for'], x)))::DOUBLE
+               / greatest(len(t), 1) AS stopword_ratio
+      FROM documents d JOIN toks ON toks.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           round(mean_token_len, 6) AS mean_token_len,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stopword_ratio, 6) AS stopword_ratio,
+           round(least(n_tokens / 100.0, 1.0) * 0.4
+                 + least(stopword_ratio * 5.0, 1.0) * 0.4
+                 + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality
+    FROM feat
+    """,
+    doc="Quality features (length, token stats, punctuation/stopword "
+    "ratios) + composite score in [0,1].",
+)
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    out = text.quality_score(table(spark, sf, "documents"))
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("int"))
+
+
+@register(
+    "text_token_counts",
+    oracle=rf"""
+    WITH {_TOKS}
+    SELECT d.doc_id,
+           CAST(len(t) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(d.text),
+                '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+           CAST(length(d.text) AS INTEGER) AS n_chars_measured
+    FROM documents d JOIN toks ON toks.doc_id = d.doc_id
+    """,
+    doc="Whitespace and BPE-ish regex token counts per document.",
+)
+def text_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    out = text.token_counts(table(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("int").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens"),
+        F.col("n_chars_measured").cast("int").alias("n_chars_measured"),
+    )
+
+
+_NORM_TEXT = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_NORM_TEXT}) AS fp_md5,
+           {duckdb_h64(_NORM_TEXT)} AS fp_int
+    FROM documents
+    """,
+    doc="Deterministic document fingerprint over normalized text.",
+)
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return text.fingerprint(table(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# as-of join / sessionization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_clicks_purchases",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS ts_right, p.value AS value_right
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="As-of join: each click matched to the user's latest prior "
+    "purchase. Spark composition: tagged union + last(ignorenulls) window "
+    "— one shuffle, linear scan (operators/asof.py). Oracle: DuckDB's "
+    "native ASOF JOIN.",
+)
+def asof_join_clicks_purchases(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof.asof_join(clicks, purchases, key="user_id", ts="ts", right_cols=["value"])
+    return out.select("event_id", "user_id", "ts", "ts_right", "value_right")
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, sum(value) AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30 min): lag() marks session starts, a "
+    "running sum assigns ids — one shuffle on user_id, no join.",
+)
+def sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    return sessions.session_stats(table(spark, sf, "events"), gap_minutes=30)
+
+
+# ---------------------------------------------------------------------------
+# multimodal (rows-only: the mapInPandas stage is not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    oracle=None,
+    doc="Binary media column + Arrow-batched mapInPandas feature extraction "
+    "(deterministic byte-level stand-in for the stubbed codec decode). "
+    "Rows-only check; pytest validates the feature values.",
+)
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.attach_fake_media(table(spark, sf, "documents"))
+    return multimodal.extract_media_features(media, fake=True)
