@@ -1,0 +1,139 @@
+"""Streaming operators: drain a file-source stream with availableNow and
+compare against the batch twin computed on the same rows."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from zarr_datafusion_search_spark.plans.registry import table
+from zarr_datafusion_search_spark.streaming import events as streaming_events
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, sf_dir, tmp_path_factory):
+    """events table spilled to JSON files (3 micro-batch files)."""
+    d = tmp_path_factory.mktemp("event_stream")
+    df = table(spark, sf_dir, "events")
+    rows = sorted(df.collect(), key=lambda r: r.ts)
+    # chronological micro-batches: in-order arrival, nothing falls behind
+    # the watermark (late-data dropping is exercised in the batch twins)
+    third = (len(rows) + 2) // 3
+    chunks = [rows[i * third : (i + 1) * third] for i in range(3)]
+    for i, chunk in enumerate(chunks):
+        with open(d / f"batch_{i}.json", "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r.event_id,
+                            "ts": r.ts.isoformat(sep=" "),
+                            "user_id": r.user_id,
+                            "event_type": r.event_type,
+                            "value": r.value,
+                            "props": r.props,
+                        }
+                    )
+                    + "\n"
+                )
+    # sentinel far in the future: pushes the watermark past every real
+    # window so append-mode sinks flush them (the tail of an append-mode
+    # stream otherwise stays in state forever)
+    import datetime
+
+    sentinel_ts = rows[-1].ts + datetime.timedelta(days=30)
+    with open(d / "batch_sentinel.json", "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "event_id": -1,
+                    "ts": sentinel_ts.isoformat(sep=" "),
+                    "user_id": -1,
+                    "event_type": "sentinel",
+                    "value": 0.0,
+                    "props": "{}",
+                }
+            )
+            + "\n"
+        )
+    return str(d)
+
+
+def _batch_events(spark, event_dir):
+    """Batch read of the same files, sentinel excluded."""
+    return (
+        spark.read.format("json")
+        .schema(streaming_events.EVENTS_SCHEMA)
+        .load(event_dir)
+        .filter(F.col("event_id") >= 0)
+    )
+
+
+def test_tumbling_counts_matches_batch(spark, event_dir):
+    stream = streaming_events.read_event_stream(spark, event_dir)
+    assert stream.isStreaming
+    out = streaming_events.tumbling_counts(stream, window="1 hour")
+    streaming_events.run_to_memory_sink(out, "tumbling_test")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("tumbling_test").collect()
+        if r.event_type != "sentinel"
+    }
+    batch = (
+        _batch_events(spark, event_dir)
+        .groupBy(F.window("ts", "1 hour").getField("start").alias("ws"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )
+    want = {(r.ws, r.event_type): (r.n, r.v) for r in batch.collect()}
+    assert got == want
+
+
+def test_session_window_stream(spark, event_dir):
+    stream = streaming_events.read_event_stream(spark, event_dir)
+    out = streaming_events.session_counts(stream, gap="30 minutes")
+    streaming_events.run_to_memory_sink(out, "session_test")
+    rows = [r for r in spark.table("session_test").collect() if r.user_id >= 0]
+    assert len(rows) > 0
+    n_events_total = sum(r.n_events for r in rows)
+    assert n_events_total == _batch_events(spark, event_dir).count()
+    for r in rows:
+        assert r.session_start <= r.session_end
+
+
+def test_sliding_window_stream(spark, event_dir):
+    stream = streaming_events.read_event_stream(spark, event_dir)
+    out = streaming_events.sliding_value_avg(stream, window="2 hours", slide="1 hour")
+    streaming_events.run_to_memory_sink(out, "sliding_test")
+    batch = _batch_events(spark, event_dir)
+    max_real_ts = batch.agg(F.max("ts")).collect()[0][0]
+    rows = [
+        r
+        for r in spark.table("sliding_test").collect()
+        if r.window_start <= max_real_ts  # drop the sentinel's own windows
+    ]
+    assert len(rows) > 0
+    # every event lands in exactly window/slide = 2 sliding windows
+    assert sum(r.n_events for r in rows) == 2 * batch.count()
+
+
+def test_stateful_running_totals(spark, event_dir):
+    stream = streaming_events.read_event_stream(spark, event_dir)
+    out = streaming_events.running_user_totals(stream)
+    streaming_events.run_to_memory_sink(out, "state_test", output_mode="update")
+    rows = spark.table("state_test").collect()
+    assert len(rows) > 0
+    # last emitted state per user equals the batch totals
+    batch = (
+        _batch_events(spark, event_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )
+    want = {r.user_id: (r.n, r.v) for r in batch.collect()}
+    last = {}
+    for r in rows:  # memory sink appends in emission order; later wins
+        if r.user_id >= 0:
+            last[r.user_id] = (r.n_events, r.total_value)
+    for uid, (n, v) in want.items():
+        assert last[uid][0] == n
+        assert abs(last[uid][1] - v) < 1e-6

@@ -506,6 +506,76 @@ def sessionization(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# structured streaming (batch-equivalent check through the streaming engine)
+# ---------------------------------------------------------------------------
+
+_STREAM_RUN_COUNTER = [0]
+
+
+@register(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600) AS window_start,
+           event_type,
+           count(*)   AS n_events,
+           sum(value) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Hourly tumbling-window counts computed through Structured Streaming "
+    "(file micro-batches + watermark + availableNow drain into a memory "
+    "sink); the oracle is the batch equivalent — stream == batch is the "
+    "exactly-once guarantee under test.",
+)
+def streaming_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
+    import json as _json
+    import datetime as _dt
+    import tempfile
+
+    from zarr_datafusion_search_spark.streaming import events as sev
+
+    d = tempfile.mkdtemp(prefix="zdss_stream_")
+    rows = sorted(table(spark, sf, "events").collect(), key=lambda r: r.ts)
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        with open(f"{d}/batch_{i}.json", "w") as f:
+            for r in rows[i * third : (i + 1) * third]:
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": r.event_id,
+                            "ts": r.ts.isoformat(sep=" "),
+                            "user_id": r.user_id,
+                            "event_type": r.event_type,
+                            "value": r.value,
+                            "props": r.props,
+                        }
+                    )
+                    + "\n"
+                )
+    # sentinel pushes the watermark past every real window (append-mode flush)
+    with open(f"{d}/batch_sentinel.json", "w") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "event_id": -1,
+                    "ts": (rows[-1].ts + _dt.timedelta(days=30)).isoformat(sep=" "),
+                    "user_id": -1,
+                    "event_type": "sentinel",
+                    "value": 0.0,
+                    "props": "{}",
+                }
+            )
+            + "\n"
+        )
+    _STREAM_RUN_COUNTER[0] += 1
+    name = f"zdss_stream_sink_{_STREAM_RUN_COUNTER[0]}"
+    stream = sev.read_event_stream(spark, d)
+    sev.run_to_memory_sink(sev.tumbling_counts(stream, "1 hour"), name)
+    return spark.table(name).filter(F.col("event_type") != "sentinel")
+
+
 @register(
     "multimodal_features",
     oracle=None,

@@ -1,0 +1,153 @@
+"""Structured Streaming operators over event streams.
+
+The reference is strictly bounded (``Boundedness::Bounded``,
+reference: src/table_provider.rs:238-239) — streaming is a beyond-parity
+extension. Each transformation here takes a *streaming* DataFrame shaped
+like the ``events`` table (event_id, ts, user_id, event_type, value, props)
+and returns a streaming DataFrame; the batch twins in plans/sql_surface.py
+and operators/sessions.py compute the same answers for the correctness gate.
+
+Watermarks bound state: a 10-minute watermark means late events more than
+10 minutes behind the max seen timestamp are dropped and window state older
+than that is evicted — the knob that keeps unbounded streams in bounded
+memory on a real cluster.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Tuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, directory: str, fmt: str = "json"
+) -> DataFrame:
+    """File-source event stream (each file dropped into ``directory`` is a
+    micro-batch) — the local stand-in for a Kafka source; swap
+    ``format("kafka")`` + ``from_json`` at deployment."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(directory)
+    )
+
+
+def tumbling_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Per-window, per-type counts/sums with late-data handling."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w").getField("start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_value_avg(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window running average of event values."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w").getField("start").alias("window_start"),
+            F.col("w").getField("end").alias("window_end"),
+            "avg_value",
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Native streaming session windows (gap-based), the streaming twin of
+    operators/sessions.py."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w").getField("start").alias("session_start"),
+            F.col("w").getField("end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    lifetime event count and value total, emitted on every update."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id LONG, n_events LONG, total_value DOUBLE"
+    state_schema = "n LONG, total DOUBLE"
+
+    def update(key: Tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState):  # noqa: F821
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> None:
+    """Drain all available input into an in-memory table (test harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
