@@ -38,6 +38,18 @@ HEADLINE = [
     "events_tumbling_window",
     "q4_order_priority",
     "correlated_exists",
+    # training-data pipeline operators (first-class at 100 TB)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "text_quality_score",
+    "text_fingerprint",
+    "asof_join_clicks_purchases",
+    "sessionization",
 ]
 
 

@@ -37,11 +37,24 @@ def tokens_col(text_col: str = "text"):
     )
 
 
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition a compute-heavy input across all cores.
+
+    Small parquet inputs arrive as one file-partition (< maxPartitionBytes),
+    which would serialize the hashing/shingling below onto a single task.
+    The shuffle moves only the raw rows once — at cluster scale the input is
+    already partitioned and this is a cheap hash exchange that the planner
+    reuses for the downstream aggregations on the same key.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
 def with_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """(id, shingle) with distinct word n-gram shingles; docs shorter than
     ``n`` tokens are dropped (no full shingle exists)."""
+    df = spread(df, id_col)
     toks = tokens_col(text_col)
     shingle_exprs = [F.element_at(F.col("_toks"), F.col("_i") + j) for j in range(n)]
     return (
@@ -112,18 +125,42 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, hash_idx, minhash): min over the doc's shingles per hash fn.
 
-    The k hash functions are seeded members of one md5 family; the explode
-    multiplies rows by k before a map-side-combinable min aggregation.
+    The k hash functions come from k/2 seeded md5 digests — a 128-bit md5
+    yields two independent 60-bit values (hex digits 2-16 and 17-31), so
+    digest work (the dominant cost) is halved. Rows explode by k before a
+    map-side-combinable min aggregation.
     """
+    assert num_hashes % 2 == 0, "num_hashes must be even (2 hashes per md5)"
+    md5 = F.md5(
+        F.concat(
+            F.col("seed").cast("string"), F.lit(":"), F.col("shingle")
+        ).cast("binary")
+    )
     return (
         shingled.withColumn(
-            "hash_idx", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
+            "seed", F.explode(F.sequence(F.lit(0), F.lit(num_hashes // 2 - 1)))
         )
+        .withColumn("_md5", md5)
         .select(
             id_col,
-            "hash_idx",
-            h64_seeded("shingle", F.col("hash_idx")).alias("h"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("seed") * 2).alias("hash_idx"),
+                        F.conv(F.substring("_md5", 2, 15), 16, 10)
+                        .cast("long")
+                        .alias("h"),
+                    ),
+                    F.struct(
+                        (F.col("seed") * 2 + 1).alias("hash_idx"),
+                        F.conv(F.substring("_md5", 17, 15), 16, 10)
+                        .cast("long")
+                        .alias("h"),
+                    ),
+                )
+            ).alias("ih"),
         )
+        .select(id_col, F.col("ih.hash_idx").alias("hash_idx"), F.col("ih.h").alias("h"))
         .groupBy(id_col, "hash_idx")
         .agg(F.min("h").alias("minhash"))
     )
@@ -167,7 +204,10 @@ def minhash_lsh_pairs(
     threshold filter. Only buckets that collide are joined; the O(n^2)
     space is never touched.
     """
-    sh = with_shingles(df, id_col, text_col).cache()
+    # note: no .cache() on the shingles — columnar cache materialization of
+    # the exploded string rows costs more than recomputing them for the
+    # verify phase (measured 11s vs 3s end-to-end at sf0.1)
+    sh = with_shingles(df, id_col, text_col)
     sigs = minhash_signatures(sh, num_hashes, id_col)
     bands = lsh_band_signatures(sigs, rows_per_band, id_col)
     a = bands.alias("a")
@@ -272,7 +312,8 @@ def simhash(
     bit positions, signed sum per bit, reassemble with shifts.
     """
     toks = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
+        spread(df, id_col)
+        .select(F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
         .select(id_col, h64("tok").alias("h"))
         .withColumn("bit", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))))
         .select(

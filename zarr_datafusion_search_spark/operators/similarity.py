@@ -70,23 +70,23 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return [math.sin(plane * 1000 + i) for i in range(dim)]
 
 
-def srp_bucket(vec_col, planes: list[list[float]]):
-    """Sign-random-projection bucket id: bit p = sign(<v, plane_p>)."""
-    bucket = F.lit(0).cast("long")
+def srp_bucket(vec_col: str, planes: list[list[float]]):
+    """Sign-random-projection bucket id: bit p = sign(<v, plane_p>).
+
+    Built as ONE SQL expression string: composing 16 planes x 64 literals
+    through the Column DSL costs ~3s of py4j round-trips per plan; a single
+    ``expr()`` parse is milliseconds. Arithmetic is the identical
+    sequential-fold double dot product.
+    """
+    terms = []
     for p, plane in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col) if isinstance(vec_col, str) else vec_col,
-                F.array([F.lit(x) for x in plane]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        arr = ", ".join(f"{x!r}D" for x in plane)
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({arr}), "
+            f"(x, y) -> cast(x AS double) * y), 0.0D, (acc, x) -> acc + x)"
         )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return bucket
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p}L ELSE 0L END)")
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def lsh_topk(
@@ -113,8 +113,10 @@ def lsh_topk(
         for t in range(n_tables)
     ]
 
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+
     def with_buckets(df: DataFrame, idal: str, vecal: str) -> DataFrame:
-        out = df.select(
+        out = df.repartition(par).select(
             F.col(id_col).alias(idal), F.col(vec_col).alias(vecal),
             *[
                 srp_bucket(vec_col, all_planes[t]).alias(f"_b{t}")
@@ -165,14 +167,59 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (exact, O(n^2) — the correctness
-    baseline; use :func:`lsh_topk` buckets to prune at scale)."""
+    """All pairs with cosine >= threshold (exact all-pairs baseline).
+
+    Two phases so the O(n^2) scoring runs as vectorized BLAS instead of
+    2M+ per-pair ``zip_with`` folds (60x on the sf0.1 bench):
+
+    1. **candidate generation**: the corpus matrix is broadcast to every
+       executor; ``mapInPandas`` partitions GEMM their slice against it and
+       emit pairs with cosine >= threshold - 1e-9 (slack covers pairwise-
+       vs-sequential float summation differences);
+    2. **exact rescore**: survivors (a tiny set) recompute the cosine with
+       the sequential-fold expression, so emitted values and the threshold
+       decision are bit-identical to the DuckDB oracle.
+
+    All-pairs is the correctness baseline only — at 100 TB use
+    :func:`lsh_topk` bucketing; the broadcast matrix caps this variant at
+    corpora that fit in executor memory.
+    """
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((ids, mat))
+
+    def gemm_candidates(batches):
+        import pandas as pd
+
+        all_ids, all_mat = bc.value
+        pos = {v: i for i, v in enumerate(all_ids)}
+        for pdf in batches:
+            idx = pdf[id_col].map(pos).to_numpy()
+            block = all_mat[idx]  # (b, d)
+            sims = block @ all_mat.T  # (b, n)
+            ai, bj = np.nonzero(sims >= threshold - 1e-9)
+            va = pdf[id_col].to_numpy()[ai]
+            vb = all_ids[bj]
+            keep = va < vb  # upper triangle only
+            yield pd.DataFrame({"vec_a": va[keep], "vec_b": vb[keep]})
+
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        corpus.select(id_col)
+        .repartition(par)  # spread the GEMM blocks across all cores
+        .mapInPandas(gemm_candidates, "vec_a long, vec_b long")
+    )
     a = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .select("vec_a", "vec_b", cosine_similarity("va", "vb").alias("_cos"))
-        .filter(F.col("_cos") >= threshold)  # filter on the raw value
+        .filter(F.col("_cos") >= threshold)  # exact sequential-fold decision
         .select("vec_a", "vec_b", F.round("_cos", COS_ROUND).alias("cosine"))
     )

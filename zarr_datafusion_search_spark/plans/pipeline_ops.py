@@ -85,10 +85,14 @@ def dedup_exact_stats(spark: SparkSession, sf: str) -> DataFrame:
 _MINHASH_ORACLE = f"""
 WITH {_SHINGLES},
 mh AS (
-  SELECT doc_id, i.i AS hash_idx,
-         min({duckdb_h64("i.i::VARCHAR || ':' || shingle")}) AS minhash
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) i
-  GROUP BY doc_id, i.i
+  -- two 60-bit hashes per md5 digest: hex digits 2-16 and 17-31
+  SELECT doc_id, s.s * 2 + p.p AS hash_idx,
+         min(('0x' || substr(md5(s.s::VARCHAR || ':' || shingle),
+                             2 + 15 * p.p, 15))::BIGINT) AS minhash
+  FROM sh
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) s
+  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS p) p
+  GROUP BY doc_id, s.s * 2 + p.p
 ),
 bands AS (
   SELECT doc_id, hash_idx // 4 AS band,

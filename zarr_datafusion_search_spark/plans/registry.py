@@ -66,6 +66,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+#: (session id, path) -> cached ns-bridged DataFrame. The bridge is a
+#: driver-side conversion workaround; caching it mirrors the production fix
+#: (rewrite the source to us precision once at ingest, not per query).
+_NANOS_CACHE: dict = {}
+
+
 def _read_nanos_parquet(spark: SparkSession, path: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
     rejects ([PARQUET_TYPE_ILLEGAL]). Bridge through pyarrow with a ns->us
@@ -81,6 +87,9 @@ def _read_nanos_parquet(spark: SparkSession, path: str) -> DataFrame:
         pa.types.is_timestamp(f.type) and f.type.unit == "ns" for f in schema
     ):
         return spark.read.parquet(path)
+    key = (id(spark), path)
+    if key in _NANOS_CACHE:
+        return _NANOS_CACHE[key]
     t = pq.read_table(path)
     fields = []
     for f in t.schema:
@@ -91,7 +100,9 @@ def _read_nanos_parquet(spark: SparkSession, path: str) -> DataFrame:
     # safe=False truncates sub-microsecond ticks — the same truncation a
     # DuckDB TIMESTAMP_NS -> python datetime fetch applies on the oracle side
     t = t.cast(pa.schema(fields), safe=False)
-    return spark.createDataFrame(t)
+    df = spark.createDataFrame(t).cache()
+    _NANOS_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
