@@ -511,6 +511,46 @@ def sessionization(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# zarr sink roundtrip
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_zarr_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Write documents through the zarr sink (df.write.format('zarr')), "
+    "read the store back through the chunk-partitioned zarr source, and "
+    "aggregate — the oracle is the same aggregate on the parquet original, "
+    "so any row lost or mangled in the sink/source roundtrip mismatches.",
+)
+def sink_zarr_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from zarr_datafusion_search_spark import ZarrTable
+    from zarr_datafusion_search_spark.sources.zarr_table import _ensure_registered
+
+    _ensure_registered(spark)
+    store = tempfile.mkdtemp(prefix="zdss_sink_") + "/docs.zarr"
+    (
+        table(spark, sf, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .write.format("zarr")
+        .option("chunk_rows", "256")
+        .mode("append")
+        .save(store)
+    )
+    back = ZarrTable(store).to_df(spark)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # structured streaming (batch-equivalent check through the streaming engine)
 # ---------------------------------------------------------------------------
 

@@ -29,11 +29,13 @@ Usage::
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from typing import Any, Iterator, List, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -48,7 +50,9 @@ from pyspark.sql.datasource import (
     StringContains,
     StringEndsWith,
     StringStartsWith,
+    WriterCommitMessage,
 )
+from pyspark.sql import types as T
 from pyspark.sql.types import StructType
 
 from zarr_datafusion_search_spark.sources import zarrv3
@@ -76,12 +80,20 @@ class ZarrDataSource(DataSource):
     def name(cls) -> str:
         return "zarr"
 
-    def _group(self) -> zarrv3.ZarrGroup:
-        path = self.options.get("path")
+    def _path_option(self) -> str:
+        path = self.options.get("path") or self.options.get("location")
         if not path:
-            raise ValueError("zarr data source requires a path: .load('/store.zarr')")
-        group = self.options.get("group", "/")
-        return zarrv3.open_group(path, group)
+            raise ValueError(
+                "zarr data source requires a path: .load('/store.zarr'). "
+                "Note: catalog tables (CREATE TABLE ... USING zarr) do not "
+                "propagate OPTIONS to Python data source readers in this "
+                "Spark version — use spark.read.format('zarr').load(path) or "
+                "ZarrTable(path, group).register(spark, name) instead."
+            )
+        return path
+
+    def _group(self) -> zarrv3.ZarrGroup:
+        return zarrv3.open_group(self._path_option(), self.options.get("group", "/"))
 
     def schema(self) -> StructType:
         group = self._group()
@@ -97,12 +109,22 @@ class ZarrDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "ZarrReader":
         return ZarrReader(
-            path=self.options.get("path"),
+            path=self._path_option(),
             group_path=self.options.get("group", "/"),
             schema=schema,
             partition_rows=int(
                 self.options.get("partition_rows", DEFAULT_PARTITION_ROWS)
             ),
+        )
+
+    def writer(self, schema: StructType, overwrite: bool) -> "ZarrWriter":
+        return ZarrWriter(
+            path=zarrv3.normalize_store_path(self._path_option()),
+            group_path=self.options.get("group", "/"),
+            schema=schema,
+            overwrite=overwrite,
+            chunk_rows=int(self.options.get("chunk_rows", 65536)),
+            zstd_level=int(self.options.get("zstd_level", 0)),
         )
 
 
@@ -234,3 +256,167 @@ class ZarrReader(DataSourceReader):
                 continue
             mask = m if mask is None else pc.and_(mask, m)
         return mask
+
+
+# ---------------------------------------------------------------------------
+# sink: df.write.format("zarr")
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ZarrCommitMessage(WriterCommitMessage):
+    partition_id: int
+    staged_path: str
+    n_rows: int
+
+
+class ZarrWriter(DataSourceArrowWriter):
+    """Write a DataFrame as a Zarr v3 group of parallel 1-D arrays.
+
+    The reference engine is read-only (no ``create_writer_physical_plan``,
+    commented out at reference src/file_format.rs:109-117) — this sink is a
+    beyond-parity extension.
+
+    Two-phase protocol:
+
+    1. Each task streams its Arrow batches to a staged IPC file (parallel,
+       executor-side) and reports (partition_id, path, rows).
+    2. ``commit`` assembles the staged files *in partition order* into the
+       final store through :class:`zarrv3.ChunkedArrayWriter` — memory is
+       bounded by one chunk per column, but throughput is driver-bound.
+
+    Zarr's regular chunk grid is why: a chunk's file name is its global row
+    position / chunk_rows, unknowable per-task without a global row index.
+    The scale path (not yet built) assigns global row ids (per-partition
+    count + offset pass), repartitions on chunk id, and lets each task write
+    whole chunks directly — turning phase 2 into a metadata-only commit.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        group_path: str,
+        schema: StructType,
+        overwrite: bool,
+        chunk_rows: int,
+        zstd_level: int,
+    ):
+        self._path = path
+        self._group = group_path
+        self._schema = schema
+        self._overwrite = overwrite
+        self._chunk_rows = chunk_rows
+        self._zstd_level = zstd_level
+        self._staging = os.path.join(path, ".staging")
+        for field in schema.fields:
+            self._col_spec(field)  # validate types eagerly (driver-side)
+        # Spark's Python data sources expose only Append/Overwrite save
+        # modes. Zarr's regular chunk grid has no cheap row-append (the last
+        # chunk would need rewriting), so "append" means create-new-store and
+        # errors when one exists; "overwrite" replaces it.
+        if os.path.exists(os.path.join(path, "zarr.json")) and not overwrite:
+            raise ValueError(
+                f"zarr store already exists at {path}; use mode('overwrite') "
+                "(zarr's regular chunk grid does not support row append)"
+            )
+
+    @staticmethod
+    def _col_spec(field) -> dict:
+        """StructField -> ChunkedArrayWriter kwargs (or raise)."""
+        import numpy as np
+
+        dt = field.dataType
+        if isinstance(dt, T.StringType):
+            return {"is_string": True}
+        if isinstance(dt, (T.TimestampNTZType, T.TimestampType)):
+            return {"is_string": False, "datetime_unit": "us", "np_dtype": np.dtype("<i8")}
+        numeric = {
+            T.BooleanType: "|b1",
+            T.ByteType: "|i1",
+            T.ShortType: "<i2",
+            T.IntegerType: "<i4",
+            T.LongType: "<i8",
+            T.FloatType: "<f4",
+            T.DoubleType: "<f8",
+        }
+        for spark_t, np_t in numeric.items():
+            if isinstance(dt, spark_t):
+                return {"is_string": False, "np_dtype": np.dtype(np_t)}
+        raise ValueError(
+            f"cannot write Spark type {dt.simpleString()} to zarr (column "
+            f"{field.name}); supported: numeric, string, boolean, timestamp"
+        )
+
+    def write(self, iterator) -> ZarrCommitMessage:
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._staging, exist_ok=True)
+        staged = os.path.join(self._staging, f"part-{pid:05d}.arrow")
+        n = 0
+        writer = None
+        for batch in iterator:
+            if writer is None:
+                writer = pa.ipc.new_file(staged, batch.schema)
+            writer.write_batch(batch)
+            n += batch.num_rows
+        if writer is not None:
+            writer.close()
+        else:
+            staged = ""
+        return ZarrCommitMessage(partition_id=pid, staged_path=staged, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        import numpy as np
+        import pyarrow as pa
+
+        from zarr_datafusion_search_spark.sources import zarrv3
+
+        if self._overwrite and os.path.exists(os.path.join(self._path, "zarr.json")):
+            for entry in os.listdir(self._path):
+                if entry == ".staging":
+                    continue
+                p = os.path.join(self._path, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        group_dir = zarrv3.init_group(self._path, self._group)
+        writers = {
+            f.name: zarrv3.ChunkedArrayWriter(
+                group_dir,
+                f.name,
+                chunk_rows=self._chunk_rows,
+                zstd_level=self._zstd_level,
+                **self._col_spec(f),
+            )
+            for f in self._schema.fields
+        }
+        for msg in sorted(messages, key=lambda m: m.partition_id):
+            if not msg or not msg.staged_path:
+                continue
+            with pa.ipc.open_file(msg.staged_path) as reader:
+                for i in range(reader.num_record_batches):
+                    batch = reader.get_batch(i)
+                    for f in self._schema.fields:
+                        col = batch.column(f.name)
+                        if pa.types.is_timestamp(col.type):
+                            vals = col.cast(pa.timestamp("us")).cast(pa.int64())
+                            writers[f.name].append(
+                                vals.to_numpy(zero_copy_only=False)
+                            )
+                        elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                            writers[f.name].append(col.to_pylist())
+                        else:
+                            writers[f.name].append(
+                                col.to_numpy(zero_copy_only=False)
+                            )
+        lengths = {name: w.close() for name, w in writers.items()}
+        if len(set(lengths.values())) > 1:  # pragma: no cover - invariant
+            raise ValueError(f"column length mismatch: {lengths}")
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)

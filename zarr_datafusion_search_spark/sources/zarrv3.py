@@ -297,12 +297,23 @@ class ZarrArrayMeta:
         return pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
 
 
+def normalize_store_path(path: str) -> str:
+    """Accept plain paths and ``file:`` URIs (Spark's DDL/catalog layer
+    resolves OPTIONS paths to URIs)."""
+    if path.startswith("file://"):
+        return path[len("file://") :] or "/"
+    if path.startswith("file:"):
+        return path[len("file:") :]
+    return path
+
+
 def _load_json(path: str) -> dict:
     with open(path, "r", encoding="utf-8") as f:
         return json.load(f)
 
 
 def open_array(store_path: str, array_path: str) -> ZarrArrayMeta:
+    store_path = normalize_store_path(store_path)
     array_path = array_path.strip("/")
     meta_path = os.path.join(store_path, array_path, "zarr.json")
     if not os.path.exists(meta_path):
@@ -351,6 +362,7 @@ class ZarrGroup:
 
 def open_group(store_path: str, group_path: str = "/") -> ZarrGroup:
     """Open a group and discover its immediate child 1-D arrays."""
+    store_path = normalize_store_path(store_path)
     group_rel = group_path.strip("/")
     group_dir = os.path.join(store_path, group_rel) if group_rel else store_path
     meta_path = os.path.join(group_dir, "zarr.json")
@@ -423,6 +435,143 @@ def write_group(
         raise ZarrError(f"columns disagree on length: {lengths}")
     for name, values in columns.items():
         _write_array(group_dir, name, values, chunk_rows, zstd_level)
+
+
+class ChunkedArrayWriter:
+    """Incremental writer for one 1-D array: feed values in arbitrary-sized
+    pieces, chunks are flushed to disk as soon as they fill, metadata is
+    written at ``close()`` when the final length is known. Memory is bounded
+    by one chunk per column."""
+
+    def __init__(
+        self,
+        group_dir: str,
+        name: str,
+        is_string: bool,
+        np_dtype: "np.dtype | None" = None,
+        datetime_unit: str | None = None,
+        chunk_rows: int = 65536,
+        zstd_level: int = 0,
+    ):
+        self.arr_dir = os.path.join(group_dir, name)
+        os.makedirs(os.path.join(self.arr_dir, "c"), exist_ok=True)
+        self.is_string = is_string
+        self.np_dtype = np_dtype
+        self.datetime_unit = datetime_unit
+        self.chunk_rows = chunk_rows
+        self.zstd_level = zstd_level
+        self._buf: list = []
+        self._buf_len = 0
+        self._n_written = 0
+        self._chunk_idx = 0
+
+    def append(self, values) -> None:
+        if self.is_string:
+            self._buf.extend(values)
+            self._buf_len = len(self._buf)
+        else:
+            arr = np.asarray(values)
+            self._buf.append(arr)
+            self._buf_len += len(arr)
+        while self._buf_len >= self.chunk_rows:
+            self._flush_chunk(self.chunk_rows)
+
+    def _take(self, n: int):
+        if self.is_string:
+            out, self._buf = self._buf[:n], self._buf[n:]
+        else:
+            joined = self._buf[0] if len(self._buf) == 1 else np.concatenate(self._buf)
+            out, rest = joined[:n], joined[n:]
+            self._buf = [rest] if len(rest) else []
+        self._buf_len -= n
+        return out
+
+    def _flush_chunk(self, n: int) -> None:
+        vals = self._take(n)
+        # the zarr spec stores edge chunks at full chunk size, padded with
+        # the fill value; pad only when this is a ragged tail of a
+        # multi-chunk array (a single-chunk array gets chunk_shape == n)
+        pad = self.chunk_rows - n if (self._chunk_idx > 0 and n < self.chunk_rows) else 0
+        if self.is_string:
+            items = [str(v).encode("utf-8") for v in vals]
+            items.extend([b""] * pad)
+            payload = _encode_vlen(items)
+        else:
+            arr = np.asarray(vals)
+            if pad:
+                arr = np.concatenate([arr, np.zeros(pad, dtype=arr.dtype)])
+            if arr.dtype.kind == "M":
+                arr = arr.astype("<i8")
+            else:
+                arr = arr.astype(arr.dtype.newbyteorder("<"))
+            payload = arr.tobytes()
+        with open(os.path.join(self.arr_dir, "c", str(self._chunk_idx)), "wb") as f:
+            f.write(_zstd_compress(payload, self.zstd_level))
+        self._chunk_idx += 1
+        self._n_written += n
+
+    def close(self) -> int:
+        if self._buf_len:
+            self._flush_chunk(self._buf_len)
+        if self.is_string:
+            dt: Any = "string"
+            codecs = [
+                {"name": "vlen-utf8", "configuration": {}},
+                {"name": "zstd", "configuration": {"level": self.zstd_level, "checksum": False}},
+            ]
+            fill: Any = ""
+        else:
+            if self.datetime_unit:
+                zdt = ZarrDType("datetime64", unit=self.datetime_unit)
+                fill = -9223372036854775808
+            else:
+                zdt = _numpy_to_zarr_dtype(np.empty(0, self.np_dtype))
+                fill = 0
+            dt = dtype_to_json(zdt)
+            codecs = [
+                {"name": "bytes", "configuration": {"endian": "little"}},
+                {"name": "zstd", "configuration": {"level": self.zstd_level, "checksum": False}},
+            ]
+        _write_json(
+            os.path.join(self.arr_dir, "zarr.json"),
+            {
+                "shape": [self._n_written],
+                "data_type": dt,
+                "chunk_grid": {
+                    "name": "regular",
+                    "configuration": {"chunk_shape": [max(1, min(self.chunk_rows, max(self._n_written, 1)))]},
+                },
+                "chunk_key_encoding": {
+                    "name": "default",
+                    "configuration": {"separator": "/"},
+                },
+                "fill_value": fill,
+                "codecs": codecs,
+                "attributes": {},
+                "zarr_format": 3,
+                "node_type": "array",
+                "storage_transformers": [],
+            },
+        )
+        return self._n_written
+
+
+def init_group(store_path: str, group_path: str) -> str:
+    """Create the store/group metadata skeleton; returns the group dir."""
+    group_rel = group_path.strip("/")
+    os.makedirs(store_path, exist_ok=True)
+    _write_json(
+        os.path.join(store_path, "zarr.json"),
+        {"zarr_format": 3, "node_type": "group", "attributes": {}},
+    )
+    group_dir = os.path.join(store_path, group_rel) if group_rel else store_path
+    if group_rel:
+        os.makedirs(group_dir, exist_ok=True)
+        _write_json(
+            os.path.join(group_dir, "zarr.json"),
+            {"zarr_format": 3, "node_type": "group", "attributes": {}},
+        )
+    return group_dir
 
 
 def _write_json(path: str, doc: dict) -> None:
