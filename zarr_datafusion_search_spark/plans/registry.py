@@ -114,6 +114,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 def load_all() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: fills REGISTRY)."""
     import zarr_datafusion_search_spark.plans.sql_surface  # noqa: F401
+    import zarr_datafusion_search_spark.plans.sql_surface2  # noqa: F401
     import zarr_datafusion_search_spark.plans.pipeline_ops  # noqa: F401
     import zarr_datafusion_search_spark.plans.zarr_queries  # noqa: F401
 
