@@ -131,3 +131,42 @@ def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
     feats = multimodal.extract_media_features(media, fake=False)
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         feats.collect()
+
+
+def test_asof_join_tolerance(spark):
+    ts = datetime.datetime
+    left = spark.createDataFrame(
+        [(1, ts(2024, 1, 1, 12, 0), 1), (1, ts(2024, 1, 2, 12, 0), 2)],
+        ["user_id", "ts", "event_id"],
+    )
+    right = spark.createDataFrame(
+        [(1, ts(2024, 1, 1, 11, 30), 5.0)], ["user_id", "ts", "value"]
+    )
+    out = {
+        r.event_id: r.value_right
+        for r in asof.asof_join(
+            left, right, "user_id", "ts", ["value"], tolerance="1 HOUR"
+        ).collect()
+    }
+    assert out[1] == 5.0  # 30 min old: inside tolerance
+    assert out[2] is None  # 25 hours old: nulled out, left row kept
+
+
+def test_timeseries_resample_gapfill(spark):
+    from zarr_datafusion_search_spark.operators import timeseries
+
+    ts = datetime.datetime
+    df = spark.createDataFrame(
+        [
+            (7, ts(2024, 1, 1, 10, 0), 1, 2.0),
+            (7, ts(2024, 1, 1, 14, 0), 2, 3.0),
+            (7, ts(2024, 1, 4, 9, 0), 3, 10.0),   # 2-day gap
+        ],
+        ["user_id", "ts", "event_id", "value"],
+    )
+    rows = {r.day.day: r for r in timeseries.resample_daily(df).collect()}
+    assert sorted(rows) == [1, 2, 3, 4]          # spine covers the gap
+    assert rows[1].n_events == 2 and rows[1].total_value == 5.0
+    assert rows[2].n_events == 0 and rows[2].total_value == 0.0
+    assert rows[2].carried_value == 5.0          # forward-filled
+    assert rows[4].carried_value == 10.0

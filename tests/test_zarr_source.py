@@ -181,3 +181,28 @@ def test_reads_reference_equivalent_layout(spark, parity_store):
     assert list(group.arrays["collection"].read_range(0, 3)) == GOLDEN_COLLECTIONS
     dates = group.arrays["date"].read_range(0, 3)
     assert list(np.asarray(dates, dtype=np.int64)) == GOLDEN_EPOCH_MS
+
+
+def test_gzip_codec(spark, tmp_path):
+    """Chunks compressed with gzip instead of zstd decode identically."""
+    import gzip as gz
+    import json as js
+
+    store = str(tmp_path / "gz.zarr")
+    zarrv3.write_group(store, "g", {"x": np.arange(6, dtype=np.int64)}, chunk_rows=3)
+    # rewrite array metadata + chunks with a gzip bytes->bytes codec
+    meta_path = f"{store}/g/x/zarr.json"
+    doc = js.load(open(meta_path))
+    doc["codecs"] = [
+        {"name": "bytes", "configuration": {"endian": "little"}},
+        {"name": "gzip", "configuration": {"level": 5}},
+    ]
+    js.dump(doc, open(meta_path, "w"))
+    for ci, lo in enumerate(range(0, 6, 3)):
+        payload = np.arange(lo, lo + 3, dtype="<i8").tobytes()
+        with open(f"{store}/g/x/c/{ci}", "wb") as f:
+            f.write(gz.compress(payload, 5))
+    meta = zarrv3.open_array(store, "g/x")
+    assert list(meta.read_range(0, 6)) == list(range(6))
+    df = ZarrTable(store, "g").to_df(spark)
+    assert sorted(r.x for r in df.collect()) == list(range(6))

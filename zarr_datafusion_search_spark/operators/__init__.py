@@ -5,6 +5,15 @@ from zarr_datafusion_search_spark.operators import (
     sessions,
     similarity,
     text,
+    timeseries,
 )
 
-__all__ = ["asof", "dedup", "multimodal", "sessions", "similarity", "text"]
+__all__ = [
+    "asof",
+    "dedup",
+    "multimodal",
+    "sessions",
+    "similarity",
+    "text",
+    "timeseries",
+]

@@ -476,6 +476,43 @@ def asof_join_clicks_purchases(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "timeseries_resample",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n, sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.user_id, s.day,
+             coalesce(d.n, 0) AS n_events,
+             coalesce(d.v, 0.0) AS total_value,
+             d.v AS raw_v
+      FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    )
+    SELECT user_id, day,
+           CAST(n_events AS BIGINT) AS n_events,
+           round(total_value, 6) AS total_value,
+           round(last_value(raw_v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS carried_value
+    FROM j
+    """,
+    doc="Daily resampling with gap-fill: per-user date spine (sequence + "
+    "explode), zero-filled buckets, forward-filled carried value.",
+)
+def timeseries_resample(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators import timeseries
+
+    return timeseries.resample_daily(table(spark, sf, "events"))
+
+
+@register(
     "sessionization",
     oracle="""
     WITH marked AS (

@@ -468,3 +468,31 @@ def source_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("c_acctbal"), 6).alias("total_bal"),
     )
+
+
+@register(
+    "window_range_interval",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           count(*) OVER w AS n_last_30d,
+           round(sum(o_totalprice) OVER w, 6) AS spend_last_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-based RANGE frame (trailing 30-day window per customer); "
+    "RANGE includes peer rows at equal timestamps so ties are "
+    "order-independent.",
+)
+def window_range_interval(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               count(*) OVER w AS n_last_30d,
+               round(sum(o_totalprice) OVER w, 6) AS spend_last_30d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+        """
+    )
