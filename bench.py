@@ -58,6 +58,65 @@ def _sf_from_dir(d: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+ZARR_BENCH_ROWS = 1_000_000
+ZARR_BENCH_STORE = "/tmp/zdss_bench_zarr_1m.zarr"
+
+
+def _zarr_scan_bench(spark) -> dict:
+    """Zarr-scan microbench (BASELINE.md): ~1M-row store produced by the
+    same recipe as the reference's generator, scanned chunk-partitioned.
+    Dates are written sorted so the filtered scan exercises chunk pruning."""
+    import statistics as st
+
+    import numpy as np
+
+    from zarr_datafusion_search_spark import ZarrTable
+    from zarr_datafusion_search_spark.sources import zarrv3
+
+    if not os.path.exists(os.path.join(ZARR_BENCH_STORE, "zarr.json")):
+        rng = np.random.default_rng(42)
+        n = ZARR_BENCH_ROWS
+        base = np.datetime64("2023-01-01", "ms")
+        dates = np.sort(
+            base + rng.integers(0, 365 * 24 * 3600 * 1000, n).astype("timedelta64[ms]")
+        )
+        letters = "abcdefgh"
+        colls = [f"collection_{letters[i % 8]}" for i in rng.integers(0, 8, n)]
+        ks = rng.integers(1, 90, n)
+        bboxes = [
+            f"POLYGON (({k} -{k}, {k} {k}, -{k} {k}, -{k} -{k}, {k} -{k}))"
+            for k in ks
+        ]
+        zarrv3.write_group(
+            ZARR_BENCH_STORE,
+            "meta",
+            {"date": dates, "collection": colls, "bbox": bboxes},
+            chunk_rows=65536,
+        )
+
+    table = ZarrTable(ZARR_BENCH_STORE, "/meta")
+    cases = {
+        "zarr_scan_full": lambda: table.to_df(spark).count(),
+        "zarr_scan_projected": lambda: table.to_df(spark, columns=["collection"])
+        .filter("collection = 'collection_a'")
+        .count(),
+        # sorted dates + per-chunk stats -> most chunks pruned at planning
+        "zarr_scan_filtered": lambda: table.to_df(spark)
+        .filter("date >= timestamp_ntz'2023-12-15 00:00:00'")
+        .count(),
+    }
+    out = {}
+    for name, fn in cases.items():
+        times = []
+        for i in range(RUNS + 1):
+            t0 = time.perf_counter()
+            fn()
+            if i > 0:
+                times.append(time.perf_counter() - t0)
+        out[name] = round(st.median(times), 4)
+    return out
+
+
 def main() -> None:
     from zarr_datafusion_search_spark.engine import build_session
     from zarr_datafusion_search_spark.plans.registry import load_all
@@ -84,6 +143,8 @@ def main() -> None:
             if i > 0:  # first run is warmup
                 times.append(dt)
         per_query[name] = round(statistics.median(times), 4)
+
+    per_query.update(_zarr_scan_bench(spark))
 
     total = round(sum(per_query.values()), 4)
     print(

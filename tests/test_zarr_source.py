@@ -206,3 +206,73 @@ def test_gzip_codec(spark, tmp_path):
     assert list(meta.read_range(0, 6)) == list(range(6))
     df = ZarrTable(store, "g").to_df(spark)
     assert sorted(r.x for r in df.collect()) == list(range(6))
+
+
+def test_chunk_stats_written_and_parsed(tmp_path):
+    store = str(tmp_path / "st.zarr")
+    zarrv3.write_group(store, "g", {"x": np.arange(100, dtype=np.int64)}, chunk_rows=10)
+    meta = zarrv3.open_array(store, "g/x")
+    assert meta.chunk_stats is not None
+    assert meta.chunk_stats["min"][0] == 0 and meta.chunk_stats["max"][0] == 9
+    assert meta.chunk_stats["min"][9] == 90 and meta.chunk_stats["max"][9] == 99
+
+
+def test_chunk_pruning_skips_chunks(spark, tmp_path):
+    """Pushed range filters + per-chunk stats -> fewer input partitions
+    (the Zarr analogue of parquet row-group pruning)."""
+    from pyspark.sql.datasource import GreaterThan, EqualTo
+    from zarr_datafusion_search_spark.sources.zarr_datasource import ZarrReader
+    from zarr_datafusion_search_spark.sources.typemap import group_schema
+
+    store = str(tmp_path / "prune.zarr")
+    zarrv3.write_group(
+        store, "g",
+        {"x": np.arange(10_000, dtype=np.int64),
+         "s": [f"k{i:05d}" for i in range(10_000)]},
+        chunk_rows=1000,
+    )
+    group = zarrv3.open_group(store, "g")
+    schema = group_schema({n: m.dtype for n, m in group.arrays.items()})
+
+    def reader_with(filters):
+        r = ZarrReader(store, "g", schema, partition_rows=1000)
+        unsupported = list(r.pushFilters(filters))
+        assert not unsupported
+        return r
+
+    base = reader_with([])
+    assert len(base.partitions()) == 10
+    pruned = reader_with([GreaterThan(("x",), 8999)])
+    assert len(pruned.partitions()) == 1          # only the last chunk
+    eq = reader_with([EqualTo(("s",), "k04500")])
+    assert len(eq.partitions()) == 1              # string stats prune too
+    none = reader_with([GreaterThan(("x",), 10_000_000)])
+    parts = none.partitions()
+    assert len(parts) == 1 and parts[0].start == parts[0].stop  # all pruned
+
+    # end-to-end correctness through Spark with the pruned plan
+    df = ZarrTable(store, "g").to_df(spark)
+    assert df.filter("x > 8999").count() == 1000
+    assert df.filter("x > 8999").agg({"x": "min"}).collect()[0][0] == 9000
+    assert df.filter("s = 'k04500'").count() == 1
+
+
+def test_chunk_pruning_datetime(spark, tmp_path):
+    store = str(tmp_path / "prune_ts.zarr")
+    days = np.arange(0, 1000, dtype="timedelta64[D]") + np.datetime64("2020-01-01", "D")
+    zarrv3.write_group(store, "g", {"t": days.astype("datetime64[ms]")}, chunk_rows=100)
+    df = ZarrTable(store, "g").to_df(spark)
+    sub = df.filter("t >= timestamp_ntz'2022-09-01 00:00:00'")
+    n = sub.count()
+    assert n == sum(1 for d in days if d >= np.datetime64("2022-09-01"))
+    # and the reader-level partition count shrinks
+    from pyspark.sql.datasource import GreaterThanOrEqual
+    from zarr_datafusion_search_spark.sources.zarr_datasource import ZarrReader
+    from zarr_datafusion_search_spark.sources.typemap import group_schema
+    import datetime as dt
+
+    group = zarrv3.open_group(store, "g")
+    schema = group_schema({n2: m.dtype for n2, m in group.arrays.items()})
+    r = ZarrReader(store, "g", schema, partition_rows=100)
+    list(r.pushFilters([GreaterThanOrEqual(("t",), dt.datetime(2022, 9, 1))]))
+    assert len(r.partitions()) < 10

@@ -186,10 +186,109 @@ class ZarrReader(DataSourceReader):
 
     def partitions(self) -> Sequence[RowRange]:
         n = self._n_rows
-        per = self._rows_per_part
         if n == 0:
             return [RowRange(0, 0)]
-        return [RowRange(lo, min(lo + per, n)) for lo in range(0, n, per)]
+        # chunk pruning: with per-chunk min/max stats (written by our sink
+        # into the array attributes) and claimed filters, whole chunks that
+        # cannot satisfy the conjunction are never read — the Zarr analogue
+        # of parquet row-group pruning. Surviving chunk ranges coalesce up
+        # to rows_per_part.
+        group = zarrv3.open_group(self._path, self._group_path)
+        step = self._chunk_rows
+        survivors: list[tuple[int, int]] = []
+        for lo in range(0, n, step):
+            hi = min(lo + step, n)
+            if self._chunk_may_match(group, lo, hi):
+                if (
+                    survivors
+                    and survivors[-1][1] == lo
+                    and (hi - survivors[-1][0]) <= self._rows_per_part
+                ):
+                    survivors[-1] = (survivors[-1][0], hi)
+                else:
+                    survivors.append((lo, hi))
+        if not survivors:
+            return [RowRange(0, 0)]
+        return [RowRange(lo, hi) for lo, hi in survivors]
+
+    def _chunk_may_match(self, group: zarrv3.ZarrGroup, lo: int, hi: int) -> bool:
+        """False only when the stats PROVE no row in [lo, hi) can pass every
+        claimed filter; missing/malformed stats always pass."""
+        for f in self._filters:
+            col = f.attribute[0]
+            meta = group.arrays[col]
+            stats = meta.chunk_stats
+            if not stats:
+                continue
+            val = self._stat_comparable(f, meta)
+            if val is None:
+                continue
+            crows = meta.chunk_rows
+            first, last = lo // crows, (hi - 1) // crows
+            mins = stats["min"][first : last + 1]
+            maxs = stats["max"][first : last + 1]
+            if len(mins) != last - first + 1:
+                continue  # stats don't cover the range: don't prune
+            may = False
+            for mn, mx in zip(mins, maxs):
+                if mn is None or mx is None:
+                    may = True  # unknown chunk: must read
+                    break
+                if isinstance(f, EqualTo):
+                    ok = mn <= val <= mx
+                elif isinstance(f, GreaterThan):
+                    ok = mx > val
+                elif isinstance(f, GreaterThanOrEqual):
+                    ok = mx >= val
+                elif isinstance(f, LessThan):
+                    ok = mn < val
+                elif isinstance(f, LessThanOrEqual):
+                    ok = mn <= val
+                elif isinstance(f, In):
+                    ok = any(mn <= v <= mx for v in val)
+                else:
+                    ok = True
+                if ok:
+                    may = True
+                    break
+            if not may:
+                return False
+        return True
+
+    @staticmethod
+    def _stat_comparable(f: Filter, meta: zarrv3.ZarrArrayMeta):
+        """Convert the filter's value(s) into the stats' domain; None when
+        the filter shape doesn't support pruning."""
+        import datetime as _dt
+
+        if not isinstance(
+            f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, In)
+        ):
+            return None
+
+        def conv(v):
+            if isinstance(v, _dt.datetime):
+                # datetime stats are stored as integer ticks in the unit
+                scale = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[
+                    meta.dtype.unit or "us"
+                ]
+                return (v - _dt.datetime(1970, 1, 1)).total_seconds() * scale
+            if isinstance(v, _dt.date):
+                return (
+                    _dt.datetime(v.year, v.month, v.day)
+                    - _dt.datetime(1970, 1, 1)
+                ).total_seconds() * {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[
+                    meta.dtype.unit or "us"
+                ]
+            if isinstance(v, (int, float, str)):
+                return v
+            return None
+
+        if isinstance(f, In):
+            vals = [conv(v) for v in f.value]
+            return None if any(v is None for v in vals) else vals
+        v = conv(f.value)
+        return v
 
     def read(self, partition: RowRange) -> Iterator["pa.RecordBatch"]:  # noqa: F821
         import pyarrow as pa

@@ -194,6 +194,11 @@ class ZarrArrayMeta:
     codecs: list[dict]
     fill_value: Any
     separator: str = "/"
+    #: optional per-chunk min/max ({"min": [...], "max": [...]}) from the
+    #: array attributes key "zdss:chunk_stats"; written by our sink, used
+    #: for chunk pruning against pushed filters. Datetime stats are ticks
+    #: in the array's unit.
+    chunk_stats: dict | None = None
 
     @property
     def n_rows(self) -> int:
@@ -328,6 +333,11 @@ def open_array(store_path: str, array_path: str) -> ZarrArrayMeta:
     chunk_shape = tuple(grid["configuration"]["chunk_shape"])
     cke = doc.get("chunk_key_encoding", {}) or {}
     sep = (cke.get("configuration") or {}).get("separator", "/")
+    stats = (doc.get("attributes") or {}).get("zdss:chunk_stats")
+    if stats is not None and not (
+        isinstance(stats, dict) and "min" in stats and "max" in stats
+    ):
+        stats = None  # malformed: ignore rather than fail the scan
     return ZarrArrayMeta(
         store_path=store_path,
         path=array_path,
@@ -338,6 +348,7 @@ def open_array(store_path: str, array_path: str) -> ZarrArrayMeta:
         codecs=doc.get("codecs", []),
         fill_value=doc.get("fill_value"),
         separator=sep,
+        chunk_stats=stats,
     )
 
 
@@ -464,6 +475,8 @@ class ChunkedArrayWriter:
         self._buf_len = 0
         self._n_written = 0
         self._chunk_idx = 0
+        self._stat_min: list = []
+        self._stat_max: list = []
 
     def append(self, values) -> None:
         if self.is_string:
@@ -488,6 +501,7 @@ class ChunkedArrayWriter:
 
     def _flush_chunk(self, n: int) -> None:
         vals = self._take(n)
+        self._record_stats(vals, n)
         # the zarr spec stores edge chunks at full chunk size, padded with
         # the fill value; pad only when this is a ragged tail of a
         # multi-chunk array (a single-chunk array gets chunk_shape == n)
@@ -509,6 +523,27 @@ class ChunkedArrayWriter:
             f.write(_zstd_compress(payload, self.zstd_level))
         self._chunk_idx += 1
         self._n_written += n
+
+    def _record_stats(self, vals, n: int) -> None:
+        """Per-chunk min/max on the real (pre-padding) values. Datetime
+        chunks record integer ticks; bools are skipped (no pruning value)."""
+        if n == 0:
+            self._stat_min.append(None)
+            self._stat_max.append(None)
+            return
+        if self.is_string:
+            self._stat_min.append(min(vals))
+            self._stat_max.append(max(vals))
+            return
+        arr = np.asarray(vals)
+        if arr.dtype.kind == "b":
+            self._stat_min.append(None)
+            self._stat_max.append(None)
+            return
+        if arr.dtype.kind == "M":
+            arr = arr.astype("<i8")
+        self._stat_min.append(arr.min().item())
+        self._stat_max.append(arr.max().item())
 
     def close(self) -> int:
         if self._buf_len:
@@ -532,6 +567,12 @@ class ChunkedArrayWriter:
                 {"name": "bytes", "configuration": {"endian": "little"}},
                 {"name": "zstd", "configuration": {"level": self.zstd_level, "checksum": False}},
             ]
+        attributes: dict = {}
+        if self._stat_min and any(v is not None for v in self._stat_min):
+            attributes["zdss:chunk_stats"] = {
+                "min": self._stat_min,
+                "max": self._stat_max,
+            }
         _write_json(
             os.path.join(self.arr_dir, "zarr.json"),
             {
@@ -547,7 +588,7 @@ class ChunkedArrayWriter:
                 },
                 "fill_value": fill,
                 "codecs": codecs,
-                "attributes": {},
+                "attributes": attributes,
                 "zarr_format": 3,
                 "node_type": "array",
                 "storage_transformers": [],
@@ -595,59 +636,20 @@ def _numpy_to_zarr_dtype(arr: np.ndarray) -> ZarrDType:
 def _write_array(
     group_dir: str, name: str, values: Any, chunk_rows: int, zstd_level: int
 ) -> None:
-    arr_dir = os.path.join(group_dir, name)
-    os.makedirs(arr_dir, exist_ok=True)
     is_string = not isinstance(values, np.ndarray)
-    if is_string:
-        n = len(values)
-        dt: Any = "string"
-        codecs = [
-            {"name": "vlen-utf8", "configuration": {}},
-            {"name": "zstd", "configuration": {"level": zstd_level, "checksum": False}},
-        ]
-        fill: Any = ""
-    else:
-        n = len(values)
-        zdt = _numpy_to_zarr_dtype(values)
-        dt = dtype_to_json(zdt)
-        codecs = [
-            {"name": "bytes", "configuration": {"endian": "little"}},
-            {"name": "zstd", "configuration": {"level": zstd_level, "checksum": False}},
-        ]
-        fill = -9223372036854775808 if zdt.kind == "datetime64" else 0
-    chunk = min(chunk_rows, max(n, 1))
-    _write_json(
-        os.path.join(arr_dir, "zarr.json"),
-        {
-            "shape": [n],
-            "data_type": dt,
-            "chunk_grid": {
-                "name": "regular",
-                "configuration": {"chunk_shape": [chunk]},
-            },
-            "chunk_key_encoding": {
-                "name": "default",
-                "configuration": {"separator": "/"},
-            },
-            "fill_value": fill,
-            "codecs": codecs,
-            "attributes": {},
-            "zarr_format": 3,
-            "node_type": "array",
-            "storage_transformers": [],
-        },
+    kwargs: dict = {"is_string": is_string}
+    if not is_string:
+        if values.dtype.kind == "M":
+            kwargs["datetime_unit"] = np.datetime_data(values.dtype)[0]
+        kwargs["np_dtype"] = values.dtype
+        _numpy_to_zarr_dtype(values)  # validate eagerly
+    w = ChunkedArrayWriter(
+        group_dir,
+        name,
+        chunk_rows=min(chunk_rows, max(len(values), 1)),
+        zstd_level=zstd_level,
+        **kwargs,
     )
-    os.makedirs(os.path.join(arr_dir, "c"), exist_ok=True)
-    for ci in range(max(1, math.ceil(n / chunk)) if n else 0):
-        lo, hi = ci * chunk, min((ci + 1) * chunk, n)
-        if is_string:
-            payload = _encode_vlen([v.encode("utf-8") for v in values[lo:hi]])
-        else:
-            sl = values[lo:hi]
-            if sl.dtype.kind == "M":
-                sl = sl.astype("<i8")
-            else:
-                sl = sl.astype(sl.dtype.newbyteorder("<"))
-            payload = sl.tobytes()
-        with open(os.path.join(arr_dir, "c", str(ci)), "wb") as f:
-            f.write(_zstd_compress(payload, zstd_level))
+    if len(values):
+        w.append(values)
+    w.close()
