@@ -137,3 +137,29 @@ def test_stateful_running_totals(spark, event_dir):
     for uid, (n, v) in want.items():
         assert last[uid][0] == n
         assert abs(last[uid][1] - v) < 1e-6
+
+
+def test_stream_stream_interval_join(spark, event_dir):
+    stream = streaming_events.read_event_stream(spark, event_dir)
+    out = streaming_events.interval_join_clicks_purchases(stream, window="1 HOUR")
+    streaming_events.run_to_memory_sink(out, "ssj_test")
+    got = {
+        (r.click_id, r.purchase_ts): r.purchase_value
+        for r in spark.table("ssj_test").collect()
+    }
+    # batch twin on the same rows
+    e = _batch_events(spark, event_dir)
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), F.col("value").alias("pv")
+    )
+    want = {
+        (r.cid, r.pts): r.pv
+        for r in c.join(
+            p, F.expr("cu = pu AND pts BETWEEN cts - INTERVAL 1 HOUR AND cts")
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0

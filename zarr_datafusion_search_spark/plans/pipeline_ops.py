@@ -476,6 +476,62 @@ def asof_join_clicks_purchases(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value,
+           min(user_id) AS min_user,
+           max(user_id) AS max_user
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Skew-safe two-phase aggregation: partial agg per (key, salt) "
+    "spreads hot keys over 16 reducers, final merge per key. The oracle is "
+    "the plain GROUP BY — salting must be semantically invisible.",
+)
+def skew_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators import skew
+
+    out = skew.salted_aggregate(
+        table(spark, sf, "events"),
+        key="event_type",
+        discriminator="event_id",
+        aggs={
+            "n_events": "count(*)",
+            "total_value": "sum(value)",
+            "min_user": "min(user_id)",
+            "max_user": "max(user_id)",
+        },
+        n_salts=16,
+    )
+    return out.withColumn("total_value", F.round("total_value", 6))
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT n.n_name AS nation_name, count(*) AS n_customers,
+           round(sum(c.c_acctbal), 6) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Skew-safe salted join (replicate small side x16 salts, salt the "
+    "big side); oracle is the plain join — salting must be invisible.",
+)
+def skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators import skew
+
+    c = table(spark, sf, "customer").withColumnRenamed("c_nationkey", "nkey")
+    n = table(spark, sf, "nation").withColumnRenamed("n_nationkey", "nkey")
+    joined = skew.salted_join(c, n, key="nkey", discriminator="c_custkey")
+    return joined.groupBy(F.col("n_name").alias("nation_name")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 6).alias("total_bal"),
+    )
+
+
+@register(
     "timeseries_resample",
     oracle="""
     WITH daily AS (

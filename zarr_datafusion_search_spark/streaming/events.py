@@ -151,3 +151,46 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def interval_join_clicks_purchases(
+    stream: DataFrame, window: str = "1 HOUR", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same user's
+    purchases from the trailing ``window``. Both sides carry watermarks and
+    the join condition bounds event-time distance, so the state store can
+    evict rows older than watermark + window — the requirement for an
+    append-mode stream-stream join to run unbounded.
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND purchase_ts BETWEEN "
+            f"click_ts - INTERVAL {window} AND click_ts"
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
