@@ -170,3 +170,15 @@ def test_timeseries_resample_gapfill(spark):
     assert rows[2].n_events == 0 and rows[2].total_value == 0.0
     assert rows[2].carried_value == 5.0          # forward-filled
     assert rows[4].carried_value == 10.0
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    approx = similarity.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # probing 4/16 cells scores ~25% of the corpus; recall must beat that
+    assert recall > 0.25, f"IVF recall {recall}"

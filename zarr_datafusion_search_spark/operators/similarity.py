@@ -223,3 +223,69 @@ def embedding_near_dup_pairs(
         .filter(F.col("_cos") >= threshold)  # exact sequential-fold decision
         .select("vec_a", "vec_b", F.round("_cos", COS_ROUND).alias("cosine"))
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning.
+
+    The corpus is assigned to ``n_centroids`` cells (nearest centroid by
+    cosine); a query scores only vectors in its ``n_probe`` closest cells —
+    the coarse-quantization alternative to SRP-LSH bucketing. Centroids are
+    the vectors with the ``n_centroids`` lowest ids: a deterministic seed
+    selection (a Lloyd refinement would improve cell balance but break
+    cross-engine reproducibility; at deploy time swap in KMeans centroids
+    and keep the identical assign/probe plan). Every ranking uses
+    (rounded cosine DESC, id) so assignment and results are reproducible.
+
+    Scale shape: centroids broadcast; assignment is a narrow map; the probe
+    join is an equi-join on centroid id, shuffling only probed cells.
+    """
+    c_src = corpus.orderBy(id_col).limit(n_centroids)
+    cents = c_src.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+
+    def assign(df: DataFrame, idal: str, vecal: str, keep: int) -> DataFrame:
+        scored = df.select(
+            F.col(id_col).alias(idal), F.col(vec_col).alias(vecal)
+        ).crossJoin(F.broadcast(cents)).select(
+            idal,
+            vecal,
+            "centroid_id",
+            F.round(cosine_similarity(vecal, "cent_vec"), COS_ROUND).alias("_c"),
+        )
+        w = Window.partitionBy(idal).orderBy(F.col("_c").desc(), F.col("centroid_id"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= keep)
+            .select(idal, vecal, "centroid_id")
+        )
+
+    corpus_cells = assign(corpus, "neighbor_id", "c_vec", 1)
+    query_cells = assign(queries, "query_id", "q_vec", n_probe)
+    cand = (
+        corpus_cells.join(F.broadcast(query_cells), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity("q_vec", "c_vec"), COS_ROUND).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -320,6 +320,55 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
 
 
+def _ivf_oracle(n_centroids: int = 16, n_probe: int = 4) -> str:
+    cos_ec = _duck_cos("e.embedding", "c.cent_vec")
+    cos_qc = _duck_cos("q.q_vec", "a.c_vec")
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cent_vec
+      FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    scored_cells AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({cos_ec}, 6) DESC, c.centroid_id) AS r
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, embedding AS c_vec, centroid_id
+      FROM scored_cells WHERE r = 1
+    ),
+    qcells AS (
+      SELECT vec_id AS query_id, embedding AS q_vec, centroid_id
+      FROM scored_cells WHERE vec_id < 8 AND r <= {n_probe}
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.query_id, a.neighbor_id,
+             round({cos_qc}, 6) AS cosine,
+             CAST(row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round({cos_qc}, 6) DESC, a.neighbor_id) AS INTEGER) AS rank
+      FROM qcells q JOIN assigned a ON q.centroid_id = a.centroid_id
+      WHERE q.query_id <> a.neighbor_id
+    ) WHERE rank <= 10
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_ivf_oracle(),
+    doc="Approximate top-10 via IVF coarse quantization: corpus assigned to "
+    "16 deterministic centroid cells, queries probe their 4 nearest cells. "
+    "Completes the ANN ladder (brute force / SRP-LSH / IVF).",
+)
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=10, n_centroids=16, n_probe=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
