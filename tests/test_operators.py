@@ -182,3 +182,35 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     recall = len(e & a) / len(e)
     # probing 4/16 cells scores ~25% of the corpus; recall must beat that
     assert recall > 0.25, f"IVF recall {recall}"
+
+
+def test_greedy_packing_budget_invariant(spark, sf_dir):
+    from zarr_datafusion_search_spark.operators import packing
+
+    docs = table(spark, sf_dir, "documents")
+    packed = packing.pack_documents_greedy(docs, budget=512)
+    stats = packing.pack_stats(packed).collect()
+    singles = {
+        (r.source, r.pack_id)
+        for r in packed.groupBy("source", "pack_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("n_tokens").alias("mx"))
+        .filter("n = 1 AND mx > 512")
+        .collect()
+    }
+    for r in stats:
+        # a pack only exceeds the budget when one oversized doc sits alone
+        assert r.pack_tokens <= 512 or (r.source, r.pack_id) in singles
+    # every doc is packed exactly once
+    assert packed.count() == docs.count()
+
+
+def test_greedy_vs_cumsum_packing(spark, sf_dir):
+    from zarr_datafusion_search_spark.operators import packing
+
+    docs = table(spark, sf_dir, "documents")
+    greedy = packing.pack_stats(packing.pack_documents_greedy(docs, budget=512))
+    approx = packing.pack_stats(packing.pack_documents_cumsum(docs, budget=512))
+    n_greedy = greedy.count()
+    n_approx = approx.count()
+    # cumsum packing can only merge/overflow, never produce more packs
+    assert n_approx <= n_greedy

@@ -1,0 +1,89 @@
+"""Sequence packing: group documents into fixed-token-budget packs for
+training (context-window filling). Two variants:
+
+- ``pack_documents_cumsum``: the scalable approximation — documents are
+  ordered deterministically, a running token cumsum is bucketed by the
+  budget. Packs can overflow by at most one document; fully expressible as
+  window functions (one shuffle, no Python), and exactly oraclable.
+- ``pack_documents_greedy``: exact first-fit-in-order packing (a pack never
+  exceeds the budget unless a single document alone does). The reset-on-
+  overflow fold is not expressible with SQL windows, so it runs as an
+  ordered ``applyInPandas`` per partition key — Arrow-batched, one shuffle
+  on the partition column.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _token_count():
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0)
+    return F.size(toks)
+
+
+def pack_documents_cumsum(
+    docs: DataFrame,
+    budget: int = 512,
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Approximate packing: pack_id = floor((cumsum - tokens) / budget).
+
+    Using the cumsum *before* each doc means a document starts a new pack
+    only when the previous ones consumed the budget — packs overflow by at
+    most one document, never undershoot pathologically.
+    """
+    w = Window.partitionBy(partition_col).orderBy(id_col)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs.select(partition_col, id_col, _token_count().alias("n_tokens"))
+        .withColumn("_cum", F.sum("n_tokens").over(wsum))
+        .select(
+            partition_col,
+            id_col,
+            "n_tokens",
+            F.floor((F.col("_cum") - F.col("n_tokens")) / budget)
+            .cast("long")
+            .alias("pack_id"),
+        )
+    )
+
+
+def pack_documents_greedy(
+    docs: DataFrame,
+    budget: int = 512,
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact first-fit-in-order packing via ordered applyInPandas."""
+
+    def pack(pdf) -> "pd.DataFrame":  # noqa: F821
+        pdf = pdf.sort_values(id_col)
+        pack_ids = []
+        pack_id, used = 0, 0
+        for n in pdf["n_tokens"]:
+            if used > 0 and used + n > budget:
+                pack_id += 1
+                used = 0
+            used += n
+            pack_ids.append(pack_id)
+        return pdf.assign(pack_id=pack_ids)
+
+    prepared = docs.select(
+        partition_col, id_col, _token_count().alias("n_tokens")
+    )
+    return prepared.groupBy(partition_col).applyInPandas(
+        pack, f"{partition_col} string, {id_col} long, n_tokens int, pack_id long"
+    )
+
+
+def pack_stats(packed: DataFrame, partition_col: str = "source") -> DataFrame:
+    """Fill-rate audit per pack: docs, tokens."""
+    return packed.groupBy(partition_col, "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )

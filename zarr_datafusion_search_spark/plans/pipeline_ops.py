@@ -493,6 +493,86 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return text.fingerprint(table(spark, sf, "documents"))
 
 
+@register(
+    "quality_topk_per_source",
+    oracle=f"""
+    WITH {_TOKS},
+    q AS (
+      SELECT d.doc_id, d.source,
+             round(least(len(t) / 100.0, 1.0) * 0.4
+                   + least((len(list_filter(t, x -> list_contains(
+                       ['the','a','of','and','is','to','in','it','on','for'], x)))::DOUBLE
+                       / greatest(len(t), 1)) * 5.0, 1.0) * 0.4
+                   + (1.0 - least(((length(d.text) - length(regexp_replace(d.text,
+                       '[^\\w\\s]', '', 'g')))::DOUBLE / greatest(length(d.text), 1))
+                       * 10.0, 1.0)) * 0.2, 6) AS quality
+      FROM documents d JOIN toks ON toks.doc_id = d.doc_id
+    )
+    SELECT * FROM (
+      SELECT doc_id, source, quality,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id) AS INTEGER)
+               AS quality_rank
+      FROM q
+    ) WHERE quality_rank <= 5
+    """,
+    doc="Curation primitive: keep the top-5 quality documents per source "
+    "(quality score composed with a ranking window).",
+)
+def quality_topk_per_source(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = text.quality_score(table(spark, sf, "documents")).join(
+        table(spark, sf, "documents").select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("quality_rank", F.row_number().over(w))
+        .filter(F.col("quality_rank") <= 5)
+        .select("doc_id", "source", "quality", "quality_rank")
+    )
+
+
+@register(
+    "pack_documents",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> len(x) > 0))::INTEGER AS n_tokens
+      FROM documents
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+             / 512.0) AS BIGINT) AS pack_id
+    FROM toks
+    """,
+    doc="Sequence packing (cumsum variant): assign documents to ~512-token "
+    "training packs per source with a running-sum window — the scalable "
+    "approximation; the exact greedy variant is pack_documents_greedy "
+    "(rows-only, ordered applyInPandas).",
+)
+def pack_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators import packing
+
+    out = packing.pack_documents_cumsum(table(spark, sf, "documents"), budget=512)
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("int"))
+
+
+@register(
+    "pack_documents_greedy",
+    oracle=None,  # reset-on-overflow fold is not SQL-expressible
+    doc="Exact first-fit sequence packing via ordered applyInPandas; "
+    "rows-only check (pytest asserts the budget invariant).",
+)
+def pack_documents_greedy(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators import packing
+
+    return packing.pack_documents_greedy(table(spark, sf, "documents"), budget=512)
+
+
 # ---------------------------------------------------------------------------
 # as-of join / sessionization
 # ---------------------------------------------------------------------------

@@ -84,6 +84,29 @@ class ZarrTable:
         df.createOrReplaceTempView(name)
         return df
 
+    @staticmethod
+    def write(
+        df: DataFrame,
+        store_path: str,
+        group_path: str = "/",
+        chunk_rows: int = 65536,
+        overwrite: bool = False,
+    ) -> "ZarrTable":
+        """Write a DataFrame as a Zarr v3 group and return its ZarrTable.
+
+        Sugar over ``df.write.format("zarr")`` (see
+        ``zarr_datasource.ZarrWriter`` for the commit protocol).
+        """
+        _ensure_registered(df.sparkSession)
+        (
+            df.write.format("zarr")
+            .option("group", group_path)
+            .option("chunk_rows", str(chunk_rows))
+            .mode("overwrite" if overwrite else "append")
+            .save(store_path)
+        )
+        return ZarrTable(store_path, group_path)
+
     def _pruned(self, columns: Sequence[str] | None) -> StructType:
         if not columns:
             return self.schema
