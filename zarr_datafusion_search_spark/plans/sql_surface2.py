@@ -496,3 +496,127 @@ def window_range_interval(spark: SparkSession, sf: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@register(
+    "rollup_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT)  AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT)  AS g_status,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="GROUPING() marker functions distinguishing subtotal levels in a "
+    "ROLLUP (NULL-valued keys vs genuine NULL groups).",
+)
+def rollup_grouping_id(spark: SparkSession, sf: str) -> DataFrame:
+    l = table(spark, sf, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "try_cast_battery",
+    oracle="""
+    SELECT p_partkey,
+           try_cast(p_brand AS INTEGER)                 AS brand_as_int,
+           try_cast(substr(p_brand, 7) AS INTEGER)      AS brand_num,
+           try_cast(p_retailprice AS VARCHAR)           AS price_str,
+           try_cast('2023-13-45' AS DATE)               AS bad_date,
+           try_cast(CAST(p_size AS VARCHAR) AS SMALLINT) AS size_rt
+    FROM part
+    """,
+    doc="TRY_CAST battery: failed conversions yield NULL instead of "
+    "erroring (ANSI-safe ingestion of dirty columns).",
+)
+def try_cast_battery(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               try_cast(p_brand AS INT)                  AS brand_as_int,
+               try_cast(substr(p_brand, 7) AS INT)       AS brand_num,
+               try_cast(p_retailprice AS STRING)         AS price_str,
+               try_cast('2023-13-45' AS DATE)            AS bad_date,
+               try_cast(CAST(p_size AS STRING) AS SHORT) AS size_rt
+        FROM part
+        """
+    )
+
+
+@register(
+    "recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT 1
+        UNION ALL
+        SELECT m + 1 FROM months WHERE m < 12
+    )
+    SELECT months.m AS month_num, count(o_orderkey) AS n_orders
+    FROM months
+    LEFT JOIN orders ON CAST(extract(month FROM o_orderdate) AS INTEGER) = months.m
+    GROUP BY months.m
+    """,
+    doc="Recursive CTE (iterative union) generating a month spine, joined "
+    "against facts — gap-free calendar aggregation.",
+)
+def recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT 1
+            UNION ALL
+            SELECT m + 1 FROM months WHERE m < 12
+        )
+        SELECT months.m AS month_num, count(o_orderkey) AS n_orders
+        FROM months
+        LEFT JOIN orders ON month(o_orderdate) = months.m
+        GROUP BY months.m
+        """
+    )
+
+
+@register(
+    "exists_in_select",
+    oracle="""
+    SELECT c_custkey,
+           EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 200000) AS has_big_order,
+           c_custkey IN (SELECT s_suppkey FROM supplier) AS id_is_suppkey
+    FROM customer c
+    """,
+    doc="Boolean subqueries projected in the SELECT list (EXISTS / IN as "
+    "expressions, not predicates).",
+)
+def exists_in_select(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 200000) AS has_big_order,
+               c_custkey IN (SELECT s_suppkey FROM supplier) AS id_is_suppkey
+        FROM customer c
+        """
+    )
+
+
+@register(
+    "intersect_all_bags",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="INTERSECT ALL (bag semantics, multiplicity = min of the sides).",
+)
+def intersect_all_bags(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
