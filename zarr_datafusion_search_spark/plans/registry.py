@@ -57,9 +57,24 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
     return wrap
 
 
+def _harden_session(spark: SparkSession) -> None:
+    """Runtime confs the queries rely on, for sessions not built by
+    ``engine.build_session`` (the verification driver passes its own).
+    UTC keeps LTZ timestamp rendering aligned with the tz-naive oracle."""
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.python.filterPushdown.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name}")
+    _harden_session(spark)
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         return _read_nanos_parquet(spark, path)

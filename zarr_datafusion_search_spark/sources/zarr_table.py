@@ -125,3 +125,11 @@ def _ensure_registered(spark: SparkSession) -> None:
     except Exception:
         # already registered (Spark raises on duplicate in some versions)
         pass
+    # The reader implements pushFilters, which Spark refuses to plan unless
+    # this flag is on — sessions not built by engine.build_session (e.g. the
+    # verification driver's) would otherwise fail on every zarr read. It is
+    # a runtime-settable SQL conf.
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
