@@ -287,14 +287,27 @@ def string_functions_2(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "sample_rows",
-    oracle=None,  # RNG streams are engine-specific even with equal seeds
-    doc="Bernoulli sampling with a fixed seed (rows-only: sample membership "
-    "is engine-specific; the driver records the stable row count).",
+    oracle="""
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR),
+                          2, 15))::BIGINT % 10 = 0
+    """,
+    doc="Deterministic ~10% hash sample on the row key. Spark's seeded "
+    "Bernoulli .sample() is not even run-to-run stable (per-partition RNG "
+    "streams), so reproducible pipelines sample by key hash — which also "
+    "makes the sample exactly oraclable.",
 )
 def sample_rows(spark: SparkSession, sf: str) -> DataFrame:
-    return table(spark, sf, "lineitem").sample(0.1, seed=42).select(
-        "l_orderkey", "l_linenumber"
+    from zarr_datafusion_search_spark.functions.hashing import h64
+
+    l = table(spark, sf, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
     )
+    return l.filter(h64(key) % 10 == 0).select("l_orderkey", "l_linenumber")
 
 
 # ---------------------------------------------------------------------------
