@@ -214,3 +214,42 @@ def test_greedy_vs_cumsum_packing(spark, sf_dir):
     n_approx = approx.count()
     # cumsum packing can only merge/overflow, never produce more packs
     assert n_approx <= n_greedy
+
+
+def test_redaction_on_planted_pii(spark):
+    from zarr_datafusion_search_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or +1 (555) 123-4567 now"),
+            (2, "server at 192.168.0.1 responded"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in text_ops.redact(df).collect()}
+    assert "[EMAIL]" in out[1].redacted_text
+    assert "[PHONE]" in out[1].redacted_text
+    assert "bob@example.com" not in out[1].redacted_text
+    assert out[1].n_redactions == 2
+    assert out[2].redacted_text == "server at [IP] responded"
+    assert out[2].n_redactions == 1
+    assert out[3].n_redactions == 0 and out[3].redacted_text == df.collect()[2].text
+
+
+def test_weighted_sample_rate_tracks_weight(spark, sf_dir):
+    from zarr_datafusion_search_spark.operators import text as text_ops
+
+    docs = table(spark, sf_dir, "documents")
+    scored = text_ops.quality_score(docs).select("doc_id", "quality")
+    kept = text_ops.weighted_sample(scored, "quality")
+    n, total = kept.count(), scored.count()
+    import pyspark.sql.functions as F2
+
+    expected = scored.agg(F2.sum(F2.least(F2.col("quality"), F2.lit(1.0)))).collect()[0][0]
+    # kept count concentrates around sum of keep probabilities
+    assert abs(n - expected) < 4 * (expected ** 0.5) + 10
+    # determinism: same call, same rows
+    assert {r.doc_id for r in kept.collect()} == {
+        r.doc_id for r in text_ops.weighted_sample(scored, "quality").collect()
+    }

@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from zarr_datafusion_search_spark.functions.hashing import h64, h64_seeded
+from zarr_datafusion_search_spark.functions.hashing import h64
 
 # ---------------------------------------------------------------------------
 # tokenize / shingle (shared by several dedup flavors)
@@ -56,7 +56,6 @@ def with_shingles(
     ``n`` tokens are dropped (no full shingle exists)."""
     df = spread(df, id_col)
     toks = tokens_col(text_col)
-    shingle_exprs = [F.element_at(F.col("_toks"), F.col("_i") + j) for j in range(n)]
     return (
         df.select(F.col(id_col), toks.alias("_toks"))
         .filter(F.size("_toks") >= n)

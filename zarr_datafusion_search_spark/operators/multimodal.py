@@ -17,7 +17,6 @@ from typing import Iterator
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    BinaryType,
     IntegerType,
     LongType,
     StringType,

@@ -14,8 +14,6 @@ training (context-window filling). Two variants:
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 

@@ -108,3 +108,49 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.md5(norm.cast("binary")).alias("fp_md5"),
         h64(norm).alias("fp_int"),
     )
+
+
+#: Redaction patterns for common PII shapes (emails, international-ish phone
+#: numbers, IPv4). Java-regex and RE2 compatible so oracles can replicate.
+REDACTION_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "IP": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def redact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Replace PII-shaped substrings with ``[TYPE]`` tokens and count the
+    redactions per document (audit column)."""
+    out = F.col(text_col)
+    n_redactions = F.lit(0)
+    for label, pattern in REDACTION_PATTERNS.items():
+        n_redactions = n_redactions + F.size(
+            F.regexp_extract_all(out, F.lit(pattern), 0)
+        )
+        out = F.regexp_replace(out, pattern, f"[{label}]")
+    return df.select(
+        id_col,
+        out.alias("redacted_text"),
+        n_redactions.cast("int").alias("n_redactions"),
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col,
+    id_col: str = "doc_id",
+    rate_scale: float = 1.0,
+) -> DataFrame:
+    """Deterministic importance sampling: keep a row with probability
+    ``weight * rate_scale`` using the portable hash as the uniform draw
+    (``h64 / 2^60`` is uniform on [0,1)). Reproducible across runs and
+    engines — the pipeline-safe alternative to RNG sampling.
+    """
+    u = h64(F.col(id_col).cast("string")).cast("double") / float(1 << 60)
+    keep_p = F.least(
+        (F.col(weight_col) if isinstance(weight_col, str) else weight_col)
+        * rate_scale,
+        F.lit(1.0),
+    )
+    return df.filter(u < keep_p)

@@ -493,6 +493,70 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return text.fingerprint(table(spark, sf, "documents"))
 
 
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_PHONE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+_RE_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+@register(
+    "text_redaction",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_RE_EMAIL}')) AS c1,
+             regexp_replace(text, '{_RE_EMAIL}', '[EMAIL]', 'g') AS t1
+      FROM documents
+    ),
+    s2 AS (
+      SELECT doc_id, c1,
+             len(regexp_extract_all(t1, '{_RE_PHONE}')) AS c2,
+             regexp_replace(t1, '{_RE_PHONE}', '[PHONE]', 'g') AS t2
+      FROM s1
+    )
+    SELECT doc_id,
+           regexp_replace(t2, '{_RE_IP}', '[IP]', 'g') AS redacted_text,
+           CAST(c1 + c2 + len(regexp_extract_all(t2, '{_RE_IP}')) AS INTEGER)
+             AS n_redactions
+    FROM s2
+    """,
+    doc="PII-shaped redaction (emails/phones/IPv4 -> [TYPE] tokens) with a "
+    "per-document audit count; chained global regexp_replace, JVM-side.",
+)
+def text_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    return text.redact(table(spark, sf, "documents"))
+
+
+@register(
+    "weighted_sample_by_quality",
+    oracle=f"""
+    WITH {_TOKS},
+    q AS (
+      SELECT d.doc_id,
+             round(least(len(t) / 100.0, 1.0) * 0.4
+                   + least((len(list_filter(t, x -> list_contains(
+                       ['the','a','of','and','is','to','in','it','on','for'], x)))::DOUBLE
+                       / greatest(len(t), 1)) * 5.0, 1.0) * 0.4
+                   + (1.0 - least(((length(d.text) - length(regexp_replace(d.text,
+                       '[^\\w\\s]', '', 'g')))::DOUBLE / greatest(length(d.text), 1))
+                       * 10.0, 1.0)) * 0.2, 6) AS quality
+      FROM documents d JOIN toks ON toks.doc_id = d.doc_id
+    )
+    SELECT doc_id, quality
+    FROM q
+    WHERE ({duckdb_h64("doc_id::VARCHAR")})::DOUBLE / 1152921504606846976.0
+          < least(quality, 1.0)
+    """,
+    doc="Deterministic importance sampling: keep each document with "
+    "probability equal to its quality score, using the portable hash as "
+    "the uniform draw — reproducible across runs and engines.",
+)
+def weighted_sample_by_quality(spark: SparkSession, sf: str) -> DataFrame:
+    scored = text.quality_score(table(spark, sf, "documents")).select(
+        "doc_id", "quality"
+    )
+    return text.weighted_sample(scored, "quality")
+
+
 @register(
     "quality_topk_per_source",
     oracle=f"""

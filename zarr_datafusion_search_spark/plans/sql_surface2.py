@@ -370,7 +370,6 @@ def pandas_udf_scalar(spark: SparkSession, sf: str) -> DataFrame:
     "(same population-covariance formula, rounded to 4dp).",
 )
 def grouped_udaf_regression(spark: SparkSession, sf: str) -> DataFrame:
-    import numpy as np
     import pandas as pd
 
     def ols(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -28,10 +28,9 @@ Usage::
 
 from __future__ import annotations
 
-import math
 import os
 from dataclasses import dataclass
-from typing import Any, Iterator, List, Sequence
+from typing import Iterator, List, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,

@@ -42,17 +42,11 @@ class ZarrTable:
     @classmethod
     def from_obstore(cls, store_path: str, group_path: str = "/") -> "ZarrTable":
         """Parity shim for the reference's async object-store constructor
-        (python/src/table.rs:28-42). Remote stores need ``fsspec``, which is
-        not bundled in this environment; local paths work uniformly.
+        (python/src/table.rs:28-42). ``s3://``/``gs://``/... URLs route
+        through fsspec inside the reader (``zarrv3``); a clear ``ZarrError``
+        is raised when fsspec is not installed (it is not bundled in this
+        environment). Local paths work uniformly.
         """
-        if "://" in str(store_path):
-            try:
-                import fsspec  # noqa: F401
-            except ImportError as e:  # pragma: no cover
-                raise NotImplementedError(
-                    "remote object stores require fsspec; install it or "
-                    "download the store locally"
-                ) from e
         return cls(store_path, group_path)
 
     @property

@@ -33,7 +33,7 @@ import os
 import struct
 import zlib
 from dataclasses import dataclass, field
-from typing import Any, Iterator, Sequence
+from typing import Any, Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -286,10 +286,10 @@ class ZarrArrayMeta:
             c_start = ci * crows
             c_len = min(crows, self.n_rows - c_start)
             path = self.chunk_file(ci)
-            raw = None
-            if os.path.exists(path):
-                with open(path, "rb") as f:
-                    raw = f.read()
+            try:
+                raw = _read_bytes(path)  # missing chunk -> fill value
+            except (FileNotFoundError, OSError):
+                raw = None
             vals = self.decode_chunk(raw, c_len)
             lo = max(start, c_start) - c_start
             hi = min(stop, c_start + c_len) - c_start
@@ -312,16 +312,62 @@ def normalize_store_path(path: str) -> str:
     return path
 
 
+# -- storage access (local fs, or any fsspec URL when fsspec is present) ----
+#
+# Mirrors the reference's two interchangeable backends (sync filesystem /
+# async object store, src/table_provider.rs:143-191): local paths use the
+# stdlib; s3://, gs://, etc. route through fsspec when it is installed.
+# Writers are local-only (the sink's staged-commit protocol needs renames).
+
+
+def _is_remote(path: str) -> bool:
+    return "://" in path and not path.startswith("file:")
+
+
+def _fs(path: str):
+    try:
+        import fsspec
+    except ImportError as e:  # pragma: no cover - fsspec not in test env
+        raise ZarrError(
+            f"remote store {path!r} requires fsspec, which is not installed"
+        ) from e
+    return fsspec.filesystem(path.split("://", 1)[0])
+
+
+def _exists(path: str) -> bool:
+    if _is_remote(path):
+        return _fs(path).exists(path)
+    return os.path.exists(path)
+
+
+def _read_bytes(path: str) -> bytes:
+    if _is_remote(path):
+        return _fs(path).cat_file(path)
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _listdir(path: str) -> list[str]:
+    if _is_remote(path):
+        return [p.rstrip("/").rsplit("/", 1)[-1] for p in _fs(path).ls(path)]
+    return os.listdir(path)
+
+
+def _isdir(path: str) -> bool:
+    if _is_remote(path):
+        return _fs(path).isdir(path)
+    return os.path.isdir(path)
+
+
 def _load_json(path: str) -> dict:
-    with open(path, "r", encoding="utf-8") as f:
-        return json.load(f)
+    return json.loads(_read_bytes(path).decode("utf-8"))
 
 
 def open_array(store_path: str, array_path: str) -> ZarrArrayMeta:
     store_path = normalize_store_path(store_path)
     array_path = array_path.strip("/")
     meta_path = os.path.join(store_path, array_path, "zarr.json")
-    if not os.path.exists(meta_path):
+    if not _exists(meta_path):
         raise ZarrError(f"no zarr.json at {meta_path}")
     doc = _load_json(meta_path)
     if doc.get("zarr_format") != 3 or doc.get("node_type") != "array":
@@ -377,16 +423,16 @@ def open_group(store_path: str, group_path: str = "/") -> ZarrGroup:
     group_rel = group_path.strip("/")
     group_dir = os.path.join(store_path, group_rel) if group_rel else store_path
     meta_path = os.path.join(group_dir, "zarr.json")
-    if not os.path.exists(meta_path):
+    if not _exists(meta_path):
         raise ZarrError(f"no zarr.json at {meta_path}")
     doc = _load_json(meta_path)
     if doc.get("zarr_format") != 3 or doc.get("node_type") != "group":
         raise ZarrError(f"{meta_path} is not a Zarr v3 group")
     arrays: dict[str, ZarrArrayMeta] = {}
-    for entry in sorted(os.listdir(group_dir)):
+    for entry in sorted(_listdir(group_dir)):
         child_dir = os.path.join(group_dir, entry)
         child_meta = os.path.join(child_dir, "zarr.json")
-        if not (os.path.isdir(child_dir) and os.path.exists(child_meta)):
+        if not (_isdir(child_dir) and _exists(child_meta)):
             continue
         child_doc = _load_json(child_meta)
         if child_doc.get("node_type") != "array":
