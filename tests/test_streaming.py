@@ -163,3 +163,38 @@ def test_stream_stream_interval_join(spark, event_dir):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_streaming_dedup_drops_in_watermark_dupes(spark, tmp_path):
+    import datetime as dt
+
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        {"event_id": 1, "ts": base, "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 1, "ts": base + dt.timedelta(minutes=5), "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},  # dup within watermark
+        {"event_id": 2, "ts": base + dt.timedelta(minutes=10), "user_id": 2, "event_type": "view", "value": 2.0, "props": "{}"},
+    ]
+    with open(d / "b0.json", "w") as f:
+        for r in rows:
+            r2 = dict(r); r2["ts"] = r["ts"].isoformat(sep=" ")
+            f.write(json.dumps(r2) + "\n")
+    stream = streaming_events.read_event_stream(spark, str(d))
+    out = streaming_events.dedup_event_stream(stream, watermark="1 hour")
+    streaming_events.run_to_memory_sink(out, "dedup_stream_test")
+    got = sorted(r.event_id for r in spark.table("dedup_stream_test").collect())
+    assert got == [1, 2]
+
+
+def test_foreach_batch_sink(spark, event_dir, tmp_path):
+    out = str(tmp_path / "fb_out")
+    stream = streaming_events.read_event_stream(spark, event_dir)
+    streaming_events.write_stream_foreach_batch(stream, out)
+    written = spark.read.parquet(out)
+    src = spark.read.format("json").schema(streaming_events.EVENTS_SCHEMA).load(event_dir)
+    assert written.count() == src.count()
+    # partitioned layout by event_type exists
+    assert written.filter(F.col("event_type") == "click").count() == src.filter(
+        F.col("event_type") == "click"
+    ).count()

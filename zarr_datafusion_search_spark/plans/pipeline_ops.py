@@ -762,6 +762,62 @@ def timeseries_resample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "latest_record_per_key",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+    FROM (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+               AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Latest-record-per-key (the batch form of CDC compaction / upsert "
+    "resolution): one ranking window, deterministic tie-break on event_id.",
+)
+def latest_record_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "histogram_bins",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 25000), 19) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(o_totalprice), 6) AS lo,
+           round(max(o_totalprice), 6) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Fixed-width histogram binning (floor arithmetic, top bin clamped) "
+    "with per-bin bounds.",
+)
+def histogram_bins(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    bin_col = F.least(F.floor(F.col("o_totalprice") / 25000), F.lit(19)).cast("long")
+    return o.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 6).alias("lo"),
+        F.round(F.max("o_totalprice"), 6).alias("hi"),
+    )
+
+
+@register(
     "sessionization",
     oracle="""
     WITH marked AS (

@@ -194,3 +194,33 @@ def interval_join_clicks_purchases(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def dedup_event_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id: duplicates arriving within the
+    watermark horizon are dropped; state for ids older than the watermark
+    is evicted (``dropDuplicatesWithinWatermark``), so the dedup runs
+    unbounded — the streaming twin of operators/dedup.exact_dedup."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def write_stream_foreach_batch(stream: DataFrame, out_dir: str) -> None:
+    """Micro-batch escape hatch: route each micro-batch through an arbitrary
+    batch writer (here: parquet partitioned by event_type) — the pattern for
+    sinks without native streaming support (e.g. the zarr sink)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .partitionBy("event_type")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
