@@ -276,3 +276,52 @@ def test_chunk_pruning_datetime(spark, tmp_path):
     r = ZarrReader(store, "g", schema, partition_rows=100)
     list(r.pushFilters([GreaterThanOrEqual(("t",), dt.datetime(2022, 9, 1))]))
     assert len(r.partitions()) < 10
+
+
+def test_sharded_store_roundtrip(spark, tmp_path):
+    """sharding_indexed: inner chunks packed per shard object with a
+    uint64 index — the object-count-friendly layout for 100 TB stores."""
+    store = str(tmp_path / "sharded.zarr")
+    n = 10_000
+    zarrv3.write_sharded_group(
+        store, "g",
+        {"x": np.arange(n, dtype=np.int64),
+         "s": [f"v{i:05d}" for i in range(n)]},
+        shard_rows=2048, inner_rows=256,
+    )
+    meta = zarrv3.open_array(store, "g/x")
+    assert meta.sharding is not None
+    assert meta.chunk_rows == 2048
+    # raw reader: full range and unaligned slices
+    assert list(meta.read_range(0, 10)) == list(range(10))
+    assert list(meta.read_range(2040, 2060)) == list(range(2040, 2060))  # shard boundary
+    assert list(meta.read_range(9990, 10_000)) == list(range(9990, 10_000))  # ragged tail
+    # through Spark
+    from zarr_datafusion_search_spark import ZarrTable
+    df = ZarrTable(store, "g").to_df(spark)
+    assert df.count() == n
+    import pyspark.sql.functions as F2
+    assert df.agg(F2.sum("x")).collect()[0][0] == sum(range(n))
+    row = df.filter("x = 7777").collect()[0]
+    assert row.s == "v07777"
+
+
+def test_sharded_missing_inner_chunk_fills(tmp_path):
+    store = str(tmp_path / "shardfill.zarr")
+    zarrv3.write_sharded_group(
+        store, "g", {"x": np.arange(1000, dtype=np.int64)},
+        shard_rows=512, inner_rows=128,
+    )
+    # corrupt: mark inner chunk 1 of shard 0 as missing in the index
+    p = f"{store}/g/x/c/0"
+    raw = bytearray(open(p, "rb").read())
+    n_inner = 4
+    idx_off = len(raw) - n_inner * 16
+    import struct as st
+    raw[idx_off + 16 : idx_off + 32] = st.pack("<QQ", 2**64 - 1, 2**64 - 1)
+    open(p, "wb").write(bytes(raw))
+    meta = zarrv3.open_array(store, "g/x")
+    vals = list(meta.read_range(0, 512))
+    assert vals[:128] == list(range(128))
+    assert vals[128:256] == [0] * 128  # filled
+    assert vals[256:384] == list(range(256, 384))

@@ -20,9 +20,11 @@ Scope (mirrors what the reference engine consumes / produces):
   Complex, extension, and other datetime units raise, matching
   src/schema.rs:89-122.
 - codecs: ``bytes`` (endian), ``vlen-utf8``, ``vlen-bytes``, ``zstd``,
-  ``gzip``, ``crc32c`` (checksum verified and stripped). The reference's own
-  fixture uses ``vlen-utf8``+``zstd`` and ``bytes``+``zstd``
-  (data/zarr_store.zarr/meta/*/zarr.json).
+  ``gzip``, ``crc32c`` (stripped; no crc32c library bundled), and
+  ``sharding_indexed`` (inner chunks packed per shard object with a uint64
+  offset/nbytes index — the object-count-friendly layout for very large
+  stores). The reference's own fixture uses ``vlen-utf8``+``zstd`` and
+  ``bytes``+``zstd`` (data/zarr_store.zarr/meta/*/zarr.json).
 """
 
 from __future__ import annotations
@@ -220,17 +222,33 @@ class ZarrArrayMeta:
 
     # -- decoding -----------------------------------------------------------
 
+    @property
+    def sharding(self) -> dict | None:
+        """sharding_indexed configuration when this array is sharded (the
+        codec must be the only entry of the outer chain per the spec)."""
+        if self.codecs and self.codecs[0].get("name") == "sharding_indexed":
+            return self.codecs[0].get("configuration") or {}
+        return None
+
     def decode_chunk(self, raw: bytes | None, rows: int) -> np.ndarray | list:
-        """Decode one chunk's bytes into ``rows`` logical values.
+        """Decode one (outer) chunk's bytes into ``rows`` logical values.
 
         ``raw is None`` means the chunk file is absent → fill value.
         """
         if raw is None:
             return self._fill(rows)
+        sharding = self.sharding
+        if sharding is not None:
+            return self._decode_shard(bytes(raw), rows, sharding)
+        return self._decode_pipeline(raw, rows, self.codecs)
+
+    def _decode_pipeline(
+        self, raw: bytes, rows: int, codecs: list[dict]
+    ) -> np.ndarray | list:
         buf = raw
         # bytes->bytes codecs run last on encode, so undo them first
         array_codec: dict | None = None
-        for codec in reversed(self.codecs):
+        for codec in reversed(codecs):
             cname = codec.get("name")
             if cname == "zstd":
                 buf = _zstd_decompress(bytes(buf))
@@ -261,6 +279,58 @@ class ZarrArrayMeta:
             np_dt = np_dt.newbyteorder(">")
         arr = np.frombuffer(bytes(buf), dtype=np_dt)
         return arr[:rows]
+
+    def _decode_shard(self, raw: bytes, rows: int, cfg: dict) -> np.ndarray | list:
+        """Decode a sharding_indexed shard: inner chunks packed into one
+        object with an (offset, nbytes) uint64 index at the start or end.
+
+        Missing inner chunks (offset == nbytes == 2^64-1) yield fill values.
+        The index is decoded through ``index_codecs`` (only ``bytes`` [+
+        ``crc32c``] supported — the spec default).
+        """
+        inner_rows = int(cfg["chunk_shape"][0])
+        shard_rows = self.chunk_rows
+        if shard_rows % inner_rows != 0:
+            raise ZarrError(
+                f"shard rows {shard_rows} not a multiple of inner chunk "
+                f"rows {inner_rows}"
+            )
+        n_inner = shard_rows // inner_rows
+        idx_size = n_inner * 16
+        for c in cfg.get("index_codecs", []):
+            if c.get("name") == "crc32c":
+                idx_size += 4
+            elif c.get("name") != "bytes":
+                raise ZarrError(f"unsupported index codec: {c.get('name')}")
+        if cfg.get("index_location", "end") == "start":
+            idx_raw, body_offset = raw[:idx_size], 0
+        else:
+            idx_raw, body_offset = raw[-idx_size:], 0
+        index = np.frombuffer(idx_raw[: n_inner * 16], dtype="<u8").reshape(
+            n_inner, 2
+        )
+        missing = np.uint64(2**64 - 1)
+        inner_codecs = cfg.get("codecs", [])
+        pieces: list = []
+        produced = 0
+        for i in range(n_inner):
+            if produced >= rows:
+                break
+            take = min(inner_rows, rows - produced)
+            off, nb = index[i]
+            if off == missing and nb == missing:
+                pieces.append(self._fill(take))
+            else:
+                seg = raw[body_offset + int(off) : body_offset + int(off) + int(nb)]
+                vals = self._decode_pipeline(seg, take, inner_codecs)
+                pieces.append(vals[:take])
+            produced += take
+        if self.dtype.is_variable:
+            out: list = []
+            for p in pieces:
+                out.extend(p)
+            return out
+        return pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
 
     def _fill(self, rows: int):
         if self.dtype.is_variable:
@@ -699,3 +769,126 @@ def _write_array(
     if len(values):
         w.append(values)
     w.close()
+
+
+def write_sharded_group(
+    store_path: str,
+    group_path: str,
+    columns: dict[str, Any],
+    shard_rows: int = 65536,
+    inner_rows: int = 4096,
+    zstd_level: int = 0,
+) -> None:
+    """Write columns as a sharded Zarr v3 group (``sharding_indexed``).
+
+    Each outer chunk object packs ``shard_rows / inner_rows`` independently
+    compressed inner chunks plus a uint64 (offset, nbytes) index at the end
+    — the layout large-scale stores use so object counts stay manageable
+    while reads stay chunk-granular. Index codec: plain ``bytes`` (the
+    crc32c library is not bundled here; readers accept both).
+    """
+    if shard_rows % inner_rows != 0:
+        raise ZarrError("shard_rows must be a multiple of inner_rows")
+    group_dir = init_group(store_path, group_path)
+    lengths = {len(v) for v in columns.values()}
+    if len(lengths) > 1:
+        raise ZarrError(f"columns disagree on length: {lengths}")
+    for name, values in columns.items():
+        _write_sharded_array(
+            group_dir, name, values, shard_rows, inner_rows, zstd_level
+        )
+
+
+def _write_sharded_array(
+    group_dir: str,
+    name: str,
+    values: Any,
+    shard_rows: int,
+    inner_rows: int,
+    zstd_level: int,
+) -> None:
+    is_string = not isinstance(values, np.ndarray)
+    n = len(values)
+    if is_string:
+        dt_json: Any = "string"
+        inner_codecs = [
+            {"name": "vlen-utf8", "configuration": {}},
+            {"name": "zstd", "configuration": {"level": zstd_level, "checksum": False}},
+        ]
+        fill: Any = ""
+    else:
+        if values.dtype.kind == "M":
+            zdt = ZarrDType("datetime64", unit=np.datetime_data(values.dtype)[0])
+            fill = -9223372036854775808
+        else:
+            zdt = _numpy_to_zarr_dtype(values)
+            fill = 0
+        dt_json = dtype_to_json(zdt)
+        inner_codecs = [
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "zstd", "configuration": {"level": zstd_level, "checksum": False}},
+        ]
+    arr_dir = os.path.join(group_dir, name)
+    os.makedirs(os.path.join(arr_dir, "c"), exist_ok=True)
+    _write_json(
+        os.path.join(arr_dir, "zarr.json"),
+        {
+            "shape": [n],
+            "data_type": dt_json,
+            "chunk_grid": {
+                "name": "regular",
+                "configuration": {"chunk_shape": [shard_rows]},
+            },
+            "chunk_key_encoding": {
+                "name": "default",
+                "configuration": {"separator": "/"},
+            },
+            "fill_value": fill,
+            "codecs": [
+                {
+                    "name": "sharding_indexed",
+                    "configuration": {
+                        "chunk_shape": [inner_rows],
+                        "codecs": inner_codecs,
+                        "index_codecs": [
+                            {"name": "bytes", "configuration": {"endian": "little"}}
+                        ],
+                        "index_location": "end",
+                    },
+                }
+            ],
+            "attributes": {},
+            "zarr_format": 3,
+            "node_type": "array",
+            "storage_transformers": [],
+        },
+    )
+    n_inner = shard_rows // inner_rows
+    for si, s_lo in enumerate(range(0, max(n, 1), shard_rows) if n else []):
+        s_hi = min(s_lo + shard_rows, n)
+        body = bytearray()
+        index = np.full((n_inner, 2), 2**64 - 1, dtype="<u8")
+        for ii in range(n_inner):
+            lo = s_lo + ii * inner_rows
+            if lo >= s_hi:
+                break  # trailing inner chunks of the last shard: missing
+            hi = min(lo + inner_rows, s_hi)
+            pad = inner_rows - (hi - lo)
+            if is_string:
+                items = [str(v).encode("utf-8") for v in values[lo:hi]]
+                items.extend([b""] * pad)
+                payload = _encode_vlen(items)
+            else:
+                arr = np.asarray(values[lo:hi])
+                if pad:
+                    arr = np.concatenate([arr, np.zeros(pad, dtype=arr.dtype)])
+                if arr.dtype.kind == "M":
+                    arr = arr.astype("<i8")
+                else:
+                    arr = arr.astype(arr.dtype.newbyteorder("<"))
+                payload = arr.tobytes()
+            seg = _zstd_compress(payload, zstd_level)
+            index[ii] = (len(body), len(seg))
+            body.extend(seg)
+        with open(os.path.join(arr_dir, "c", str(si)), "wb") as f:
+            f.write(bytes(body) + index.tobytes())
