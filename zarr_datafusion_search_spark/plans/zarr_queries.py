@@ -69,3 +69,54 @@ def zarr_projection_filter(spark: SparkSession, sf: str) -> DataFrame:
 
     df = ZarrTable(_store(), "/meta").to_df(spark)
     return df.filter(df.collection == "collection_a").select("collection", "date")
+
+
+SHARDED_FIXTURE_STORE = os.path.join(_REPO_ROOT, "data", "zarr_sharded.zarr")
+
+
+def _sharded_store() -> str:
+    """A deterministic 1000-row sharded store (4 shards x 4 inner chunks)."""
+    if not os.path.exists(os.path.join(SHARDED_FIXTURE_STORE, "zarr.json")):
+        import numpy as np
+
+        from zarr_datafusion_search_spark.sources import zarrv3
+
+        n = 1000
+        zarrv3.write_sharded_group(
+            SHARDED_FIXTURE_STORE,
+            "meta",
+            {
+                "idx": np.arange(n, dtype=np.int64),
+                "collection": [f"collection_{chr(97 + i % 4)}" for i in range(n)],
+            },
+            shard_rows=256,
+            inner_rows=64,
+        )
+    return SHARDED_FIXTURE_STORE
+
+
+@register(
+    "zarr_sharded_scan",
+    oracle="""
+    SELECT collection, count(*) AS n, CAST(sum(idx) AS BIGINT) AS sum_idx
+    FROM (
+      SELECT (i % 4) AS m,
+             'collection_' || chr(97 + (i % 4)::INTEGER) AS collection,
+             i AS idx
+      FROM (SELECT unnest(generate_series(0, 999)) AS i)
+    )
+    GROUP BY collection
+    """,
+    doc="Aggregate over a sharding_indexed store (inner chunks packed per "
+    "shard object) — the store contents are a closed-form sequence, so the "
+    "oracle regenerates them with generate_series.",
+)
+def zarr_sharded_scan(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark import ZarrTable
+
+    df = ZarrTable(_sharded_store(), "/meta").to_df(spark)
+    import pyspark.sql.functions as F
+
+    return df.groupBy("collection").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("idx").alias("sum_idx")
+    )
