@@ -229,6 +229,10 @@ def minhash_lsh_pairs(
 def _verify_jaccard(
     cand: DataFrame, shingled: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
+    # note: semi-joining `shingled` down to candidate docs first was
+    # measured SLOWER at sf0.1 (it forces a third shingle recompute and two
+    # extra stages for a join that is already candidate-bounded); at larger
+    # corpus/candidate ratios revisit with a cached shingle relation
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     s1 = shingled.alias("s1")
     s2 = shingled.alias("s2")

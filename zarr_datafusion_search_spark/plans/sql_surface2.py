@@ -632,3 +632,67 @@ def intersect_all_bags(spark: SparkSession, sf: str) -> DataFrame:
     c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersectAll(s)
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT p_partkey,
+           string_split(p_type, ' ')                          AS words,
+           len(string_split(p_type, ' '))::INTEGER            AS n_words,
+           (string_split(p_type, ' '))[1]                     AS first_word,
+           list_sort(string_split(p_type, ' '))               AS sorted_words,
+           array_to_string(list_sort(string_split(p_type, ' ')), '-')
+             AS joined,
+           list_contains(string_split(p_type, ' '), 'SMALL')  AS has_small,
+           string_split(p_type, ' ')[1:2]                     AS first_two,
+           list_reverse(string_split(p_type, ' '))            AS rev_words
+    FROM part
+    """,
+    doc="Array function battery over split() arrays: size/element_at/sort/"
+    "join/contains/slice/reverse (array-valued outputs hash via the "
+    "canonicalized list rendering).",
+)
+def array_functions(spark: SparkSession, sf: str) -> DataFrame:
+    p = table(spark, sf, "part")
+    words = F.split("p_type", " ")
+    return p.select(
+        "p_partkey",
+        words.alias("words"),
+        F.size(words).alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.sort_array(words).alias("sorted_words"),
+        F.array_join(F.sort_array(words), "-").alias("joined"),
+        F.array_contains(words, "SMALL").alias("has_small"),
+        F.slice(words, 1, 2).alias("first_two"),
+        F.reverse(words).alias("rev_words"),
+    )
+
+
+@register(
+    "map_functions",
+    oracle="""
+    SELECT n_nationkey,
+           cardinality(map(['name', 'region'],
+                           [n_name, n_regionkey::VARCHAR]))::INTEGER AS map_size,
+           map_extract(map(['name', 'region'],
+                           [n_name, n_regionkey::VARCHAR]), 'name')[1] AS name_val,
+           list_sort(map_keys(map(['name', 'region'],
+                                  [n_name, n_regionkey::VARCHAR]))) AS keys_sorted
+    FROM nation
+    """,
+    doc="Map construction + lookup + key introspection (map_from_arrays / "
+    "element_at / map_keys).",
+)
+def map_functions(spark: SparkSession, sf: str) -> DataFrame:
+    n = table(spark, sf, "nation")
+    m = F.map_from_arrays(
+        F.array(F.lit("name"), F.lit("region")),
+        F.array(F.col("n_name"), F.col("n_regionkey").cast("string")),
+    )
+    return n.select(
+        "n_nationkey",
+        F.size(m).alias("map_size"),
+        F.element_at(m, "name").alias("name_val"),
+        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+    )
