@@ -325,3 +325,54 @@ def test_sharded_missing_inner_chunk_fills(tmp_path):
     assert vals[:128] == list(range(128))
     assert vals[128:256] == [0] * 128  # filled
     assert vals[256:384] == list(range(256, 384))
+
+
+def _write_minimal_array(store, dtype_json, chunk_payload, n, codecs=None):
+    import json as js
+
+    os = __import__("os")
+    os.makedirs(f"{store}/g/x/c", exist_ok=True)
+    for p in (f"{store}/zarr.json", f"{store}/g/zarr.json"):
+        js.dump({"zarr_format": 3, "node_type": "group", "attributes": {}}, open(p, "w"))
+    js.dump(
+        {
+            "shape": [n], "data_type": dtype_json,
+            "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [n]}},
+            "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+            "fill_value": 0,
+            "codecs": codecs or [
+                {"name": "bytes", "configuration": {"endian": "little"}},
+                {"name": "zstd", "configuration": {"level": 0, "checksum": False}},
+            ],
+            "attributes": {}, "zarr_format": 3, "node_type": "array",
+            "storage_transformers": [],
+        },
+        open(f"{store}/g/x/zarr.json", "w"),
+    )
+    open(f"{store}/g/x/c/0", "wb").write(zarrv3._zstd_compress(chunk_payload, 0))
+
+
+def test_raw_bits_dtype(spark, tmp_path):
+    """r32 opaque fixed-width values -> BinaryType (SURVEY §1.3 RawBits row)."""
+    store = str(tmp_path / "raw.zarr")
+    vals = np.array([b"\x01\x02\x03\x04", b"\xff\x00\xff\x00", b"abcd"], dtype="|V4")
+    _write_minimal_array(store, "r32", vals.tobytes(), 3)
+    t = ZarrTable(store, "g")
+    assert t.schema.fields[0].dataType.simpleString() == "binary"
+    got = sorted(bytes(r.x) for r in t.to_df(spark).collect())
+    assert got == sorted([b"\x01\x02\x03\x04", b"\xff\x00\xff\x00", b"abcd"])
+
+
+def test_vlen_bytes_dtype(spark, tmp_path):
+    """Variable-length bytes -> BinaryType via the vlen-bytes codec."""
+    store = str(tmp_path / "vb.zarr")
+    items = [b"\x00\x01", b"", b"longer payload \xff"]
+    payload = zarrv3._encode_vlen(items)
+    _write_minimal_array(
+        store, "bytes", payload, 3,
+        codecs=[{"name": "vlen-bytes", "configuration": {}},
+                {"name": "zstd", "configuration": {"level": 0, "checksum": False}}],
+    )
+    t = ZarrTable(store, "g")
+    got = {bytes(r.x) for r in t.to_df(spark).collect()}
+    assert got == set(items)

@@ -309,6 +309,11 @@ class ZarrReader(DataSourceReader):
                     # rescale to Spark's microsecond timestamps
                     arr = pa.array(vals).cast(pa.timestamp(meta.dtype.unit))
                     arr = arr.cast(arrow_types[c])
+                elif meta.dtype.kind == "raw":
+                    # numpy void arrays aren't Arrow-convertible directly
+                    arr = pa.array([bytes(v) for v in vals], type=pa.binary())
+                elif meta.dtype.kind == "bytes":
+                    arr = pa.array(list(vals), type=pa.binary())
                 else:
                     arr = pa.array(vals)
                     if arr.type != arrow_types[c]:
