@@ -376,3 +376,27 @@ def test_vlen_bytes_dtype(spark, tmp_path):
     t = ZarrTable(store, "g")
     got = {bytes(r.x) for r in t.to_df(spark).collect()}
     assert got == set(items)
+
+
+def test_mixed_chunk_sizes_across_columns(spark, tmp_path):
+    """Columns may have different chunk grids; partitions align to the
+    largest, other columns decode partial chunks per range."""
+    store = str(tmp_path / "mixed.zarr")
+    n = 5000
+    # write two arrays with different chunk sizes into the same group
+    zarrv3.init_group(store, "g")
+    zarrv3._write_array(f"{store}/g", "a", np.arange(n, dtype=np.int64), 700, 0)
+    zarrv3._write_array(f"{store}/g", "b", [f"s{i}" for i in range(n)], 256, 0)
+    df = ZarrTable(store, "g").to_df(spark)
+    assert df.count() == n
+    import pyspark.sql.functions as F2
+    assert df.agg(F2.sum("a")).collect()[0][0] == sum(range(n))
+    rows = df.filter("a IN (0, 699, 700, 4999)").orderBy("a").collect()
+    assert [(r.a, r.b) for r in rows] == [(0, "s0"), (699, "s699"), (700, "s700"), (4999, "s4999")]
+
+
+def test_nested_group_path(spark, tmp_path):
+    store = str(tmp_path / "nested.zarr")
+    zarrv3.write_group(store, "outer/inner", {"x": np.arange(10, dtype=np.int64)})
+    t = ZarrTable(store, "/outer/inner")
+    assert t.to_df(spark).count() == 10
