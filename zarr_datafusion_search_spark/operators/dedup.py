@@ -376,3 +376,77 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined segmentation (sub-document dedup granularity)
+# ---------------------------------------------------------------------------
+
+
+def content_defined_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 8,
+) -> DataFrame:
+    """Split documents into content-defined segments for sub-document dedup.
+
+    A token ends a segment when its portable hash % ``boundary_mod`` == 0 —
+    the same content produces the same boundaries wherever it appears
+    (content-defined chunking), so a paragraph copied between documents
+    yields an identical segment fingerprint in both. Average segment length
+    is ``boundary_mod`` tokens.
+
+    Returns (id, segment_id, segment_text, segment_fp): built from
+    posexplode + a running boundary count + an ordered re-concatenation —
+    all window/aggregate primitives, one shuffle on the doc id.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        spread(df, id_col)
+        .select(F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "tok"))
+        .withColumn("is_boundary", (h64("tok") % boundary_mod == 0).cast("long"))
+    )
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    seg = toks.withColumn(
+        "segment_id", F.coalesce(F.sum("is_boundary").over(w), F.lit(0))
+    )
+    segs = (
+        seg.groupBy(id_col, "segment_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+            ).alias("segment_text")
+        )
+    )
+    return segs.select(
+        id_col, "segment_id", "segment_text", h64("segment_text").alias("segment_fp")
+    )
+
+
+def duplicated_segments(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_tokens: int = 4
+) -> DataFrame:
+    """Segments whose exact content recurs across different documents —
+    copied boilerplate/paragraph detection below document granularity."""
+    segs = content_defined_segments(df, id_col, text_col)
+    segs = segs.filter(
+        F.size(F.split("segment_text", " ")) >= min_tokens
+    )
+    dup = (
+        segs.groupBy("segment_fp")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("segment_text").alias("segment_text"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return dup.select("segment_fp", "n_docs", "n_occurrences", "segment_text")

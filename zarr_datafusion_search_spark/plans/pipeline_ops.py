@@ -164,6 +164,58 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_duplicated_segments",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> len(x) > 0) AS t
+      FROM documents
+    ),
+    pos_toks AS (
+      SELECT doc_id, u.p AS pos, t[u.p] AS tok
+      FROM toks, unnest(generate_series(1, len(t))) AS u(p)
+    ),
+    marked AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN {duckdb_h64('tok')} % 8 = 0 THEN 1 ELSE 0 END AS b
+      FROM pos_toks
+    ),
+    segs AS (
+      SELECT doc_id,
+             coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS segment_id,
+             pos, tok
+      FROM marked
+    ),
+    seg_text AS (
+      SELECT doc_id, segment_id,
+             string_agg(tok, ' ' ORDER BY pos) AS segment_text
+      FROM segs GROUP BY doc_id, segment_id
+    ),
+    fp AS (
+      SELECT doc_id, {duckdb_h64('segment_text')} AS segment_fp, segment_text
+      FROM seg_text
+      WHERE len(string_split(segment_text, ' ')) >= 4
+    )
+    SELECT segment_fp,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences,
+           min(segment_text) AS segment_text
+    FROM fp
+    GROUP BY segment_fp
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+    doc="Content-defined chunking dedup: hash-boundary segmentation splits "
+    "docs into content-stable segments, then exact segment fingerprints "
+    "find boilerplate/paragraphs copied across documents — dedup below "
+    "document granularity.",
+)
+def cdc_duplicated_segments(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.duplicated_segments(table(spark, sf, "documents"), min_tokens=4)
+
+
 _SIMHASH_CTE = f"""
 tokh AS (
   SELECT doc_id, {duckdb_h64('tok')} AS h FROM (

@@ -120,3 +120,38 @@ def zarr_sharded_scan(spark: SparkSession, sf: str) -> DataFrame:
     return df.groupBy("collection").agg(
         F.count(F.lit(1)).alias("n"), F.sum("idx").alias("sum_idx")
     )
+
+
+@register(
+    "federated_zarr_parquet_join",
+    oracle="""
+    SELECT z.collection, count(*) AS n_matched,
+           round(sum(c.c_acctbal), 6) AS total_bal
+    FROM (
+      SELECT i AS idx, 'collection_' || chr(97 + (i % 4)::INTEGER) AS collection
+      FROM (SELECT unnest(generate_series(0, 999)) AS i)
+    ) z
+    JOIN customer c ON c.c_custkey = z.idx
+    GROUP BY z.collection
+    """,
+    doc="Cross-source federation: the zarr-backed table joined against a "
+    "parquet table in one Catalyst plan (the reference achieves the same "
+    "by registering its provider next to DataFusion's built-ins; here both "
+    "sources are first-class scan nodes).",
+)
+def federated_zarr_parquet_join(spark: SparkSession, sf: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from zarr_datafusion_search_spark import ZarrTable
+    from zarr_datafusion_search_spark.plans.registry import table
+
+    z = ZarrTable(_sharded_store(), "/meta").to_df(spark)
+    c = table(spark, sf, "customer")
+    return (
+        z.join(c, z.idx == c.c_custkey)
+        .groupBy("collection")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(F.sum("c_acctbal"), 6).alias("total_bal"),
+        )
+    )
