@@ -130,6 +130,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: fills REGISTRY)."""
     import zarr_datafusion_search_spark.plans.sql_surface  # noqa: F401
     import zarr_datafusion_search_spark.plans.sql_surface2  # noqa: F401
+    import zarr_datafusion_search_spark.plans.tpch_extra  # noqa: F401
     import zarr_datafusion_search_spark.plans.pipeline_ops  # noqa: F401
     import zarr_datafusion_search_spark.plans.zarr_queries  # noqa: F401
 
