@@ -118,73 +118,90 @@ def exact_dedup_stats(df: DataFrame, group_col: str = "source") -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+#: Mersenne prime 2^61-1: modulus of the affine MinHash family.
+MINHASH_PRIME = (1 << 61) - 1
+
+
+def minhash_affine_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for hash function i: h_i(x) = (a*x32 + b) % P.
+
+    Both constants stay < 2^31 so a * (h % 2^32) + b fits signed 64-bit
+    arithmetic identically in Spark (Java long) and DuckDB (BIGINT,
+    which errors on overflow rather than wrapping).
+    """
+    a = ((2654435761 * (i + 1)) % 2147483647) | 1
+    b = (1779033703 * (i + 1) + 997) % 2147483647
+    return a, b
+
+
+def hashed_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, sh_h): 60-bit hash per distinct word n-gram shingle.
+
+    This compact all-long relation is what every downstream stage (minhash
+    aggregation, candidate verification, set sizes) reuses, so it is
+    persisted: ~16 bytes/row columnar vs the raw shingle strings, and the
+    md5 digests — the dominant scan cost — run once instead of once per
+    consumer. Spark's CacheManager canonicalizes plans, so repeated
+    invocations over the same input share one cache entry.
+    """
+    sh = with_shingles(df, id_col, text_col, n)
+    return sh.select(id_col, h64("shingle").alias("sh_h")).persist()
+
 
 def minhash_signatures(
     shingled: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, hash_idx, minhash): min over the doc's shingles per hash fn.
+    """(id, m0..m{k-1}): one row per doc with all k minhashes as columns.
 
-    The k hash functions come from k/2 seeded md5 digests — a 128-bit md5
-    yields two independent 60-bit values (hex digits 2-16 and 17-31), so
-    digest work (the dominant cost) is halved. Rows explode by k before a
-    map-side-combinable min aggregation.
+    Each hash is an affine transform of the (single) 60-bit shingle hash —
+    integer arithmetic inside whole-stage codegen, not k md5 digests — and
+    all k mins compute in ONE map-side-combinable aggregation with no
+    explode: per-row cost is k fused expressions, shuffle is one row per
+    (doc, k-column) group.
+
+    ``shingled`` must carry ``sh_h`` (see :func:`hashed_shingles`).
     """
-    assert num_hashes % 2 == 0, "num_hashes must be even (2 hashes per md5)"
-    md5 = F.md5(
-        F.concat(
-            F.col("seed").cast("string"), F.lit(":"), F.col("shingle")
-        ).cast("binary")
-    )
-    return (
-        shingled.withColumn(
-            "seed", F.explode(F.sequence(F.lit(0), F.lit(num_hashes // 2 - 1)))
+    aggs = []
+    for i in range(num_hashes):
+        a, b = minhash_affine_params(i)
+        aggs.append(
+            F.min(
+                F.expr(f"({a}L * (sh_h % 4294967296L) + {b}L) % {MINHASH_PRIME}L")
+            ).alias(f"m{i}")
         )
-        .withColumn("_md5", md5)
-        .select(
-            id_col,
-            F.explode(
-                F.array(
-                    F.struct(
-                        (F.col("seed") * 2).alias("hash_idx"),
-                        F.conv(F.substring("_md5", 2, 15), 16, 10)
-                        .cast("long")
-                        .alias("h"),
-                    ),
-                    F.struct(
-                        (F.col("seed") * 2 + 1).alias("hash_idx"),
-                        F.conv(F.substring("_md5", 17, 15), 16, 10)
-                        .cast("long")
-                        .alias("h"),
-                    ),
-                )
-            ).alias("ih"),
-        )
-        .select(id_col, F.col("ih.hash_idx").alias("hash_idx"), F.col("ih.h").alias("h"))
-        .groupBy(id_col, "hash_idx")
-        .agg(F.min("h").alias("minhash"))
-    )
+    return shingled.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_signatures(
-    signatures: DataFrame, rows_per_band: int = 4, id_col: str = "doc_id"
+    signatures: DataFrame,
+    rows_per_band: int = 4,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, band, sig): md5 over the band's minhashes in hash_idx order."""
-    return (
-        signatures.withColumn("band", F.expr(f"hash_idx div {rows_per_band}"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("hash_idx", "minhash"))
-                        ),
-                        lambda s: s.getField("minhash").cast("string"),
-                    ),
-                ).cast("binary")
-            ).alias("sig")
+    """(id, band, sig): md5 over each band's minhashes, in hash order.
+
+    Derived row-wise from the wide signature row (no extra aggregation);
+    the result is tiny (docs x num_bands) and persisted so the candidate
+    self-join's two sides share one computation.
+    """
+    band_structs = []
+    for band in range(num_hashes // rows_per_band):
+        cols = [
+            F.col(f"m{band * rows_per_band + j}").cast("string")
+            for j in range(rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws(",", *cols).cast("binary")).alias("sig"),
+            )
         )
+    return (
+        signatures.select(id_col, F.explode(F.array(*band_structs)).alias("bs"))
+        .select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        .persist()
     )
 
 
@@ -198,17 +215,16 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH with exact Jaccard verification.
 
-    Pipeline: shingle -> k minhashes -> b=k/r band signatures -> candidate
-    pairs from band-equality join -> exact Jaccard on shingle sets ->
-    threshold filter. Only buckets that collide are joined; the O(n^2)
-    space is never touched.
+    Pipeline: hash shingles once -> k affine minhashes in one aggregation ->
+    b=k/r band signatures -> candidate pairs from band-equality join ->
+    exact Jaccard on hashed shingle sets -> threshold filter. Only buckets
+    that collide are joined; the O(n^2) space is never touched, and the
+    shingle relation is computed once and persisted (at 100 TB this is the
+    materialize-your-shingle-index step) instead of once per stage.
     """
-    # note: no .cache() on the shingles — columnar cache materialization of
-    # the exploded string rows costs more than recomputing them for the
-    # verify phase (measured 11s vs 3s end-to-end at sf0.1)
-    sh = with_shingles(df, id_col, text_col)
-    sigs = minhash_signatures(sh, num_hashes, id_col)
-    bands = lsh_band_signatures(sigs, rows_per_band, id_col)
+    shh = hashed_shingles(df, id_col, text_col)
+    sigs = minhash_signatures(shh, num_hashes, id_col)
+    bands = lsh_band_signatures(sigs, rows_per_band, num_hashes, id_col)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -223,16 +239,13 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    return _verify_jaccard(cand, sh, id_col, jaccard_threshold)
+    return _verify_jaccard(cand, shh, id_col, jaccard_threshold)
 
 
 def _verify_jaccard(
     cand: DataFrame, shingled: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
-    # note: semi-joining `shingled` down to candidate docs first was
-    # measured SLOWER at sf0.1 (it forces a third shingle recompute and two
-    # extra stages for a join that is already candidate-bounded); at larger
-    # corpus/candidate ratios revisit with a cached shingle relation
+    """Exact Jaccard over the hashed-shingle relation (all-long joins)."""
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     s1 = shingled.alias("s1")
     s2 = shingled.alias("s2")
@@ -241,7 +254,7 @@ def _verify_jaccard(
         .join(
             s2,
             (F.col("doc_b") == F.col(f"s2.{id_col}"))
-            & (F.col("s1.shingle") == F.col("s2.shingle")),
+            & (F.col("s1.sh_h") == F.col("s2.sh_h")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -267,14 +280,16 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index self-join
-    (no LSH approximation; the join is bounded by shared-shingle pairs)."""
-    sh = with_shingles(df, id_col, text_col)
+    (no LSH approximation; the join is bounded by shared-shingle pairs).
+    The inverted index joins on 60-bit shingle hashes (long keys, one
+    persisted computation) rather than shingle strings."""
+    sh = hashed_shingles(df, id_col, text_col, n)
     s1 = sh.alias("s1")
     s2 = sh.alias("s2")
     cand = (
         s1.join(
             s2,
-            (F.col("s1.shingle") == F.col("s2.shingle"))
+            (F.col("s1.sh_h") == F.col("s2.sh_h"))
             & (F.col(f"s1.{id_col}") < F.col(f"s2.{id_col}")),
         )
         .select(

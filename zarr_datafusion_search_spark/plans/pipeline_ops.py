@@ -82,34 +82,53 @@ def dedup_exact_stats(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.exact_dedup_stats(table(spark, sf, "documents"))
 
 
-_MINHASH_ORACLE = f"""
+def _minhash_oracle(num_hashes: int = 16, rows_per_band: int = 4) -> str:
+    """DuckDB twin of the affine MinHash+LSH pipeline (same constants)."""
+    mins = ",\n         ".join(
+        "min(({a} * (sh_h % 4294967296) + {b}) % {p}) AS m{i}".format(
+            a=dedup.minhash_affine_params(i)[0],
+            b=dedup.minhash_affine_params(i)[1],
+            p=dedup.MINHASH_PRIME,
+            i=i,
+        )
+        for i in range(num_hashes)
+    )
+    band_cases = "\n           ".join(
+        "WHEN {band} THEN md5(concat_ws(',', {cols}))".format(
+            band=band,
+            cols=", ".join(
+                f"m{band * rows_per_band + j}" for j in range(rows_per_band)
+            ),
+        )
+        for band in range(num_hashes // rows_per_band)
+    )
+    return f"""
 WITH {_SHINGLES},
+shh AS (SELECT doc_id, {duckdb_h64('shingle')} AS sh_h FROM sh),
 mh AS (
-  -- two 60-bit hashes per md5 digest: hex digits 2-16 and 17-31
-  SELECT doc_id, s.s * 2 + p.p AS hash_idx,
-         min(('0x' || substr(md5(s.s::VARCHAR || ':' || shingle),
-                             2 + 15 * p.p, 15))::BIGINT) AS minhash
-  FROM sh
-  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) s
-  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS p) p
-  GROUP BY doc_id, s.s * 2 + p.p
+  SELECT doc_id,
+         {mins}
+  FROM shh GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, hash_idx // 4 AS band,
-         md5(string_agg(minhash::VARCHAR, ',' ORDER BY hash_idx)) AS sig
-  FROM mh GROUP BY doc_id, hash_idx // 4
+  SELECT doc_id, b.b AS band,
+         CASE b.b
+           {band_cases}
+         END AS sig
+  FROM mh
+  CROSS JOIN (SELECT unnest(generate_series(0, {num_hashes // rows_per_band - 1})) AS b) b
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_inter
   FROM cand c
-  JOIN sh s1 ON s1.doc_id = c.doc_a
-  JOIN sh s2 ON s2.doc_id = c.doc_b AND s1.shingle = s2.shingle
+  JOIN shh s1 ON s1.doc_id = c.doc_a
+  JOIN shh s2 ON s2.doc_id = c.doc_b AND s1.sh_h = s2.sh_h
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
@@ -119,6 +138,9 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= 0.5
 """
+
+
+_MINHASH_ORACLE = _minhash_oracle()
 
 
 @register(
@@ -141,11 +163,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shh AS (SELECT doc_id, {duckdb_h64('shingle')} AS sh_h FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
     inter AS (
       SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS n_inter
-      FROM sh s1 JOIN sh s2
-        ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+      FROM shh s1 JOIN shh s2
+        ON s1.sh_h = s2.sh_h AND s1.doc_id < s2.doc_id
       GROUP BY 1, 2
     )
     SELECT i.doc_a, i.doc_b,
