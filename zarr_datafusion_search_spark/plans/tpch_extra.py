@@ -462,3 +462,290 @@ def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.1 * p.p_retailprice * l.l_quantity AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 product type profit (adapted: the missing "
+    "ps_supplycost is proxied by 0.1 * p_retailprice per unit): 4-way "
+    "fact join with two broadcast dims, LIKE filter pushed to the part "
+    "scan, profit aggregated by supplier nation and order year.",
+)
+def q9_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
+    p = F.broadcast(
+        table(spark, sf, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    l = table(spark, sf, "lineitem")
+    s = F.broadcast(table(spark, sf, "supplier"))
+    o = table(spark, sf, "orders")
+    n = F.broadcast(table(spark, sf, "nation"))
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(p, l.l_partkey == F.col("p_partkey"))
+        .join(s, l.l_suppkey == F.col("s_suppkey"))
+        .join(o, l.l_orderkey == F.col("o_orderkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH partvalue AS (
+      SELECT l.l_partkey, sum(l.l_extendedprice) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, round(value, 4) AS value
+    FROM partvalue
+    WHERE value > (SELECT 0.001 * sum(value) FROM partvalue)
+    """,
+    doc="TPC-H Q11 important stock (adapted: shipped lineitem value "
+    "stands in for the missing partsupp holdings): per-part value for "
+    "one nation's suppliers, kept when above a scalar-subquery fraction "
+    "of the total. The fraction threshold is a broadcast single-row "
+    "join, so the fact relation aggregates exactly once per side.",
+)
+def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    l = table(spark, sf, "lineitem")
+    s = F.broadcast(table(spark, sf, "supplier"))
+    n = F.broadcast(
+        table(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    )
+    pv = (
+        l.join(s, l.l_suppkey == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    total = pv.agg((F.sum("value") * 0.001).alias("threshold"))
+    return (
+        pv.join(F.broadcast(total), F.col("value") > F.col("threshold"))
+        .select("l_partkey", F.round("value", 4).alias("value"))
+    )
+
+
+@register(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT year(l.l_shipdate) AS l_year,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY year(l.l_shipdate)
+    """,
+    doc="TPC-H Q12 shipping modes / order priority (adapted: the missing "
+    "l_shipmode/l_commitdate become a ship-lag predicate — lines shipped "
+    ">90 days after the order date — bucketed by ship year): conditional "
+    "counts split by priority class over a fact-fact equi join.",
+)
+def q12_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
+    l = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAY"))
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#2'
+      AND p.p_type NOT LIKE 'ECO%'
+      AND p.p_size IN (5, 11, 17, 23, 28, 36, 42, 49)
+      AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 parts/supplier relationship (adapted: the shipped "
+    "lineitem relation stands in for partsupp, and negative-balance "
+    "suppliers for the complaints LIKE filter): COUNT(DISTINCT) over a "
+    "broadcast-dim join with an anti-join supplier exclusion.",
+)
+def q16_supplier_part_count(spark: SparkSession, sf: str) -> DataFrame:
+    p = F.broadcast(
+        table(spark, sf, "part").filter(
+            (F.col("p_brand") != "Brand#2")
+            & ~F.col("p_type").like("ECO%")
+            & F.col("p_size").isin(5, 11, 17, 23, 28, 36, 42, 49)
+        )
+    )
+    bad = table(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    l = table(spark, sf, "lineitem")
+    return (
+        l.join(p, l.l_partkey == F.col("p_partkey"))
+        .join(bad, l.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_part_promotion_suppliers",
+    oracle="""
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_5'
+      AND s.s_suppkey IN (
+            SELECT l.l_suppkey
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_name LIKE 'blue%'
+              AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l.l_suppkey
+            HAVING sum(l.l_quantity) > 50
+          )
+    """,
+    doc="TPC-H Q20 potential part promotion (adapted: shipped quantity "
+    "replaces the missing ps_availqty threshold): HAVING-filtered "
+    "aggregate subquery feeding a semi join, nation filter on the outer "
+    "side.",
+)
+def q20_part_promotion_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    p = F.broadcast(
+        table(spark, sf, "part")
+        .filter(F.col("p_name").like("blue%"))
+        .select("p_partkey")
+    )
+    l = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    heavy = (
+        l.join(p, l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    s = table(spark, sf, "supplier")
+    n = F.broadcast(
+        table(spark, sf, "nation").filter(F.col("n_name") == "NATION_5")
+    )
+    return (
+        s.join(n, s.s_nationkey == F.col("n_nationkey"))
+        .join(heavy, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM lo l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND EXISTS (
+            SELECT 1 FROM lo l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM lo l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.late
+          )
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21 suppliers who kept orders waiting (adapted: 'late' is "
+    "shipping >60 days after the order date, replacing the missing "
+    "l_receiptdate/l_commitdate): the canonical EXISTS / NOT EXISTS "
+    "double self-join on the finished-order lines, expressed as semi + "
+    "anti joins co-partitioned on l_orderkey so the three passes share "
+    "one shuffle key.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    l = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    lo = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY")).alias(
+                "late"
+            ),
+        )
+    )
+    l1 = lo.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    others = lo.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = lo.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    waited = (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    s = F.broadcast(table(spark, sf, "supplier"))
+    return (
+        waited.join(s, waited.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
