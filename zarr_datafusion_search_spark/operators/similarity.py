@@ -113,10 +113,12 @@ def lsh_topk(
         for t in range(n_tables)
     ]
 
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-
     def with_buckets(df: DataFrame, idal: str, vecal: str) -> DataFrame:
-        out = df.repartition(par).select(
+        # no repartition: the SRP fold is ~dim*planes flops per row, cheap
+        # enough to ride the scan partitioning; an extra shuffle per side
+        # costs more than it balances (measured at sf0.1, and at cluster
+        # scale the parquet scan already spreads rows across executors)
+        out = df.select(
             F.col(id_col).alias(idal), F.col(vec_col).alias(vecal),
             *[
                 srp_bucket(vec_col, all_planes[t]).alias(f"_b{t}")
