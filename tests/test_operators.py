@@ -253,3 +253,59 @@ def test_weighted_sample_rate_tracks_weight(spark, sf_dir):
     assert {r.doc_id for r in kept.collect()} == {
         r.doc_id for r in text_ops.weighted_sample(scored, "quality").collect()
     }
+
+
+def test_chunk_windows_cover_and_overlap(spark, sf_dir):
+    from zarr_datafusion_search_spark.operators import text as T
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = T.chunk_windows(docs, window=32, stride=24)
+    rows = chunks.collect()
+    assert all(1 <= r.n_tokens <= 32 for r in rows)
+    # stride < window: consecutive chunks of one doc overlap by window-stride
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    some_doc = max(by_doc.values(), key=len)
+    some_doc.sort(key=lambda r: r.chunk_idx)
+    if len(some_doc) > 1:
+        a = some_doc[0].chunk_text.split()
+        b = some_doc[1].chunk_text.split()
+        assert a[24:] == b[: len(a) - 24]
+    # reconstruction: non-overlapped prefixes concatenated == full token list
+    doc0 = docs.filter(F.col("doc_id") == some_doc[0].doc_id).collect()[0]
+    toks = [t for t in doc0.text.lower().split() if t]
+    recon = []
+    for r in some_doc:
+        recon.extend(r.chunk_text.split()[: 24 if r.chunk_idx < len(some_doc) - 1 else 32])
+    assert recon == toks
+
+
+def test_stratified_split_proportions(spark, sf_dir):
+    from zarr_datafusion_search_spark.operators import text as T
+
+    docs = table(spark, sf_dir, "documents")
+    out = T.stratified_split(docs).collect()
+    assert len(out) == docs.count()
+    by = {}
+    for r in out:
+        by.setdefault(r.source, []).append(r.split)
+    for source, splits in by.items():
+        n = len(splits)
+        n_train = sum(s == "train" for s in splits)
+        # exact-proportion: floor/ceil of 0.8n
+        assert abs(n_train - 0.8 * n) < 1, (source, n, n_train)
+
+
+def test_balanced_downsample_caps_and_determinism(spark, sf_dir):
+    from zarr_datafusion_search_spark.operators import text as T
+
+    docs = table(spark, sf_dir, "documents")
+    kept = T.balanced_downsample(docs, per_class=10)
+    counts = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(10, full[lang])
+    assert set(r.doc_id for r in kept.collect()) == set(
+        r.doc_id for r in T.balanced_downsample(docs, per_class=10).collect()
+    )

@@ -6,7 +6,7 @@ Python UDFs in the hot path.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from zarr_datafusion_search_spark.functions.hashing import h64
 from zarr_datafusion_search_spark.operators.dedup import tokens_col
@@ -154,3 +154,100 @@ def weighted_sample(
         F.lit(1.0),
     )
     return df.filter(u < keep_p)
+
+
+def chunk_windows(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunks (context-window sharding).
+
+    Each document's whitespace tokens are cut into windows of ``window``
+    tokens every ``stride`` tokens (the final windows may be shorter), the
+    unit a training pipeline feeds a fixed-context model or a retrieval
+    index. Pure explode + slice — a narrow per-row transform with no
+    shuffle, so it scales linearly with the corpus.
+    """
+    toks = tokens_col(text_col)
+    return (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select(
+            id_col,
+            "_t",
+            F.explode(
+                F.expr(f"sequence(0, size(_t) - 1, {stride})")
+            ).alias("_start"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("_start") / stride).cast("int").alias("chunk_idx"),
+            F.array_join(
+                F.expr(f"slice(_t, _start + 1, {window})"), " "
+            ).alias("chunk_text"),
+            F.least(F.size("_t") - F.col("_start"), F.lit(window))
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Deterministic exact-proportion train/val/test split per stratum.
+
+    Rows rank within their stratum by the portable 60-bit hash of the id
+    (id as tiebreaker); the first ``train`` fraction is 'train', the next
+    ``val`` is 'val', the rest 'test'. Exact proportions per stratum,
+    reproducible across runs and engines, no RNG. One shuffle on the
+    stratum key; at 100 TB strata are large, so skew only appears if one
+    stratum dominates — pre-split such a stratum or fall back to the
+    hash-threshold split (``h64 % 100``), which needs no window at all.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        h64(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    cnt = Window.partitionBy(strata_col)
+    return df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.when(
+            F.row_number().over(w) <= train * F.count(F.lit(1)).over(cnt),
+            "train",
+        )
+        .when(
+            F.row_number().over(w)
+            <= (train + val) * F.count(F.lit(1)).over(cnt),
+            "val",
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def balanced_downsample(
+    df: DataFrame,
+    class_col: str = "lang",
+    per_class: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Class-balanced downsampling: keep at most ``per_class`` rows per
+    class, chosen deterministically by the portable hash (id tiebreaker) so
+    the kept set is a reproducible uniform sample within each class. The
+    standard rebalancing step before training on skewed corpora."""
+    w = Window.partitionBy(class_col).orderBy(
+        h64(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_class)
+        .select(id_col, class_col)
+    )

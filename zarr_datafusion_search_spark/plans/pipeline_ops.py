@@ -1047,3 +1047,70 @@ def streaming_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.attach_fake_media(table(spark, sf, "documents"))
     return multimodal.extract_media_features(media, fake=True)
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH {_TOKS.strip()},
+    starts AS (
+      SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 24)) AS start
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(start // 24 AS INTEGER) AS chunk_idx,
+           array_to_string(t[start + 1 : start + 32], ' ') AS chunk_text,
+           CAST(least(len(t) - start, 32) AS INTEGER) AS n_tokens
+    FROM starts
+    """,
+    doc="Overlapping token-window chunking (32-token windows every 24): "
+    "context-window sharding for fixed-context training or retrieval "
+    "indexing; explode + slice, no shuffle.",
+)
+def text_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
+    return text.chunk_windows(table(spark, sf, "documents"), window=32, stride=24)
+
+
+@register(
+    "split_stratified",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {duckdb_h64("doc_id::VARCHAR")}, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS cnt
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN rn <= 0.8 * cnt THEN 'train'
+                WHEN rn <= 0.9 * cnt THEN 'val'
+                ELSE 'test' END AS split
+    FROM ranked
+    """,
+    doc="Deterministic exact-proportion 80/10/10 train/val/test split "
+    "stratified by source; rank-by-portable-hash, no RNG, reproducible "
+    "across engines.",
+)
+def split_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    return text.stratified_split(table(spark, sf, "documents"))
+
+
+@register(
+    "balanced_downsample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {duckdb_h64("doc_id::VARCHAR")}, doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= 50
+    """,
+    doc="Class-balanced downsampling: keep a deterministic hash-ordered "
+    "sample of at most 50 docs per language — the rebalancing step before "
+    "training on skewed corpora.",
+)
+def balanced_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    return text.balanced_downsample(table(spark, sf, "documents"), per_class=50)
