@@ -977,7 +977,7 @@ _STREAM_RUN_COUNTER = [0]
 @register(
     "streaming_tumbling_counts",
     oracle="""
-    SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600) AS window_start,
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
            event_type,
            count(*)   AS n_events,
            sum(value) AS total_value
@@ -1034,7 +1034,13 @@ def streaming_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
     name = f"zdss_stream_sink_{_STREAM_RUN_COUNTER[0]}"
     stream = sev.read_event_stream(spark, d)
     sev.run_to_memory_sink(sev.tumbling_counts(stream, "1 hour"), name)
-    return spark.table(name).filter(F.col("event_type") != "sentinel")
+    # tz-naive boundary for the driver compare: Spark windows are LTZ, the
+    # DuckDB oracle's are naive — both sides cast (UTC session).
+    return (
+        spark.table(name)
+        .filter(F.col("event_type") != "sentinel")
+        .withColumn("window_start", F.col("window_start").cast("timestamp_ntz"))
+    )
 
 
 @register(

@@ -286,22 +286,24 @@ def grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     "stats_agg",
     oracle="""
     SELECT l_returnflag,
-           stddev_samp(l_quantity)            AS sd_qty,
-           var_samp(l_extendedprice)          AS var_price,
-           corr(l_quantity, l_extendedprice)  AS corr_qty_price,
-           min(l_discount)                    AS min_disc,
-           max(l_discount)                    AS max_disc
+           round(stddev_samp(l_quantity), 6)            AS sd_qty,
+           round(var_samp(l_extendedprice), 6)          AS var_price,
+           round(corr(l_quantity, l_extendedprice), 6)  AS corr_qty_price,
+           min(l_discount)                              AS min_disc,
+           max(l_discount)                              AS max_disc
     FROM lineitem
     GROUP BY l_returnflag
     """,
-    doc="Statistical aggregates: stddev/variance/corr/min/max.",
+    doc="Statistical aggregates: stddev/variance/corr/min/max. "
+    "corr/var/stddev rounded to 6dp on both sides — Spark and DuckDB "
+    "accumulate in different orders and differ in the last 2-3 ULPs.",
 )
 def stats_agg(spark: SparkSession, sf: str) -> DataFrame:
     l = table(spark, sf, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.stddev_samp("l_quantity").alias("sd_qty"),
-        F.var_samp("l_extendedprice").alias("var_price"),
-        F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_extendedprice"), 6).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.min("l_discount").alias("min_disc"),
         F.max("l_discount").alias("max_disc"),
     )
@@ -926,8 +928,8 @@ def date_functions(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_quantity - 25)                       AS qty_dev,
-           ceil(l_extendedprice / 1000)               AS price_k_ceil,
-           floor(l_discount * 100)                    AS disc_pct,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT)  AS price_k_ceil,
+           CAST(floor(l_discount * 100) AS BIGINT)       AS disc_pct,
            round(l_tax * 100)                         AS tax_pct,
            ln(l_extendedprice)                        AS ln_price,
            exp(l_discount)                            AS exp_disc,
@@ -940,7 +942,8 @@ def date_functions(spark: SparkSession, sf: str) -> DataFrame:
            coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none
     FROM lineitem
     """,
-    doc="Math + CASE/coalesce/nullif/cast battery.",
+    doc="Math + CASE/coalesce/nullif/cast battery. DuckDB ceil/floor return "
+    "DOUBLE while Spark's return BIGINT — the oracle casts to BIGINT.",
 )
 def math_case_functions(spark: SparkSession, sf: str) -> DataFrame:
     l = table(spark, sf, "lineitem")
@@ -971,11 +974,13 @@ def math_case_functions(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*)                                           AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     """,
-    doc="JSON field extraction from a string column + aggregate.",
+    doc="JSON field extraction from a string column + aggregate. DuckDB "
+    "sum(BIGINT) yields HUGEINT (renders as float through pandas) — outer "
+    "CAST AS BIGINT keeps the driver hash comparable.",
 )
 def json_functions(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "events")
@@ -989,7 +994,7 @@ def json_functions(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "events_tumbling_window",
     oracle="""
-    SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600) AS window_start,
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
            event_type,
            count(*)    AS n_events,
            sum(value)  AS total_value
@@ -997,13 +1002,19 @@ def json_functions(spark: SparkSession, sf: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     doc="Hourly tumbling-window aggregate over the events table — the batch "
-    "twin of the Structured Streaming query in streaming/events.py.",
+    "twin of the Structured Streaming query in streaming/events.py. Both "
+    "sides emit tz-naive timestamps: Spark's F.window yields LTZ (cast to "
+    "timestamp_ntz under the UTC session), DuckDB's to_timestamp yields "
+    "TIMESTAMPTZ (cast to naive TIMESTAMP).",
 )
 def events_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "events")
     return (
         e.groupBy(
-            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            F.window("ts", "1 hour")
+            .getField("start")
+            .cast("timestamp_ntz")
+            .alias("window_start"),
             "event_type",
         )
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))

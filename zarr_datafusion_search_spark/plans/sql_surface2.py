@@ -121,16 +121,20 @@ def listagg_ordered(spark: SparkSession, sf: str) -> DataFrame:
     "collect_sorted_array",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|') AS statuses,
            count(*) AS n
     FROM orders GROUP BY o_orderpriority
     """,
-    doc="Array-valued aggregate: sorted distinct collection per group.",
+    doc="Array-valued aggregate: sorted distinct collection per group, "
+    "emitted as a '|'-joined string on both sides — the driver's pandas "
+    "canonicalizer cannot sort/hash raw list cells.",
 )
 def collect_sorted_array(spark: SparkSession, sf: str) -> DataFrame:
     o = table(spark, sf, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), "|").alias(
+            "statuses"
+        ),
         F.count(F.lit(1)).alias("n"),
     )
 
