@@ -216,15 +216,34 @@ def count_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "approx_count_distinct",
-    oracle=None,  # HLL sketches differ across engines; rows-only check
-    doc="approx_count_distinct (HLL++). No SQL oracle: sketch estimates are "
-    "engine-specific; pytest asserts relative error vs exact instead.",
+    oracle="""
+    SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(count(DISTINCT l_partkey)  AS BIGINT) AS exact_parts,
+           TRUE AS orders_within_5pct,
+           TRUE AS parts_within_5pct
+    FROM lineitem
+    """,
+    doc="approx_count_distinct (HLL++, rsd=0.01). Sketch estimates are "
+    "engine-specific, so the comparable output is the exact cardinality plus "
+    "a within-±5%% boolean that the oracle asserts as constant TRUE — the "
+    "sketch is still computed and checked, just not hash-compared bit-wise.",
 )
 def approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     l = table(spark, sf, "lineitem")
-    return l.agg(
+    agg = l.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= F.col(e) * F.lit(0.05)
+    )
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        within("approx_orders", "exact_orders").alias("orders_within_5pct"),
+        within("approx_parts", "exact_parts").alias("parts_within_5pct"),
     )
 
 

@@ -89,15 +89,35 @@ def percentiles(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "approx_percentile",
-    oracle=None,  # t-digest/GK sketches are engine-specific
-    doc="approx_percentile sketch (rows-only: sketch estimates differ by "
-    "engine; pytest bounds the error against the exact percentile).",
+    oracle="""
+    SELECT round(quantile_cont(l_extendedprice, 0.5), 6)  AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_exact,
+           TRUE AS p50_within_1pct,
+           TRUE AS p99_within_1pct
+    FROM lineitem
+    """,
+    doc="approx_percentile (GK sketch, accuracy 10000). Sketch estimates are "
+    "engine-specific, so the comparable output is the exact continuous "
+    "percentile plus a within-±1%% boolean the oracle asserts as constant "
+    "TRUE. GK at accuracy=10000 guarantees rank error 1/10000, far inside "
+    "1%% value error on this distribution.",
 )
 def approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
     l = table(spark, sf, "lineitem")
-    return l.agg(
+    agg = l.agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_raw"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99_raw"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= F.abs(F.col(e)) * F.lit(0.01)
+    )
+    return agg.select(
+        F.round("p50_raw", 6).alias("p50_exact"),
+        F.round("p99_raw", 6).alias("p99_exact"),
+        within("p50_approx", "p50_raw").alias("p50_within_1pct"),
+        within("p99_approx", "p99_raw").alias("p99_within_1pct"),
     )
 
 
