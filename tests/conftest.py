@@ -28,6 +28,21 @@ def sf_dir():
 
 
 @pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    from zarr_datafusion_search_spark.plans.registry import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="session")
 def parity_store(tmp_path_factory):
     from zarr_datafusion_search_spark.testing import make_parity_fixture
 

@@ -81,18 +81,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-#: (session id, path) -> cached ns-bridged DataFrame. The bridge is a
-#: driver-side conversion workaround; caching it mirrors the production fix
-#: (rewrite the source to us precision once at ingest, not per query).
-_NANOS_CACHE: dict = {}
-
-
 def _read_nanos_parquet(spark: SparkSession, path: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects ([PARQUET_TYPE_ILLEGAL]). Bridge through pyarrow with a ns->us
-    cast. This materializes through the driver — acceptable for the synthetic
-    fixtures; a production pipeline would rewrite the source to us precision
-    (Spark's native resolution) at ingest.
+    rejects ([PARQUET_TYPE_ILLEGAL]). Route through the executor-side
+    ``zdss_nanos_parquet`` Python data source: the driver touches only the
+    footer, each task reads its own row groups and casts ns->us in place
+    (safe=False truncation — the same truncation a DuckDB TIMESTAMP_NS ->
+    python datetime fetch applies on the oracle side).
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -102,22 +97,14 @@ def _read_nanos_parquet(spark: SparkSession, path: str) -> DataFrame:
         pa.types.is_timestamp(f.type) and f.type.unit == "ns" for f in schema
     ):
         return spark.read.parquet(path)
-    key = (id(spark), path)
-    if key in _NANOS_CACHE:
-        return _NANOS_CACHE[key]
-    t = pq.read_table(path)
-    fields = []
-    for f in t.schema:
-        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
-            fields.append(pa.field(f.name, pa.timestamp("us", tz=f.type.tz)))
-        else:
-            fields.append(f)
-    # safe=False truncates sub-microsecond ticks — the same truncation a
-    # DuckDB TIMESTAMP_NS -> python datetime fetch applies on the oracle side
-    t = t.cast(pa.schema(fields), safe=False)
-    df = spark.createDataFrame(t).cache()
-    _NANOS_CACHE[key] = df
-    return df
+    from zarr_datafusion_search_spark.sources import nanos_parquet
+
+    nanos_parquet.register(spark)
+    return (
+        spark.read.format(nanos_parquet.FORMAT_NAME)
+        .option("path", path)
+        .load()
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
