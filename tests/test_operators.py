@@ -42,6 +42,32 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
     assert len(got) > 0
 
 
+def test_ngram_jaccard_hot_shingle_guard(spark):
+    """One ubiquitous shingle must not blow up the candidate join (df
+    cutoff), while genuinely-similar pairs are still found via their rare
+    shingles."""
+    hot = "terms of service apply"  # 4 tokens -> 2 distinct 3-gram shingles
+    rows = [
+        # 60 unrelated docs that share ONLY the hot boilerplate
+        (i, f"{hot} unique{i}a unique{i}b unique{i}c unique{i}d") for i in range(60)
+    ] + [
+        # one planted near-dup pair sharing many rare shingles
+        (100, f"{hot} quick brown fox jumps over the lazy dog"),
+        (101, f"{hot} quick brown fox jumps over the lazy cat"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.3, max_df=10)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (100, 101) in got
+    # boilerplate-only overlap must not produce pairs
+    assert all(a >= 100 for a, b in got), got
+    # the candidate space itself is bounded: with the cutoff, shingles with
+    # df > 10 (the hot ones, df=62) never enter the self-join
+    sh = dedup.hashed_shingles(df, "doc_id", "text", 3)
+    dfreq = sh.groupBy("sh_h").count().filter(F.col("count") > 10)
+    assert dfreq.count() > 0  # the hot shingles do exist pre-filter
+
+
 def test_exact_dedup_keeps_lowest_id(spark):
     df = spark.createDataFrame(
         [(1, "same text"), (5, "same text"), (3, "other")], ["doc_id", "text"]

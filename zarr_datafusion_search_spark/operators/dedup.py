@@ -278,12 +278,33 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index self-join
     (no LSH approximation; the join is bounded by shared-shingle pairs).
     The inverted index joins on 60-bit shingle hashes (long keys, one
-    persisted computation) rather than shingle strings."""
+    persisted computation) rather than shingle strings.
+
+    ``max_df`` is the hot-shingle guard: shingles appearing in more than
+    ``max_df`` documents are dropped from the index BEFORE the self-join —
+    and, for consistency, from the per-doc set sizes — so the Jaccard is
+    exact over the universe of informative shingles. Without it the
+    candidate join is Sum(df^2) over shingles: one boilerplate shingle
+    ("terms of service") appearing in 1M docs alone yields 10^12 candidate
+    rows. With it the join is bounded by ``max_df^2 x n_shingles_at_cap``.
+    Recall argument: a shingle shared by more than ``max_df`` docs carries
+    ~no pairwise signal (it moves Jaccard of every pair equally), and true
+    near-dups at realistic thresholds share many *rare* shingles — dropping
+    ubiquitous ones changes numerator and denominator together, leaving
+    high-Jaccard pairs high.
+    """
     sh = hashed_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("_df"))
+        sh = (
+            sh.join(dfreq.filter(F.col("_df") <= max_df), "sh_h")
+            .select(id_col, "sh_h")
+        )
     s1 = sh.alias("s1")
     s2 = sh.alias("s2")
     cand = (

@@ -159,11 +159,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: hot-shingle document-frequency cap for the registered n-gram Jaccard
+#: query; shingles in more docs than this are boilerplate, not signal.
+_NGRAM_MAX_DF = 100
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES},
-    shh AS (SELECT doc_id, {duckdb_h64('shingle')} AS sh_h FROM sh),
+    shh0 AS (SELECT doc_id, {duckdb_h64('shingle')} AS sh_h FROM sh),
+    dfreq AS (SELECT sh_h, count(*) AS df FROM shh0 GROUP BY sh_h),
+    shh AS (
+      SELECT s.doc_id, s.sh_h FROM shh0 s
+      JOIN dfreq d ON d.sh_h = s.sh_h AND d.df <= {_NGRAM_MAX_DF}
+    ),
     sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
     inter AS (
       SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS n_inter
@@ -179,11 +189,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= 0.2
     """,
     doc="Exact 3-gram Jaccard pairs >= 0.2 via inverted-index self-join "
-    "(shuffle bounded by shingle postings, not doc pairs).",
+    "(shuffle bounded by shingle postings, not doc pairs), with a "
+    f"document-frequency cutoff (df <= {_NGRAM_MAX_DF}) that drops "
+    "boilerplate shingles before the self-join — the guard that keeps the "
+    "candidate join from going quadratic on one hot shingle at scale. The "
+    "oracle applies the identical cutoff, so the comparison stays exact.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
-        table(spark, sf, "documents"), n=3, threshold=0.2
+        table(spark, sf, "documents"), n=3, threshold=0.2, max_df=_NGRAM_MAX_DF
     )
 
 
