@@ -68,6 +68,49 @@ def test_ngram_jaccard_hot_shingle_guard(spark):
     assert dfreq.count() > 0  # the hot shingles do exist pre-filter
 
 
+def _synthetic_embeddings(spark, n=60, dim=8):
+    """n vectors; ids 2i and 2i+1 for i<5 are exact duplicates (cosine 1)."""
+    import math
+
+    rows = []
+    for i in range(n):
+        base = i // 2 if i < 10 else i  # first 5 pairs duplicated
+        vec = [math.sin(base * 37 + j) for j in range(dim)]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_near_dup_size_guard_routes_to_bucketed(spark, monkeypatch):
+    """Above max_allpairs_rows the corpus must NOT be collected to the
+    driver; the bucketed path must still find every planted exact dup."""
+    corpus = _synthetic_embeddings(spark)
+
+    def boom(*a, **k):
+        raise AssertionError("driver-side collect on a large corpus")
+
+    monkeypatch.setattr(similarity, "_corpus_matrix", boom)
+    pairs = similarity.embedding_near_dup_pairs(
+        corpus, threshold=0.99, max_allpairs_rows=10, dim=8
+    )
+    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    # identical vectors collide in every SRP table: recall 1 on exact dups
+    assert {(2 * i, 2 * i + 1) for i in range(5)} <= got
+    assert all(r.cosine >= 0.99 for r in pairs.collect())
+
+
+def test_near_dup_small_corpus_uses_exact_path(spark):
+    """Under the guard both paths agree exactly on planted dups."""
+    corpus = _synthetic_embeddings(spark)
+    exact = similarity.embedding_near_dup_pairs(corpus, threshold=0.99, dim=8)
+    bucketed = similarity.embedding_near_dup_pairs_bucketed(
+        corpus, threshold=0.99, dim=8
+    )
+    e = {(r.vec_a, r.vec_b, r.cosine) for r in exact.collect()}
+    b = {(r.vec_a, r.vec_b, r.cosine) for r in bucketed.collect()}
+    assert b <= e  # bucketed is a (here: equal-value) subset
+    assert {(2 * i, 2 * i + 1) for i in range(5)} <= {(x, y) for x, y, _ in e}
+
+
 def test_exact_dedup_keeps_lowest_id(spark):
     df = spark.createDataFrame(
         [(1, "same text"), (5, "same text"), (3, "other")], ["doc_id", "text"]

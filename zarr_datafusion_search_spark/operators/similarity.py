@@ -163,16 +163,47 @@ def lsh_topk(
     )
 
 
+#: above this corpus size the exact all-pairs GEMM (which collects the
+#: corpus matrix to the driver and broadcasts it) is refused and near-dup
+#: detection auto-routes to SRP bucketing + exact rescore.
+NEAR_DUP_ALLPAIRS_MAX_ROWS = 1_000_000
+
+
+def _corpus_matrix(corpus: DataFrame, id_col: str, vec_col: str):
+    """Driver-side (ids, L2-normalized matrix) — only for small corpora."""
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_allpairs_rows: int = NEAR_DUP_ALLPAIRS_MAX_ROWS,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (exact all-pairs baseline).
+    """Pairs with cosine >= threshold.
 
-    Two phases so the O(n^2) scoring runs as vectorized BLAS instead of
-    2M+ per-pair ``zip_with`` folds (60x on the sf0.1 bench):
+    Two regimes behind one API, switched on corpus size (one cheap count):
+
+    - ``<= max_allpairs_rows``: **exact all-pairs** via broadcast GEMM
+      (below) — the correctness baseline;
+    - above it: **SRP-bucketed** candidates + exact rescore
+      (:func:`embedding_near_dup_pairs_bucketed`) — no driver
+      materialization, equi-join shuffle only; recall < 1 by design
+      (identical/near-identical vectors still collide with probability
+      ~1 - (1 - p^r)^L, ~0.99+ at cosine 0.9 with 8x4 tables).
+
+    The exact path runs in two phases so the O(n^2) scoring is vectorized
+    BLAS instead of per-pair ``zip_with`` folds (60x on the sf0.1 bench):
 
     1. **candidate generation**: the corpus matrix is broadcast to every
        executor; ``mapInPandas`` partitions GEMM their slice against it and
@@ -181,21 +212,24 @@ def embedding_near_dup_pairs(
     2. **exact rescore**: survivors (a tiny set) recompute the cosine with
        the sequential-fold expression, so emitted values and the threshold
        decision are bit-identical to the DuckDB oracle.
-
-    All-pairs is the correctness baseline only — at 100 TB use
-    :func:`lsh_topk` bucketing; the broadcast matrix caps this variant at
-    corpora that fit in executor memory.
     """
-    import numpy as np
+    if corpus.count() > max_allpairs_rows:
+        return embedding_near_dup_pairs_bucketed(
+            corpus,
+            threshold,
+            id_col,
+            vec_col,
+            n_tables=n_tables,
+            planes_per_table=planes_per_table,
+            dim=dim,
+        )
 
-    rows = corpus.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids, mat = _corpus_matrix(corpus, id_col, vec_col)
     sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast((ids, mat))
 
     def gemm_candidates(batches):
+        import numpy as np
         import pandas as pd
 
         all_ids, all_mat = bc.value
@@ -223,6 +257,73 @@ def embedding_near_dup_pairs(
         .join(b, "vec_b")
         .select("vec_a", "vec_b", cosine_similarity("va", "vb").alias("_cos"))
         .filter(F.col("_cos") >= threshold)  # exact sequential-fold decision
+        .select("vec_a", "vec_b", F.round("_cos", COS_ROUND).alias("cosine"))
+    )
+
+
+def embedding_near_dup_pairs_bucketed(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-dup pairs via multi-table SRP bucketing — the 100 TB path.
+
+    No driver materialization anywhere: each vector maps to ``n_tables``
+    (table, bucket) keys (narrow, codegen'd SRP folds), the self-join is an
+    equi-join on those keys (shuffles only bucket-colliding rows), and
+    survivors are rescored with the exact sequential-fold cosine so every
+    emitted pair satisfies the threshold exactly. Precision is 1 (rescore);
+    recall is 1 - (1 - p^r)^L with p = 1 - theta/pi — identical vectors
+    (theta=0) always collide, so true duplicates are never missed.
+    """
+    all_planes = [
+        [_hyperplane(dim, t * planes_per_table + p) for p in range(planes_per_table)]
+        for t in range(n_tables)
+    ]
+
+    def with_buckets(df: DataFrame, idal: str, vecal: str) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias(idal),
+            F.col(vec_col).alias(vecal),
+            *[
+                srp_bucket(vec_col, all_planes[t]).alias(f"_b{t}")
+                for t in range(n_tables)
+            ],
+        )
+        return out.select(
+            idal,
+            vecal,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bucket")
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(
+            idal, vecal, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+        )
+
+    a = with_buckets(corpus, "vec_a", "va")
+    b = with_buckets(corpus, "vec_b", "vb")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.select(
+            "vec_a", "vec_b", cosine_similarity("va", "vb").alias("_cos")
+        )
+        .filter(F.col("_cos") >= threshold)
         .select("vec_a", "vec_b", F.round("_cos", COS_ROUND).alias("cosine"))
     )
 
