@@ -102,3 +102,115 @@ def test_create_table_using_zarr_sql(spark, parity_store):
     assert [r.collection for r in rows] == [
         "collection_a", "collection_b", "collection_c",
     ]
+
+
+# ---------------------------------------------------------------------------
+# distributed (task-side) sink
+# ---------------------------------------------------------------------------
+
+
+def test_distributed_roundtrip_multichunk(spark, tmp_path):
+    from zarr_datafusion_search_spark.sources.zarr_sink import (
+        write_zarr_distributed,
+    )
+
+    store = str(tmp_path / "dist.zarr")
+    df = spark.range(0, 10_000, 1, 8).select(
+        F.col("id"), (F.col("id") * 2.5).alias("x"),
+        F.concat(F.lit("row_"), F.col("id")).alias("s"),
+    )
+    n = write_zarr_distributed(df, store, "/data", chunk_rows=1000)
+    assert n == 10_000
+    back = ZarrTable(store, "/data").to_df(spark)
+    # 10 chunks -> 10 scan partitions (chunk-partitioned source)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(10_000))
+    row = back.filter(F.col("id") == 1234).collect()[0]
+    assert row.x == 1234 * 2.5 and row.s == "row_1234"
+    # chunk files exist for every chunk id (task-side writes, not driver)
+    import os
+
+    assert sorted(
+        int(c) for c in os.listdir(str(tmp_path / "dist.zarr" / "data" / "id" / "c"))
+    ) == list(range(10))
+
+
+def test_distributed_matches_format_writer(spark, sf_dir, tmp_path):
+    """Task-side sink and streaming driver sink must produce byte-identical
+    reads (same codec stack, same chunk grid)."""
+    from zarr_datafusion_search_spark.sources.zarr_sink import (
+        write_zarr_distributed,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    store = str(tmp_path / "docs_dist.zarr")
+    write_zarr_distributed(docs, store, "/data", chunk_rows=128)
+    back = ZarrTable(store, "/data").to_df(spark)
+    want = {r.doc_id: (r.text, r.lang) for r in docs.collect()}
+    got = {r.doc_id: (r.text, r.lang) for r in back.collect()}
+    assert got == want
+
+
+def test_distributed_timestamps(spark, tmp_path):
+    from zarr_datafusion_search_spark.sources.zarr_sink import (
+        write_zarr_distributed,
+    )
+
+    store = str(tmp_path / "ts_dist.zarr")
+    base = datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    df = spark.createDataFrame(
+        [(i, base + datetime.timedelta(hours=i)) for i in range(5)], ["id", "t"]
+    )
+    write_zarr_distributed(df, store)
+    back = ZarrTable(store).to_df(spark).orderBy("id").collect()
+    assert back[0].t == base
+    assert back[4].t == base + datetime.timedelta(hours=4)
+
+
+def test_distributed_null_int_rejected(spark, tmp_path):
+    from zarr_datafusion_search_spark.sources.zarr_sink import (
+        write_zarr_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, v long"
+    )
+    with pytest.raises(Exception, match="non-nullable|nulls"):
+        write_zarr_distributed(df, str(tmp_path / "nul.zarr"))
+
+
+def test_distributed_null_fill(spark, tmp_path):
+    from zarr_datafusion_search_spark.sources.zarr_sink import (
+        write_zarr_distributed,
+    )
+
+    store = str(tmp_path / "fill.zarr")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, v long"
+    )
+    write_zarr_distributed(df, store, null_fill={"v": -1})
+    back = {r.id: r.v for r in ZarrTable(store).to_df(spark).collect()}
+    assert back == {1: 10, 2: -1, 3: 30}
+
+
+def test_distributed_overwrite_guard(spark, tmp_path):
+    from zarr_datafusion_search_spark.sources.zarr_sink import (
+        write_zarr_distributed,
+    )
+
+    store = str(tmp_path / "ow_dist.zarr")
+    df = spark.range(5).select("id")
+    write_zarr_distributed(df, store)
+    with pytest.raises(ValueError, match="already exists"):
+        write_zarr_distributed(df, store)
+    write_zarr_distributed(spark.range(3).select("id"), store, overwrite=True)
+    assert ZarrTable(store).to_df(spark).count() == 3
+
+
+def test_format_writer_null_int_rejected(spark, tmp_path):
+    """ADVICE fix: the driver-side sink previously wrote float64+NaN bytes
+    under int metadata for null-bearing columns — must now fail loudly."""
+    _ensure_registered(spark)
+    df = spark.createDataFrame([(1, 10), (2, None)], "id long, v long")
+    with pytest.raises(Exception, match="non-nullable|nulls"):
+        df.write.format("zarr").mode("append").save(str(tmp_path / "nulfmt.zarr"))

@@ -981,6 +981,39 @@ def sink_zarr_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "sink_zarr_distributed_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Write documents through the distributed (task-side) zarr sink — "
+    "global row ids, one shuffle on chunk id, executors write whole chunks, "
+    "metadata-only commit — read back through the chunk-partitioned source "
+    "and aggregate; oracle is the same aggregate on the parquet original.",
+)
+def sink_zarr_distributed_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from zarr_datafusion_search_spark import ZarrTable
+    from zarr_datafusion_search_spark.sources.zarr_sink import (
+        write_zarr_distributed,
+    )
+
+    store = tempfile.mkdtemp(prefix="zdss_dsink_") + "/docs.zarr"
+    write_zarr_distributed(
+        table(spark, sf, "documents").select("doc_id", "lang", "n_chars"),
+        store,
+        chunk_rows=256,
+    )
+    back = ZarrTable(store).to_df(spark)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # structured streaming (batch-equivalent check through the streaming engine)
 # ---------------------------------------------------------------------------

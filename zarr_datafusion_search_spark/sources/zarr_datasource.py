@@ -513,6 +513,18 @@ class ZarrWriter(DataSourceArrowWriter):
                     batch = reader.get_batch(i)
                     for f in self._schema.fields:
                         col = batch.column(f.name)
+                        # the zarr table model is non-nullable: a null int/
+                        # timestamp column silently degrades to float64+NaN
+                        # under to_numpy (garbage bytes under int metadata),
+                        # and string nulls would render as the literal
+                        # 'None' — fail loudly instead. (Float NaN is a
+                        # legal zarr value and passes through.)
+                        if col.null_count and not pa.types.is_floating(col.type):
+                            raise ValueError(
+                                f"column {f.name!r} has {col.null_count} "
+                                "nulls: the zarr table model is non-nullable "
+                                "— drop or fill nulls before writing"
+                            )
                         if pa.types.is_timestamp(col.type):
                             vals = col.cast(pa.timestamp("us")).cast(pa.int64())
                             writers[f.name].append(

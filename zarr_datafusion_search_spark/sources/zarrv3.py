@@ -564,6 +564,102 @@ def write_group(
         _write_array(group_dir, name, values, chunk_rows, zstd_level)
 
 
+def encode_chunk_payload(
+    vals, is_string: bool, pad: int, zstd_level: int
+) -> bytes:
+    """Encode one chunk's values (plus ``pad`` fill rows) to compressed
+    bytes — the stateless core shared by :class:`ChunkedArrayWriter`
+    (driver-side streaming) and the distributed sink's task-side writes."""
+    if is_string:
+        items = [str(v).encode("utf-8") for v in vals]
+        items.extend([b""] * pad)
+        payload = _encode_vlen(items)
+    else:
+        arr = np.asarray(vals)
+        if pad:
+            arr = np.concatenate([arr, np.zeros(pad, dtype=arr.dtype)])
+        if arr.dtype.kind == "M":
+            arr = arr.astype("<i8")
+        else:
+            arr = arr.astype(arr.dtype.newbyteorder("<"))
+        payload = arr.tobytes()
+    return _zstd_compress(payload, zstd_level)
+
+
+def chunk_stats(vals, is_string: bool):
+    """(min, max) of a chunk's real (pre-padding) values, or (None, None)
+    for empty/boolean chunks. Datetimes record integer ticks."""
+    if len(vals) == 0:
+        return None, None
+    if is_string:
+        return min(vals), max(vals)
+    arr = np.asarray(vals)
+    if arr.dtype.kind == "b":
+        return None, None
+    if arr.dtype.kind == "M":
+        arr = arr.astype("<i8")
+    return arr.min().item(), arr.max().item()
+
+
+def write_array_metadata(
+    arr_dir: str,
+    n_rows: int,
+    chunk_rows: int,
+    is_string: bool,
+    np_dtype=None,
+    datetime_unit: str | None = None,
+    zstd_level: int = 0,
+    stat_min: "list | None" = None,
+    stat_max: "list | None" = None,
+) -> None:
+    """Write one array's ``zarr.json`` (shape/dtype/codecs/chunk stats)."""
+    if is_string:
+        dt: Any = "string"
+        codecs = [
+            {"name": "vlen-utf8", "configuration": {}},
+            {"name": "zstd", "configuration": {"level": zstd_level, "checksum": False}},
+        ]
+        fill: Any = ""
+    else:
+        if datetime_unit:
+            zdt = ZarrDType("datetime64", unit=datetime_unit)
+            fill = -9223372036854775808
+        else:
+            zdt = _numpy_to_zarr_dtype(np.empty(0, np_dtype))
+            fill = 0
+        dt = dtype_to_json(zdt)
+        codecs = [
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "zstd", "configuration": {"level": zstd_level, "checksum": False}},
+        ]
+    attributes: dict = {}
+    if stat_min and any(v is not None for v in stat_min):
+        attributes["zdss:chunk_stats"] = {"min": stat_min, "max": stat_max}
+    _write_json(
+        os.path.join(arr_dir, "zarr.json"),
+        {
+            "shape": [n_rows],
+            "data_type": dt,
+            "chunk_grid": {
+                "name": "regular",
+                "configuration": {
+                    "chunk_shape": [max(1, min(chunk_rows, max(n_rows, 1)))]
+                },
+            },
+            "chunk_key_encoding": {
+                "name": "default",
+                "configuration": {"separator": "/"},
+            },
+            "fill_value": fill,
+            "codecs": codecs,
+            "attributes": attributes,
+            "zarr_format": 3,
+            "node_type": "array",
+            "storage_transformers": [],
+        },
+    )
+
+
 class ChunkedArrayWriter:
     """Incremental writer for one 1-D array: feed values in arbitrary-sized
     pieces, chunks are flushed to disk as soon as they fill, metadata is
@@ -617,98 +713,31 @@ class ChunkedArrayWriter:
 
     def _flush_chunk(self, n: int) -> None:
         vals = self._take(n)
-        self._record_stats(vals, n)
+        lo, hi = chunk_stats(vals, self.is_string)
+        self._stat_min.append(lo)
+        self._stat_max.append(hi)
         # the zarr spec stores edge chunks at full chunk size, padded with
         # the fill value; pad only when this is a ragged tail of a
         # multi-chunk array (a single-chunk array gets chunk_shape == n)
         pad = self.chunk_rows - n if (self._chunk_idx > 0 and n < self.chunk_rows) else 0
-        if self.is_string:
-            items = [str(v).encode("utf-8") for v in vals]
-            items.extend([b""] * pad)
-            payload = _encode_vlen(items)
-        else:
-            arr = np.asarray(vals)
-            if pad:
-                arr = np.concatenate([arr, np.zeros(pad, dtype=arr.dtype)])
-            if arr.dtype.kind == "M":
-                arr = arr.astype("<i8")
-            else:
-                arr = arr.astype(arr.dtype.newbyteorder("<"))
-            payload = arr.tobytes()
         with open(os.path.join(self.arr_dir, "c", str(self._chunk_idx)), "wb") as f:
-            f.write(_zstd_compress(payload, self.zstd_level))
+            f.write(encode_chunk_payload(vals, self.is_string, pad, self.zstd_level))
         self._chunk_idx += 1
         self._n_written += n
-
-    def _record_stats(self, vals, n: int) -> None:
-        """Per-chunk min/max on the real (pre-padding) values. Datetime
-        chunks record integer ticks; bools are skipped (no pruning value)."""
-        if n == 0:
-            self._stat_min.append(None)
-            self._stat_max.append(None)
-            return
-        if self.is_string:
-            self._stat_min.append(min(vals))
-            self._stat_max.append(max(vals))
-            return
-        arr = np.asarray(vals)
-        if arr.dtype.kind == "b":
-            self._stat_min.append(None)
-            self._stat_max.append(None)
-            return
-        if arr.dtype.kind == "M":
-            arr = arr.astype("<i8")
-        self._stat_min.append(arr.min().item())
-        self._stat_max.append(arr.max().item())
 
     def close(self) -> int:
         if self._buf_len:
             self._flush_chunk(self._buf_len)
-        if self.is_string:
-            dt: Any = "string"
-            codecs = [
-                {"name": "vlen-utf8", "configuration": {}},
-                {"name": "zstd", "configuration": {"level": self.zstd_level, "checksum": False}},
-            ]
-            fill: Any = ""
-        else:
-            if self.datetime_unit:
-                zdt = ZarrDType("datetime64", unit=self.datetime_unit)
-                fill = -9223372036854775808
-            else:
-                zdt = _numpy_to_zarr_dtype(np.empty(0, self.np_dtype))
-                fill = 0
-            dt = dtype_to_json(zdt)
-            codecs = [
-                {"name": "bytes", "configuration": {"endian": "little"}},
-                {"name": "zstd", "configuration": {"level": self.zstd_level, "checksum": False}},
-            ]
-        attributes: dict = {}
-        if self._stat_min and any(v is not None for v in self._stat_min):
-            attributes["zdss:chunk_stats"] = {
-                "min": self._stat_min,
-                "max": self._stat_max,
-            }
-        _write_json(
-            os.path.join(self.arr_dir, "zarr.json"),
-            {
-                "shape": [self._n_written],
-                "data_type": dt,
-                "chunk_grid": {
-                    "name": "regular",
-                    "configuration": {"chunk_shape": [max(1, min(self.chunk_rows, max(self._n_written, 1)))]},
-                },
-                "chunk_key_encoding": {
-                    "name": "default",
-                    "configuration": {"separator": "/"},
-                },
-                "fill_value": fill,
-                "codecs": codecs,
-                "attributes": attributes,
-                "zarr_format": 3,
-                "node_type": "array",
-                "storage_transformers": [],
-            },
+        write_array_metadata(
+            self.arr_dir,
+            n_rows=self._n_written,
+            chunk_rows=self.chunk_rows,
+            is_string=self.is_string,
+            np_dtype=self.np_dtype,
+            datetime_unit=self.datetime_unit,
+            zstd_level=self.zstd_level,
+            stat_min=self._stat_min,
+            stat_max=self._stat_max,
         )
         return self._n_written
 
