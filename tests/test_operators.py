@@ -164,6 +164,29 @@ def test_asof_join_equal_ts_matches(spark):
     assert row.value_right == 2.5  # >= semantics: equal timestamps match
 
 
+def test_asof_join_null_payload_is_atomic(spark):
+    """When the matched right row carries a NULL payload value, the result
+    must be that NULL — not a backfill from an older right row (the whole
+    right row is taken atomically, matching DuckDB ASOF)."""
+    ts = datetime.datetime
+    left = spark.createDataFrame(
+        [(1, ts(2024, 1, 1, 12, 0), 1)], ["user_id", "ts", "event_id"]
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(2024, 1, 1, 10, 0), 5.0, "old"),
+            (1, ts(2024, 1, 1, 11, 0), None, "new"),  # matched row, NULL value
+        ],
+        "user_id long, ts timestamp, value double, tag string",
+    )
+    row = asof.asof_join(
+        left, right, "user_id", "ts", ["value", "tag"]
+    ).collect()[0]
+    assert row.ts_right == ts(2024, 1, 1, 11, 0)
+    assert row.tag_right == "new"
+    assert row.value_right is None  # NOT 5.0 backfilled from the old row
+
+
 def test_sessionize_gap_boundary(spark):
     ts = datetime.datetime
     df = spark.createDataFrame(

@@ -400,3 +400,110 @@ def test_nested_group_path(spark, tmp_path):
     zarrv3.write_group(store, "outer/inner", {"x": np.arange(10, dtype=np.int64)})
     t = ZarrTable(store, "/outer/inner")
     assert t.to_df(spark).count() == 10
+
+
+def test_crc32c_known_vector():
+    assert zarrv3.crc32c(b"123456789") == 0xE3069283
+    assert zarrv3.crc32c(b"") == 0
+
+
+def test_crc32c_codec_verifies_and_detects_corruption(tmp_path):
+    import struct as st
+
+    store = str(tmp_path / "crc.zarr")
+    payload = np.arange(10, dtype="<i8").tobytes()
+    _write_minimal_array(
+        store, "int64", payload, 10,
+        codecs=[
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "zstd", "configuration": {"level": 0, "checksum": False}},
+            {"name": "crc32c", "configuration": {}},
+        ],
+    )
+    p = f"{store}/g/x/c/0"
+    comp = open(p, "rb").read()
+    open(p, "wb").write(comp + st.pack("<I", zarrv3.crc32c(comp)))
+    meta = zarrv3.open_array(store, "g/x")
+    assert list(meta.read_range(0, 10)) == list(range(10))
+    # flip one byte of the compressed body: must fail loudly, not decode
+    # silently into wrong values
+    raw = bytearray(open(p, "rb").read())
+    raw[5] ^= 0xFF
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(zarrv3.ZarrError, match="crc32c mismatch"):
+        zarrv3.open_array(store, "g/x").read_range(0, 10)
+
+
+def test_shard_index_crc32c_verified(tmp_path):
+    import json as js
+    import struct as st
+
+    store = str(tmp_path / "shardcrc.zarr")
+    zarrv3.write_sharded_group(
+        store, "g", {"x": np.arange(1000, dtype=np.int64)},
+        shard_rows=512, inner_rows=128,
+    )
+    # retrofit a crc32c index checksum onto shard 0
+    meta_path = f"{store}/g/x/zarr.json"
+    doc = js.load(open(meta_path))
+    cfg = doc["codecs"][0]["configuration"]
+    assert cfg.get("index_location", "end") == "end"
+    cfg["index_codecs"] = [
+        {"name": "bytes", "configuration": {"endian": "little"}},
+        {"name": "crc32c", "configuration": {}},
+    ]
+    js.dump(doc, open(meta_path, "w"))
+    for shard in ("0", "1"):
+        p = f"{store}/g/x/c/{shard}"
+        raw = open(p, "rb").read()
+        idx = raw[-4 * 16:]
+        open(p, "wb").write(raw + st.pack("<I", zarrv3.crc32c(idx)))
+    meta = zarrv3.open_array(store, "g/x")
+    assert list(meta.read_range(0, 10)) == list(range(10))
+    # corrupt one index byte in shard 0
+    p = f"{store}/g/x/c/0"
+    raw = bytearray(open(p, "rb").read())
+    raw[-10] ^= 0xFF
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(zarrv3.ZarrError, match="crc32c mismatch.*shard index"):
+        zarrv3.open_array(store, "g/x").read_range(0, 10)
+
+
+def test_datetime_pruning_exact_boundary(spark, tmp_path):
+    """Integer-tick conversion: a filter equal to a chunk's true min/max
+    must never prune that chunk (float total_seconds() rounding could)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+    from zarr_datafusion_search_spark.sources.zarr_datasource import ZarrReader
+    from zarr_datafusion_search_spark.sources.typemap import group_schema
+    import datetime as dt
+
+    store = str(tmp_path / "prune_us.zarr")
+    # us-precision values with sub-second parts where float seconds round
+    base = np.datetime64("2020-01-01T00:00:00.123456", "us")
+    vals = base + np.arange(1000).astype("timedelta64[s]")
+    zarrv3.write_group(store, "g", {"t": vals}, chunk_rows=100)
+    group = zarrv3.open_group(store, "g")
+    schema = group_schema({n: m.dtype for n, m in group.arrays.items()})
+
+    # chunk 3 spans rows [300, 400); its min is base + 300s exactly
+    boundary = dt.datetime(2020, 1, 1, 0, 5, 0, 123456)
+    r = ZarrReader(store, "g", schema, partition_rows=100)
+    list(r.pushFilters([EqualTo(("t",), boundary)]))
+    parts = [p for p in r.partitions() if p.stop > p.start]
+    assert len(parts) == 1 and parts[0].start == 300
+
+    # s-unit array + sub-second filter value: exact rational comparison
+    store2 = str(tmp_path / "prune_s.zarr")
+    vals_s = np.datetime64("2020-01-01", "s") + np.arange(1000).astype("timedelta64[s]")
+    zarrv3.write_group(store2, "g", {"t": vals_s}, chunk_rows=100)
+    group2 = zarrv3.open_group(store2, "g")
+    schema2 = group_schema({n: m.dtype for n, m in group2.arrays.items()})
+    r2 = ZarrReader(store2, "g", schema2, partition_rows=100)
+    list(r2.pushFilters([GreaterThanOrEqual(("t",), dt.datetime(2020, 1, 1, 0, 16, 38, 500000))]))
+    parts2 = [p for p in r2.partitions() if p.stop > p.start]
+    # t >= 998.5s matches only t=999 in chunk 9 (rows 900..1000)
+    assert parts2 and parts2[0].start == 900
+    # a filter past the true max prunes everything (fractional tick exact)
+    r3 = ZarrReader(store2, "g", schema2, partition_rows=100)
+    list(r3.pushFilters([GreaterThanOrEqual(("t",), dt.datetime(2020, 1, 1, 0, 16, 39, 500000))]))
+    assert not [p for p in r3.partitions() if p.stop > p.start]

@@ -276,19 +276,30 @@ class ZarrReader(DataSourceReader):
             return None
 
         def conv(v):
+            if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+                v = _dt.datetime(v.year, v.month, v.day)
             if isinstance(v, _dt.datetime):
-                # datetime stats are stored as integer ticks in the unit
-                scale = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[
-                    meta.dtype.unit or "us"
-                ]
-                return (v - _dt.datetime(1970, 1, 1)).total_seconds() * scale
-            if isinstance(v, _dt.date):
-                return (
-                    _dt.datetime(v.year, v.month, v.day)
-                    - _dt.datetime(1970, 1, 1)
-                ).total_seconds() * {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[
-                    meta.dtype.unit or "us"
-                ]
+                # datetime stats are integer ticks in the array unit.
+                # Exact integer/rational arithmetic only: float
+                # total_seconds() rounds (~0.25us at us precision), which
+                # could push the comparable across a chunk's true min/max
+                # and wrongly prune a boundary-matching chunk.
+                from fractions import Fraction
+
+                if v.tzinfo is not None:
+                    v = v.replace(tzinfo=None) - v.utcoffset()
+                delta = v - _dt.datetime(1970, 1, 1)
+                ticks_us = (
+                    delta.days * 86_400 + delta.seconds
+                ) * 10**6 + delta.microseconds
+                per_us = {
+                    "s": Fraction(1, 10**6),
+                    "ms": Fraction(1, 10**3),
+                    "us": Fraction(1),
+                    "ns": Fraction(1000),
+                }[meta.dtype.unit or "us"]
+                ticks = ticks_us * per_us
+                return int(ticks) if ticks.denominator == 1 else ticks
             if isinstance(v, (int, float, str)):
                 return v
             return None
