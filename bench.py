@@ -144,7 +144,7 @@ def main() -> None:
                 times.append(dt)
         per_query[name] = round(statistics.median(times), 4)
 
-    per_query.update(_zarr_scan_bench(spark))
+    zarr_micro = _zarr_scan_bench(spark)
 
     total = round(sum(per_query.values()), 4)
     print(
@@ -154,6 +154,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                # zarr scan microbench (BASELINE.md) — no DuckDB counterpart,
+                # reported separately and EXCLUDED from the headline total
+                "zarr_microbench": zarr_micro,
+                "zarr_microbench_total": round(sum(zarr_micro.values()), 4),
                 "sf": _sf_from_dir(SF_DIR),
                 "config": {
                     "master": f"local[{CPUS}]",

@@ -749,3 +749,80 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    regional AS (
+      SELECT c.l_partkey, c.unit_cost, s.s_acctbal, s.s_name, n.n_name
+      FROM costs c
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    ranked AS (
+      SELECT rg.*, p.p_brand, p.p_type, p.p_partkey,
+             min(rg.unit_cost) OVER (PARTITION BY p.p_partkey) AS min_cost
+      FROM regional rg JOIN part p ON p.p_partkey = rg.l_partkey
+      WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type LIKE '%MY'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, p_type
+    FROM ranked WHERE unit_cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 minimum-cost supplier, adapted: no partsupp table in the "
+    "fixtures, so per-(part, supplier) unit cost is derived from lineitem "
+    "(min extendedprice/quantity). The correlated 'cost = regional minimum' "
+    "subquery is expressed as a window min over p_partkey — the decorrelated "
+    "plan Catalyst would produce. Both engines compute the identical double "
+    "(same division, same min), so the equality filter is exact. Scale: "
+    "part/nation/region broadcast; one shuffle for the cost aggregation, "
+    "one for the per-part window.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    costs = (
+        table(spark, sf, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    s = table(spark, sf, "supplier")
+    n = F.broadcast(table(spark, sf, "nation"))
+    r = F.broadcast(
+        table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    p = F.broadcast(
+        table(spark, sf, "part").filter(
+            F.col("p_size").between(10, 20) & F.col("p_type").like("%MY")
+        )
+    )
+    regional = (
+        costs.join(s, costs.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "unit_cost", "s_acctbal", "s_name", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        regional.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "p_type")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
