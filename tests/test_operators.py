@@ -401,3 +401,32 @@ def test_balanced_downsample_caps_and_determinism(spark, sf_dir):
     assert set(r.doc_id for r in kept.collect()) == set(
         r.doc_id for r in T.balanced_downsample(docs, per_class=10).collect()
     )
+
+
+def test_connected_components_multi_hop(spark):
+    """A~B, B~C must land A, B, C in one component labeled min(A,B,C),
+    even though A and C never share an edge; separate cluster + determinism."""
+    from zarr_datafusion_search_spark.operators import components
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21), (9, 30)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r.node: r.component
+        for r in components.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 5: 1, 9: 1, 30: 1, 20: 20, 21: 20}
+
+
+def test_dedup_survivors_pass_through(spark):
+    from zarr_datafusion_search_spark.operators import components
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 4)], ["doc_a", "doc_b"])
+    kept = sorted(
+        r.doc_id for r in components.dedup_survivors(docs, pairs).collect()
+    )
+    # cluster {0,3,4} -> survivor 0; 1, 2, 5 untouched
+    assert kept == [0, 1, 2, 5]

@@ -1,0 +1,96 @@
+"""Connected components over a near-duplicate pair graph.
+
+Pairwise near-dup detection (MinHash/SimHash/embedding buckets) yields
+EDGES; a curation pipeline needs GROUPS — "A~B and B~C" must collapse A, B
+and C into one cluster even when A and C never collided — and then one
+survivor per group. This is the step that turns near-dup pairs into an
+actual deduplicated corpus.
+
+Algorithm: iterative min-label propagation, pure DataFrame ops. Every node
+starts labeled with itself; each round every node takes the min of its own
+label and its neighbors' labels; fixpoint = components, and each component's
+label IS its minimum member id (so the label doubles as the canonical
+survivor id). Rounds needed = graph diameter — for near-dup clusters
+(dense, tiny diameter) a handful; each round is one equi-join + one
+aggregation, both shuffling on node id, nothing ever materializes on the
+driver. Intermediate labels are persisted and the previous round
+unpersisted, so lineage stays bounded. (The classic large-star/small-star
+variant [Kiveris et al., "Connected Components in MapReduce and Beyond"]
+halves round count on high-diameter graphs; near-dup graphs don't have
+those, so the simple propagation is the right cost here.)
+
+The DuckDB oracle computes the same fixpoint via a recursive transitive
+closure — feasible at verification scale, quadratic at production scale,
+which is exactly why the Spark side iterates instead.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; component
+    ids are each component's minimum node id."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            neighbor_labels = edges.join(
+                labels, edges.b == labels.node
+            ).select(F.col("a").alias("node"), "component")
+            new_labels = (
+                labels.unionByName(neighbor_labels)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:  # pragma: no cover - diameter > max_iter
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Drop every near-dup cluster member except the minimum-id survivor;
+    rows never mentioned in ``pairs`` pass through untouched."""
+    comp = connected_components(pairs, src, dst)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

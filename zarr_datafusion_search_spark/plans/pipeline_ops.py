@@ -82,8 +82,12 @@ def dedup_exact_stats(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.exact_dedup_stats(table(spark, sf, "documents"))
 
 
-def _minhash_oracle(num_hashes: int = 16, rows_per_band: int = 4) -> str:
-    """DuckDB twin of the affine MinHash+LSH pipeline (same constants)."""
+def _minhash_pairs_sql(
+    num_hashes: int = 16, rows_per_band: int = 4
+) -> tuple[str, str]:
+    """(cte_chain, final_select) of the DuckDB MinHash+LSH pair oracle —
+    separable so other oracles (connected components) can compose the pair
+    set as a CTE of their own."""
     mins = ",\n         ".join(
         "min(({a} * (sh_h % 4294967296) + {b}) % {p}) AS m{i}".format(
             a=dedup.minhash_affine_params(i)[0],
@@ -102,8 +106,7 @@ def _minhash_oracle(num_hashes: int = 16, rows_per_band: int = 4) -> str:
         )
         for band in range(num_hashes // rows_per_band)
     )
-    return f"""
-WITH {_SHINGLES},
+    ctes = f"""{_SHINGLES},
 shh AS (SELECT doc_id, {duckdb_h64('shingle')} AS sh_h FROM sh),
 mh AS (
   SELECT doc_id,
@@ -130,17 +133,45 @@ inter AS (
   JOIN shh s1 ON s1.doc_id = c.doc_a
   JOIN shh s2 ON s2.doc_id = c.doc_b AND s1.sh_h = s2.sh_h
   GROUP BY c.doc_a, c.doc_b
-)
-SELECT i.doc_a, i.doc_b,
+)"""
+    select = """SELECT i.doc_a, i.doc_b,
        i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) AS jaccard
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= 0.5
-"""
+WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= 0.5"""
+    return ctes, select
+
+
+def _minhash_oracle(num_hashes: int = 16, rows_per_band: int = 4) -> str:
+    """DuckDB twin of the affine MinHash+LSH pipeline (same constants)."""
+    ctes, select = _minhash_pairs_sql(num_hashes, rows_per_band)
+    return f"\nWITH {ctes}\n{select}\n"
 
 
 _MINHASH_ORACLE = _minhash_oracle()
+
+_MH_CTES, _MH_SELECT = _minhash_pairs_sql()
+
+#: recursive transitive closure over the minhash pair graph — feasible at
+#: verification scale; the Spark side iterates min-label propagation instead
+#: (closure is quadratic in component size).
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_MH_CTES},
+pairs AS ({_MH_SELECT}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
+FROM reach GROUP BY a
+"""
 
 
 @register(
@@ -156,6 +187,77 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         num_hashes=16,
         rows_per_band=4,
         jaccard_threshold=0.5,
+    )
+
+
+@register(
+    "dedup_components",
+    oracle=_COMPONENTS_ORACLE,
+    doc="Connected components over the MinHash near-dup pair graph: "
+    "iterative min-label propagation (one equi-join + one agg per round, "
+    "rounds = graph diameter), labels converge to each component's minimum "
+    "doc_id. Oracle: recursive transitive closure in DuckDB — quadratic, "
+    "fine at verification scale, which is why the engine iterates instead.",
+)
+def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators import components
+
+    pairs = dedup.minhash_lsh_pairs(
+        table(spark, sf, "documents"),
+        num_hashes=16,
+        rows_per_band=4,
+        jaccard_threshold=0.5,
+    )
+    return components.connected_components(pairs).withColumnRenamed(
+        "node", "doc_id"
+    )
+
+
+@register(
+    "dedup_cluster_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_MH_CTES},
+    pairs AS ({_MH_SELECT}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS component
+      FROM reach GROUP BY a
+    )
+    SELECT d.source, count(*) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    WHERE c.doc_id IS NULL OR c.doc_id = c.component
+    GROUP BY d.source
+    """,
+    doc="End-to-end near-dup curation: collapse every MinHash cluster to its "
+    "minimum-id survivor (non-clustered rows pass through) and audit the "
+    "surviving corpus per source. The anti-join against cluster losers is "
+    "one broadcast-friendly shuffle.",
+)
+def dedup_cluster_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators import components
+
+    docs = table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, rows_per_band=4, jaccard_threshold=0.5
+    )
+    return (
+        components.dedup_survivors(docs, pairs)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
     )
 
 
