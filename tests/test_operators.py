@@ -430,3 +430,31 @@ def test_dedup_survivors_pass_through(spark):
     )
     # cluster {0,3,4} -> survivor 0; 1, 2, 5 untouched
     assert kept == [0, 1, 2, 5]
+
+
+def test_kmeans_refined_ivf(spark, sf_dir):
+    """Lloyd refinement: unit-norm centroids, deterministic across runs,
+    and refined-IVF recall beats the random-probe baseline."""
+    emb = table(spark, sf_dir, "embeddings")
+    c1 = similarity.kmeans_centroids(emb, n_centroids=16, n_iter=3)
+    c2 = similarity.kmeans_centroids(emb, n_centroids=16, n_iter=3)
+    rows1 = {r.centroid_id: r.cent_vec for r in c1.collect()}
+    rows2 = {r.centroid_id: r.cent_vec for r in c2.collect()}
+    assert rows1 == rows2  # deterministic
+    import math
+
+    for v in rows1.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=10).collect()
+    }
+    refined = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            emb, queries, k=10, n_probe=4, centroids=c1
+        ).collect()
+    }
+    assert len(exact & refined) / len(exact) > 0.25

@@ -328,6 +328,72 @@ def embedding_near_dup_pairs_bucketed(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd) refinement of the IVF coarse quantizer.
+
+    Deterministic: seeds are the ``n_centroids`` lowest-id vectors, a FIXED
+    ``n_iter`` Lloyd rounds (no data-dependent stopping), assignment ties
+    break on centroid id. Each round is one broadcast-assign (crossJoin with
+    the k-row centroid table, argmin by cosine) plus one aggregation
+    (``Summarizer.mean`` over ml vectors — JVM-side element-wise mean, no
+    explode), and only the k x dim centroid matrix ever reaches the driver.
+    Returns (centroid_id, cent_vec) with unit-normalized centroids.
+
+    The reference-parity :func:`ivf_topk` keeps seed centroids for exact
+    cross-engine reproducibility; pass these refined centroids to it for
+    better cell balance at deploy time.
+    """
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(id_col))
+            .alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("cent_vec"),
+        )
+    )
+    for _ in range(n_iter):
+        scored = corpus.select(
+            F.col(id_col), F.col(vec_col).alias("_v")
+        ).crossJoin(F.broadcast(cents)).select(
+            id_col,
+            "_v",
+            "centroid_id",
+            F.round(cosine_similarity("_v", "cent_vec"), COS_ROUND).alias("_c"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_c").desc(), F.col("centroid_id")
+        )
+        assigned = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("centroid_id", array_to_vector(F.col("_v")).alias("_mv"))
+        )
+        means = assigned.groupBy("centroid_id").agg(
+            vector_to_array(Summarizer.mean(F.col("_mv"))).alias("_mean")
+        )
+        norm = F.sqrt(
+            F.aggregate(
+                "_mean", F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+        cents = means.select(
+            "centroid_id",
+            F.transform("_mean", lambda x: x / norm).alias("cent_vec"),
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -336,6 +402,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning.
 
@@ -350,11 +417,16 @@ def ivf_topk(
 
     Scale shape: centroids broadcast; assignment is a narrow map; the probe
     join is an equi-join on centroid id, shuffling only probed cells.
+    Pass ``centroids`` (e.g. from :func:`kmeans_centroids`) to override the
+    seed selection with a refined quantizer.
     """
-    c_src = corpus.orderBy(id_col).limit(n_centroids)
-    cents = c_src.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
-    )
+    if centroids is not None:
+        cents = centroids.select("centroid_id", "cent_vec")
+    else:
+        c_src = corpus.orderBy(id_col).limit(n_centroids)
+        cents = c_src.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+        )
 
     def assign(df: DataFrame, idal: str, vecal: str, keep: int) -> DataFrame:
         scored = df.select(

@@ -560,6 +560,50 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_kmeans_recall",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS beats_probe_baseline
+    FROM embeddings WHERE vec_id < 8
+    """,
+    doc="IVF with a Lloyd-refined (spherical k-means) quantizer: 5 "
+    "deterministic rounds, seeds = lowest-id vectors, assignment+mean as "
+    "DataFrame ops (only the k x dim centroid matrix touches the driver). "
+    "Lloyd's iterative data-dependent centroids aren't SQL-expressible, so "
+    "the oracled output is the invariant that matters: per query, recall of "
+    "the refined-IVF top-10 against the exact brute-force top-10 (both "
+    "computed in-engine) must beat the random-probe baseline "
+    "(n_probe/n_centroids = 25%). The oracle pins the query-id set and "
+    "asserts the boolean, like the sketch queries.",
+)
+def ann_ivf_kmeans_recall(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cents = similarity.kmeans_centroids(emb, n_centroids=16, n_iter=5)
+    approx = similarity.ivf_topk(
+        emb, queries, k=10, n_probe=4, centroids=cents
+    ).select("query_id", "neighbor_id")
+    exact = similarity.brute_force_topk(emb, queries, k=10).select(
+        F.col("query_id").alias("e_qid"), F.col("neighbor_id").alias("e_nid")
+    )
+    hits = approx.join(
+        exact,
+        (F.col("query_id") == F.col("e_qid"))
+        & (F.col("neighbor_id") == F.col("e_nid")),
+        "left_semi",
+    ).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > F.lit(10 * 4 / 16)).alias(
+                "beats_probe_baseline"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
