@@ -458,3 +458,51 @@ def test_kmeans_refined_ivf(spark, sf_dir):
         ).collect()
     }
     assert len(exact & refined) / len(exact) > 0.25
+
+
+def test_frame_sample_and_audio_windows(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").limit(10)
+    media = multimodal.attach_fake_video(docs, n_frames_mod=12)
+    frames = multimodal.sample_frames(media, every_n=2, fake=True).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    src = {r.doc_id: r.text.encode() for r in docs.collect()}
+    for doc_id, rows in by_doc.items():
+        n_frames = doc_id % 12 + 1
+        assert len(rows) == -(-n_frames // 2)  # every 2nd frame
+        # reassembled sampled slices must come from the payload, in order
+        for r in rows:
+            assert r.frame_bytes in src[doc_id]
+            assert r.frame_n_bytes == len(r.frame_bytes)
+
+    audio = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("media_bytes"),
+        F.struct(F.lit("audio/wav").alias("format")).alias("media_meta"),
+    )
+    wins = multimodal.audio_windows(audio, window_bytes=64, fake=True)
+    rows = wins.filter(F.col("doc_id") == docs.first().doc_id).orderBy("window_idx").collect()
+    joined = b"".join(r.window_bytes for r in rows)
+    assert joined == src[docs.first().doc_id]  # windows tile the payload
+    assert all(r.start_byte == i * 64 for i, r in enumerate(rows))
+
+
+def test_resize_media_shape_and_gating(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").limit(5)
+    media = multimodal.attach_fake_media(docs)
+    out = multimodal.resize_media(media, width=8, height=4, fake=True).collect()
+    assert len(out) == 5
+    for r in out:
+        assert len(r.media_bytes) == 32
+        assert r.media_meta.width == 8 and r.media_meta.height == 4
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        multimodal.resize_media(media, fake=False).collect()
+
+
+def test_corpus_is_ascii(spark, sf_dir):
+    """The multimodal oracles slice VARCHAR and re-encode; that equals byte
+    slicing only while the corpus stays ASCII — assert it so a future
+    fixture change fails loudly here instead of as an oracle hash diff."""
+    docs = table(spark, sf_dir, "documents")
+    n = docs.filter(F.length("text") != F.octet_length(F.col("text"))).count()
+    assert n == 0

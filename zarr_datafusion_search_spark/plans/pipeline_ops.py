@@ -1083,8 +1083,76 @@ def sessionization(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# multimodal (rows-only: the mapInPandas stage is not SQL-expressible)
+# multimodal
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text AS payload,
+             CAST(doc_id % 12 + 1 AS INTEGER) AS n_frames
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, payload, n_frames,
+             length(payload) AS nb,
+             length(payload) // n_frames AS fsize,
+             unnest(range(0, n_frames, 2)) AS fi
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(fi AS INTEGER) AS frame_idx,
+           encode(CASE WHEN fi < n_frames - 1
+                  THEN substring(payload, fi * fsize + 1, fsize)
+                  ELSE substring(payload, fi * fsize + 1, nb - fi * fsize)
+             END) AS frame_bytes,
+           CAST(CASE WHEN fi < n_frames - 1 THEN fsize
+                ELSE nb - fi * fsize END AS BIGINT) AS frame_n_bytes
+    FROM f
+    """,
+    doc="Video frame sampling plumbing: every-2nd-frame explosion inside an "
+    "Arrow-batched mapInPandas stage (the shape a real av/ffmpeg sampler "
+    "uses), with the deterministic slice-based fake decoder. The oracle "
+    "reproduces the byte slices via VARCHAR substring + encode — valid "
+    "because the corpus is ASCII (byte slicing == char slicing), asserted "
+    "in tests.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    media = multimodal.attach_fake_video(docs, n_frames_mod=12)
+    return multimodal.sample_frames(media, every_n=2, fake=True)
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text AS payload,
+             unnest(range(0, length(text), 64)) AS start_byte
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(start_byte // 64 AS INTEGER) AS window_idx,
+           CAST(start_byte AS BIGINT) AS start_byte,
+           encode(substring(payload, start_byte + 1, 64)) AS window_bytes,
+           CAST(octet_length(encode(substring(payload, start_byte + 1, 64)))
+                AS BIGINT) AS window_n_bytes
+    FROM w
+    """,
+    doc="Audio windowing plumbing: fixed 64-byte windows (ragged tail kept) "
+    "exploded per payload in mapInPandas — stand-in for PCM sample windows "
+    "with identical batch shape. Oracle slices the ASCII payload in SQL.",
+)
+def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    media = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("media_bytes"),
+        F.struct(F.lit("audio/wav").alias("format")).alias("media_meta"),
+    )
+    return multimodal.audio_windows(media, window_bytes=64, fake=True)
 
 
 # ---------------------------------------------------------------------------
