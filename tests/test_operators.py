@@ -506,3 +506,21 @@ def test_corpus_is_ascii(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     n = docs.filter(F.length("text") != F.octet_length(F.col("text"))).count()
     assert n == 0
+
+
+def test_repetition_signals_hand_case(spark):
+    from zarr_datafusion_search_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),          # spam
+            (2, "the quick brown fox jumps over a lazy dog"),  # clean
+            (3, "one"),                                        # < 2 tokens
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in text_ops.repetition_signals(df).collect()}
+    assert got[1].is_repetitive
+    assert got[1].dup_token_fraction == 0.75  # 2 distinct of 8
+    assert not got[2].is_repetitive
+    assert got[3].top_bigram_fraction is None and not got[3].is_repetitive

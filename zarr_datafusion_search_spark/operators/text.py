@@ -99,6 +99,61 @@ def token_counts(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def repetition_signals(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``dup_token_fraction``: 1 - distinct/total tokens (word-level spam);
+    - ``top_bigram_fraction``: occurrences of the document's most frequent
+      word bigram over all bigram slots (catches "buy now buy now ...");
+    - ``is_repetitive``: the filter decision at the standard-ish thresholds
+      (top bigram > 0.18 or duplicate tokens > 0.5).
+
+    Shape: the bigram stats shuffle once on (doc, bigram) then once on doc;
+    token stats are a narrow map; the final join is doc-keyed. NULL bigram
+    fraction for docs with < 2 tokens (no bigram slots) — kept NULL, and
+    treated as non-repetitive by the flag.
+    """
+    toks = tokens_col("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("_t") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("_t", i), F.element_at("_t", i + 1)
+        ),
+    )
+    bg = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(id_col, F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("total_bg"))
+    )
+    tok = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("_nd"),
+    )
+    dup_frac = F.round(
+        1.0 - F.col("_nd") / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+        6,
+    )
+    top_frac = F.round(F.col("top_bg") / F.col("total_bg").cast("double"), 6)
+    return (
+        tok.join(bg, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            dup_frac.alias("dup_token_fraction"),
+            top_frac.alias("top_bigram_fraction"),
+            (
+                (F.coalesce(top_frac, F.lit(0.0)) > 0.18)
+                | (dup_frac > 0.5)
+            ).alias("is_repetitive"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint over normalized text (lower-cased,
     whitespace-collapsed): full md5 hex + 60-bit integer form."""

@@ -1082,6 +1082,44 @@ def sessionization(spark: SparkSession, sf: str) -> DataFrame:
     return sessions.session_stats(table(spark, sf, "events"), gap_minutes=30)
 
 
+@register(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH {_TOKS},
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM toks WHERE len(t) >= 2
+    ),
+    bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+    bga AS (
+      SELECT doc_id, max(c) AS top_bg, CAST(sum(c) AS BIGINT) AS total_bg
+      FROM bgc GROUP BY 1
+    ),
+    tok AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(t)) AS BIGINT) AS nd
+      FROM toks
+    )
+    SELECT t.doc_id, t.n_tokens,
+           round(1.0 - nd / greatest(n_tokens, 1)::DOUBLE, 6)
+             AS dup_token_fraction,
+           round(top_bg / total_bg::DOUBLE, 6) AS top_bigram_fraction,
+           (coalesce(round(top_bg / total_bg::DOUBLE, 6), 0.0) > 0.18
+            OR round(1.0 - nd / greatest(n_tokens, 1)::DOUBLE, 6) > 0.5)
+             AS is_repetitive
+    FROM tok t LEFT JOIN bga ON bga.doc_id = t.doc_id
+    """,
+    doc="Gopher-style repetition filters: duplicate-token fraction and "
+    "top-bigram occupancy with the is_repetitive decision at the standard "
+    "thresholds (>0.18 top bigram, >0.5 duplicate tokens). One shuffle on "
+    "(doc, bigram), one on doc — no Python in the loop.",
+)
+def text_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    return text.repetition_signals(table(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
