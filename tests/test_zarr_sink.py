@@ -214,3 +214,63 @@ def test_format_writer_null_int_rejected(spark, tmp_path):
     df = spark.createDataFrame([(1, 10), (2, None)], "id long, v long")
     with pytest.raises(Exception, match="non-nullable|nulls"):
         df.write.format("zarr").mode("append").save(str(tmp_path / "nulfmt.zarr"))
+
+
+def test_distributed_sharded_roundtrip(spark, tmp_path):
+    """inner_rows turns the distributed sink into a sharding_indexed writer:
+    one object per shard, crc32c-checksummed index, same read granularity."""
+    from zarr_datafusion_search_spark.sources.zarr_sink import (
+        write_zarr_distributed,
+    )
+
+    store = str(tmp_path / "shard_dist.zarr")
+    df = spark.range(0, 10_000, 1, 8).select(
+        F.col("id"), (F.col("id") * 1.5).alias("x"),
+        F.concat(F.lit("s_"), F.col("id")).alias("s"),
+    )
+    n = write_zarr_distributed(
+        df, store, "/data", chunk_rows=2048, inner_rows=256
+    )
+    assert n == 10_000
+    import os
+
+    from zarr_datafusion_search_spark.sources import zarrv3
+
+    meta = zarrv3.open_array(store, "data/id")
+    assert meta.sharding is not None
+    assert meta.chunk_rows == 2048
+    # 5 shard objects, not 40 chunk files
+    assert len(os.listdir(str(tmp_path / "shard_dist.zarr" / "data" / "id" / "c"))) == 5
+    # index crc32c declared and verified on read
+    idx_codecs = meta.sharding["index_codecs"]
+    assert any(c["name"] == "crc32c" for c in idx_codecs)
+    assert list(meta.read_range(2040, 2060)) == list(range(2040, 2060))
+    back = ZarrTable(store, "/data").to_df(spark)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(10_000))
+    row = back.filter(F.col("id") == 4321).collect()[0]
+    assert row.x == 4321 * 1.5 and row.s == "s_4321"
+    # corrupting a shard index byte must fail loudly (crc verification)
+    p = str(tmp_path / "shard_dist.zarr" / "data" / "id" / "c" / "0")
+    raw = bytearray(open(p, "rb").read())
+    raw[-10] ^= 0xFF
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(zarrv3.ZarrError, match="crc32c mismatch"):
+        zarrv3.open_array(store, "data/id").read_range(0, 10)
+
+
+def test_distributed_sharded_ragged_tail(spark, tmp_path):
+    from zarr_datafusion_search_spark.sources.zarr_sink import (
+        write_zarr_distributed,
+    )
+    from zarr_datafusion_search_spark.sources import zarrv3
+
+    store = str(tmp_path / "ragged.zarr")
+    write_zarr_distributed(
+        spark.range(0, 1000).select("id"), store,
+        chunk_rows=512, inner_rows=128,
+    )
+    meta = zarrv3.open_array(store, "id")
+    # last shard holds 488 rows: inner chunks 0-3 present, trailing missing
+    assert list(meta.read_range(990, 1000)) == list(range(990, 1000))
+    assert ZarrTable(store).to_df(spark).count() == 1000

@@ -47,15 +47,24 @@ def write_zarr_distributed(
     zstd_level: int = 0,
     null_fill: dict | None = None,
     overwrite: bool = False,
+    inner_rows: int | None = None,
 ) -> int:
     """Write ``df`` as a Zarr v3 group of parallel 1-D arrays; returns the
     row count. Executors write whole chunks in parallel; the driver commits
-    metadata only."""
+    metadata only.
+
+    With ``inner_rows`` the store is ``sharding_indexed``: each task's unit
+    becomes one SHARD object of ``chunk_rows`` rows packing independently
+    compressed ``inner_rows`` chunks plus a crc32c-checksummed index — the
+    object-count-friendly layout for 100 TB stores (same read granularity,
+    ~chunk_rows/inner_rows fewer objects)."""
     import numpy as np
 
     from zarr_datafusion_search_spark.sources import zarrv3
     from zarr_datafusion_search_spark.sources.zarr_datasource import ZarrWriter
 
+    if inner_rows is not None and chunk_rows % inner_rows != 0:
+        raise ValueError("chunk_rows (shard size) must be a multiple of inner_rows")
     schema = df.schema
     col_specs = {f.name: ZarrWriter._col_spec(f) for f in schema.fields}
     null_fill = dict(null_fill or {})
@@ -163,9 +172,19 @@ def write_zarr_distributed(
                     vals = s.to_numpy().astype(spec["np_dtype"])
                 lo, hi = zarrv3.chunk_stats(vals, spec["is_string"])
                 stats[name] = [lo, hi]
-                payload = zarrv3.encode_chunk_payload(
-                    vals, spec["is_string"], pad, zstd_level
-                )
+                if inner_rows is not None:
+                    payload = zarrv3.encode_shard_payload(
+                        vals,
+                        spec["is_string"],
+                        inner_rows,
+                        chunk_rows,
+                        zstd_level,
+                        index_crc32c=True,
+                    )
+                else:
+                    payload = zarrv3.encode_chunk_payload(
+                        vals, spec["is_string"], pad, zstd_level
+                    )
                 with open(os.path.join(group_dir, name, "c", str(cid)), "wb") as fh:
                     fh.write(payload)
             return pd.DataFrame(
@@ -208,5 +227,7 @@ def write_zarr_distributed(
             zstd_level=zstd_level,
             stat_min=stat_min,
             stat_max=stat_max,
+            inner_rows=inner_rows,
+            index_crc32c=inner_rows is not None,
         )
     return total

@@ -655,8 +655,12 @@ def write_array_metadata(
     zstd_level: int = 0,
     stat_min: "list | None" = None,
     stat_max: "list | None" = None,
+    inner_rows: int | None = None,
+    index_crc32c: bool = False,
 ) -> None:
-    """Write one array's ``zarr.json`` (shape/dtype/codecs/chunk stats)."""
+    """Write one array's ``zarr.json`` (shape/dtype/codecs/chunk stats).
+    With ``inner_rows`` the array is ``sharding_indexed``: ``chunk_rows``
+    becomes the shard size and the codec chain wraps the inner chunks."""
     if is_string:
         dt: Any = "string"
         codecs = [
@@ -676,6 +680,10 @@ def write_array_metadata(
             {"name": "bytes", "configuration": {"endian": "little"}},
             {"name": "zstd", "configuration": {"level": zstd_level, "checksum": False}},
         ]
+    if inner_rows is not None:
+        codecs = [
+            sharding_codec_config(inner_rows, is_string, zstd_level, index_crc32c)
+        ]
     attributes: dict = {}
     if stat_min and any(v is not None for v in stat_min):
         attributes["zdss:chunk_stats"] = {"min": stat_min, "max": stat_max}
@@ -687,7 +695,13 @@ def write_array_metadata(
             "chunk_grid": {
                 "name": "regular",
                 "configuration": {
-                    "chunk_shape": [max(1, min(chunk_rows, max(n_rows, 1)))]
+                    # sharded arrays keep the exact shard size (must stay a
+                    # multiple of inner_rows even when the array is smaller)
+                    "chunk_shape": [
+                        chunk_rows
+                        if inner_rows is not None
+                        else max(1, min(chunk_rows, max(n_rows, 1)))
+                    ]
                 },
             },
             "chunk_key_encoding": {
@@ -936,32 +950,74 @@ def _write_sharded_array(
             "storage_transformers": [],
         },
     )
-    n_inner = shard_rows // inner_rows
     for si, s_lo in enumerate(range(0, max(n, 1), shard_rows) if n else []):
         s_hi = min(s_lo + shard_rows, n)
-        body = bytearray()
-        index = np.full((n_inner, 2), 2**64 - 1, dtype="<u8")
-        for ii in range(n_inner):
-            lo = s_lo + ii * inner_rows
-            if lo >= s_hi:
-                break  # trailing inner chunks of the last shard: missing
-            hi = min(lo + inner_rows, s_hi)
-            pad = inner_rows - (hi - lo)
-            if is_string:
-                items = [str(v).encode("utf-8") for v in values[lo:hi]]
-                items.extend([b""] * pad)
-                payload = _encode_vlen(items)
-            else:
-                arr = np.asarray(values[lo:hi])
-                if pad:
-                    arr = np.concatenate([arr, np.zeros(pad, dtype=arr.dtype)])
-                if arr.dtype.kind == "M":
-                    arr = arr.astype("<i8")
-                else:
-                    arr = arr.astype(arr.dtype.newbyteorder("<"))
-                payload = arr.tobytes()
-            seg = _zstd_compress(payload, zstd_level)
-            index[ii] = (len(body), len(seg))
-            body.extend(seg)
+        blob = encode_shard_payload(
+            values[s_lo:s_hi], is_string, inner_rows, shard_rows, zstd_level
+        )
         with open(os.path.join(arr_dir, "c", str(si)), "wb") as f:
-            f.write(bytes(body) + index.tobytes())
+            f.write(blob)
+
+
+def encode_shard_payload(
+    vals,
+    is_string: bool,
+    inner_rows: int,
+    shard_rows: int,
+    zstd_level: int = 0,
+    index_crc32c: bool = False,
+) -> bytes:
+    """Pack one shard's values (< = ``shard_rows`` rows) into a
+    ``sharding_indexed`` object: independently compressed inner chunks, a
+    uint64 (offset, nbytes) index at the end, trailing inner chunks of a
+    ragged shard marked missing. Stateless — shared by the driver-side
+    sharded fixture writer and the distributed sink's task-side writes."""
+    n_inner = shard_rows // inner_rows
+    n = len(vals)
+    body = bytearray()
+    index = np.full((n_inner, 2), 2**64 - 1, dtype="<u8")
+    for ii in range(n_inner):
+        lo = ii * inner_rows
+        if lo >= n:
+            break  # trailing inner chunks of the last shard: missing
+        hi = min(lo + inner_rows, n)
+        pad = inner_rows - (hi - lo)
+        seg = encode_chunk_payload(vals[lo:hi], is_string, pad, zstd_level)
+        index[ii] = (len(body), len(seg))
+        body.extend(seg)
+    idx = index.tobytes()
+    if index_crc32c:
+        idx += struct.pack("<I", crc32c(idx))
+    return bytes(body) + idx
+
+
+def sharding_codec_config(
+    inner_rows: int,
+    is_string: bool,
+    zstd_level: int = 0,
+    index_crc32c: bool = False,
+) -> dict:
+    """The ``sharding_indexed`` codec entry matching
+    :func:`encode_shard_payload`'s layout."""
+    if is_string:
+        inner = [
+            {"name": "vlen-utf8", "configuration": {}},
+            {"name": "zstd", "configuration": {"level": zstd_level, "checksum": False}},
+        ]
+    else:
+        inner = [
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "zstd", "configuration": {"level": zstd_level, "checksum": False}},
+        ]
+    index_codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if index_crc32c:
+        index_codecs.append({"name": "crc32c", "configuration": {}})
+    return {
+        "name": "sharding_indexed",
+        "configuration": {
+            "chunk_shape": [inner_rows],
+            "codecs": inner,
+            "index_codecs": index_codecs,
+            "index_location": "end",
+        },
+    }
