@@ -1344,10 +1344,21 @@ def streaming_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,
+    oracle="""
+    SELECT doc_id,
+           'image/png' AS media_format,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN length(text) = 0 THEN -1
+                ELSE ascii(substring(text, 1, 1)) END AS INTEGER) AS first_byte,
+           CAST(coalesce(
+             list_sum(list_transform(string_split(text, ''), c -> ord(c))),
+             0) % 2147483648 AS BIGINT) AS byte_checksum
+    FROM documents
+    """,
     doc="Binary media column + Arrow-batched mapInPandas feature extraction "
     "(deterministic byte-level stand-in for the stubbed codec decode). "
-    "Rows-only check; pytest validates the feature values.",
+    "Oracle reproduces the byte features via char ops — exact while the "
+    "corpus is ASCII (codepoint == byte, asserted in tests).",
 )
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.attach_fake_media(table(spark, sf, "documents"))
