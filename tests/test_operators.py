@@ -524,3 +524,16 @@ def test_repetition_signals_hand_case(spark):
     assert got[1].dup_token_fraction == 0.75  # 2 distinct of 8
     assert not got[2].is_repetitive
     assert got[3].top_bigram_fraction is None and not got[3].is_repetitive
+
+
+def test_quantize_int8_hand_case(spark):
+    df = spark.createDataFrame(
+        [(1, [12.7, -6.35, 0.0]), (2, [0.0, 0.0, 1e-40])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r for r in similarity.quantize_embeddings_int8(df).collect()}
+    assert got[1].scale == 0.1  # 12.7 / 127
+    assert got[1].q_codes == "127|-64|0"  # -63.5 rounds away from zero
+    assert got[1].within_half_step
+    # near-zero vector: safe-scale guard, no div-by-zero, codes all zero
+    assert got[2].q_codes == "0|0|0"

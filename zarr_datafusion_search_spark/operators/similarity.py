@@ -328,6 +328,39 @@ def embedding_near_dup_pairs_bucketed(
     )
 
 
+def quantize_embeddings_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage-compression step
+    embedding pipelines run before writing vectors at scale (4x smaller than
+    float32, 8x than float64; cosine rankings survive within the half-step
+    error bound).
+
+    Per vector: ``scale = max|x| / 127``, ``q_i = round(x_i / scale)``.
+    Entirely built-in expressions (narrow map, no shuffle). Output carries
+    the quantized codes as a '|'-joined string (list cells break the
+    driver's comparator) plus ``within_half_step`` — the reconstruction
+    guarantee ``|q_i * scale - x_i| <= scale/2`` — as a checked boolean.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    safe = F.greatest(scale, F.lit(1e-30))
+    q = F.transform(v, lambda x: F.round(x / safe).cast("int"))
+    max_err = F.array_max(
+        F.zip_with(q, v, lambda qi, xi: F.abs(qi * safe - xi))
+    )
+    return df.select(
+        id_col,
+        F.round(scale, 6).alias("scale"),
+        F.array_join(q, "|").alias("q_codes"),
+        (max_err <= safe * F.lit(0.5) * F.lit(1.0 + 1e-9)).alias(
+            "within_half_step"
+        ),
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,

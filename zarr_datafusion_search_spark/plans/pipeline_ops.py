@@ -1083,6 +1083,43 @@ def sessionization(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, x,
+             greatest(list_max(list_transform(x, e -> abs(e))) / 127.0,
+                      1e-30) AS safe,
+             list_max(list_transform(x, e -> abs(e))) / 127.0 AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, x, safe, scale,
+             list_transform(x, e -> CAST(round(e / safe) AS INTEGER)) AS qc
+      FROM s
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           array_to_string(qc, '|') AS q_codes,
+           (list_max(list_transform(list_zip(qc, x),
+                                    p -> abs(p[1] * safe - p[2])))
+            <= safe * 0.5 * (1.0 + 1e-9)) AS within_half_step
+    FROM q
+    """,
+    doc="Symmetric per-vector int8 quantization of the embedding column "
+    "(scale = max|x|/127, q = round(x/scale)) — the storage-compression "
+    "step before writing vectors at scale. Narrow map, no shuffle; codes "
+    "emitted as a '|'-joined string, plus the half-step reconstruction "
+    "bound as a checked boolean. Both engines compute the identical "
+    "doubles (order-independent max, same division/rounding).",
+)
+def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.quantize_embeddings_int8(table(spark, sf, "embeddings"))
+
+
+@register(
     "text_repetition_signals",
     oracle=f"""
     WITH {_TOKS},
