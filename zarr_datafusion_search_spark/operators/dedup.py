@@ -301,9 +301,12 @@ def ngram_jaccard_pairs(
     sh = hashed_shingles(df, id_col, text_col, n)
     if max_df is not None:
         dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("_df"))
+        # persisted: the filtered index feeds both self-join sides AND the
+        # set sizes — without it the df-filter join recomputes three times
         sh = (
             sh.join(dfreq.filter(F.col("_df") <= max_df), "sh_h")
             .select(id_col, "sh_h")
+            .persist()
         )
     s1 = sh.alias("s1")
     s2 = sh.alias("s2")
