@@ -537,3 +537,17 @@ def test_quantize_int8_hand_case(spark):
     assert got[1].within_half_step
     # near-zero vector: safe-scale guard, no div-by-zero, codes all zero
     assert got[2].q_codes == "0|0|0"
+
+
+def test_unigram_logprob_ranks_gibberish_higher(spark):
+    from zarr_datafusion_search_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog sat too"),
+            (2, "zq9x kvw7 jjjq pfft zq9x brrk wubz"),  # improbable tokens
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.avg_neg_logprob for r in text_ops.unigram_logprob_score(df).collect()}
+    assert got[2] > got[1]  # gibberish is less probable under the corpus LM

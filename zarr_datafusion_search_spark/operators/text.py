@@ -154,6 +154,38 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def unigram_logprob_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perplexity-proxy quality score: average negative log-probability of a
+    document's tokens under the corpus's own unigram distribution. High
+    values = improbable token soup (mojibake, code dumps, gibberish); low =
+    natural running text. The cheap stand-in for LM-perplexity filtering
+    that production pipelines run when a real LM pass is too expensive.
+
+    Shape: one shuffle to count tokens (map-side combinable), an equi-join
+    of the token stream against the count table on the token key, one
+    doc-keyed aggregation. The vocabulary table is bounded by natural-
+    language vocabulary growth (~sublinear in corpus size), so at cluster
+    scale the join stays a well-distributed hash join. Scores rounded to
+    6dp (avg summation order differs across engines in the last ULPs).
+    Docs with zero tokens vanish (explode of an empty array), matching the
+    oracle's unnest semantics.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens_col("text")).alias("tok"))
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n"))
+    return (
+        tok.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens_scored"),
+            F.round(
+                F.avg(-F.log(F.col("c") / F.col("n").cast("double"))), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint over normalized text (lower-cased,
     whitespace-collapsed): full md5 hex + 60-bit integer form."""

@@ -1083,6 +1083,29 @@ def sessionization(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH {_TOKS},
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    tc AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tc)
+    SELECT doc_id,
+           count(*) AS n_tokens_scored,
+           round(avg(-ln(c::DOUBLE / n)), 6) AS avg_neg_logprob
+    FROM tok JOIN tc USING (tok) CROSS JOIN n
+    GROUP BY doc_id
+    """,
+    doc="Perplexity-proxy quality score: mean negative log-probability of "
+    "each document's tokens under the corpus unigram distribution — the "
+    "cheap stand-in for LM-perplexity filtering. One token-count shuffle, "
+    "one hash join on the token key, one doc aggregation; 6dp rounding "
+    "absorbs cross-engine summation-order ULPs.",
+)
+def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    return text.unigram_logprob_score(table(spark, sf, "documents"))
+
+
+@register(
     "embedding_quantize_int8",
     oracle="""
     WITH v AS (
