@@ -198,3 +198,24 @@ def test_foreach_batch_sink(spark, event_dir, tmp_path):
     assert written.filter(F.col("event_type") == "click").count() == src.filter(
         F.col("event_type") == "click"
     ).count()
+
+
+def test_write_stream_to_zarr(spark, event_dir, tmp_path):
+    from functools import reduce
+
+    from zarr_datafusion_search_spark import ZarrTable
+
+    root = str(tmp_path / "zarr_stream")
+    stream = streaming_events.read_event_stream(spark, event_dir)
+    stores = streaming_events.write_stream_to_zarr(stream, root, chunk_rows=256)
+    assert stores, "no batch stores written"
+    src = spark.read.format("json").schema(streaming_events.EVENTS_SCHEMA).load(event_dir)
+    # readers union the immutable per-batch stores
+    back = reduce(
+        lambda a, b: a.unionByName(b),
+        [ZarrTable(s).to_df(spark) for s in stores],
+    )
+    assert back.count() == src.count()
+    want = {(r.event_id, r.user_id): r.value for r in src.collect()}
+    got = {(r.event_id, r.user_id): r.value for r in back.collect()}
+    assert got == want

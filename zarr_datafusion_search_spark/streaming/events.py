@@ -224,3 +224,41 @@ def write_stream_foreach_batch(stream: DataFrame, out_dir: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def write_stream_to_zarr(
+    stream: DataFrame, store_root: str, chunk_rows: int = 65536
+) -> list[str]:
+    """Streaming Zarr ingest through foreachBatch + the distributed sink.
+
+    Zarr's regular chunk grid has no cheap row-append, so the streaming
+    model is one IMMUTABLE store per micro-batch under ``store_root``
+    (``batch-<id>.zarr``) — the landing-zone layout streaming lakes use for
+    append-only formats: each batch commits atomically (metadata last),
+    readers union the stores, and a compaction job can later rewrite small
+    batch stores into sharded ones with the same sink. Executors write the
+    chunks of every batch in parallel; only metadata touches the driver.
+    Returns the store paths written.
+    """
+    import os
+
+    from zarr_datafusion_search_spark.sources.zarr_sink import (
+        write_zarr_distributed,
+    )
+
+    written: list[str] = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        path = os.path.join(store_root, f"batch-{batch_id:06d}.zarr")
+        write_zarr_distributed(batch_df, path, chunk_rows=chunk_rows)
+        written.append(path)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return written
