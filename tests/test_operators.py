@@ -551,3 +551,49 @@ def test_unigram_logprob_ranks_gibberish_higher(spark):
     )
     got = {r.doc_id: r.avg_neg_logprob for r in text_ops.unigram_logprob_score(df).collect()}
     assert got[2] > got[1]  # gibberish is less probable under the corpus LM
+
+
+def test_bm25_ranks_matching_doc_first(spark):
+    from zarr_datafusion_search_spark.operators import search
+
+    df = spark.createDataFrame(
+        [
+            (1, "hash join hash join hash join"),  # dense in query terms
+            (2, "hash join over the sorted stream"),  # one occurrence each
+            (3, "window sort merge only here"),  # no query term
+        ],
+        ["doc_id", "text"],
+    )
+    got = search.bm25_topk(df, [(0, "hash join")], k=3).collect()
+    ids = [r.doc_id for r in sorted(got, key=lambda r: r.rank)]
+    assert ids[0] == 1  # highest tf wins
+    assert 3 not in ids  # no shared term -> no score
+    assert all(r.score > 0 for r in got)
+
+
+def test_bm25_max_df_drops_stopword_terms(spark):
+    from zarr_datafusion_search_spark.operators import search
+
+    df = spark.createDataFrame(
+        [(i, "the common filler " + ("rare " if i == 0 else "word ")) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    # "the" appears in all 10 docs; with max_df=5 only "rare" survives
+    got = search.bm25_topk(df, [(0, "the rare")], k=10, max_df=5).collect()
+    assert [r.doc_id for r in got] == [0]
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from zarr_datafusion_search_spark.operators import dedup as dedup_ops
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, shared + " plus eval tail", "src0"),  # eval doc
+            (2, "lead in words " + shared, "src1"),  # contaminated
+            (3, "totally unrelated text with no overlap at all here", "src1"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {r.doc_id: r.n_hit_ngrams for r in dedup_ops.decontaminate(df).collect()}
+    assert got == {2: 1}  # exactly the one shared 8-gram; doc 3 clean

@@ -489,3 +489,40 @@ def duplicated_segments(
         .filter(F.col("n_docs") >= 2)
     )
     return dup.select("segment_fp", "n_docs", "n_occurrences", "segment_text")
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_col: str = "source",
+    eval_value: str = "src0",
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word ``n``-gram
+    with the held-out eval partition (``eval_col == eval_value``).
+
+    The standard pre-training hygiene step (13-gram overlap in GPT-3's
+    appendix; 8 here to fit the synthetic corpus' short docs). 100 TB shape:
+    the eval side is a benchmark suite — tiny and *broadcast* as a distinct
+    60-bit n-gram hash set, so the corpus side is one shingle explode + a
+    broadcast semi-ish join + a map-side-combinable count; the big table is
+    never shuffled on the n-gram key. Returns ``(doc_id, n_hit_ngrams)``
+    for contaminated training docs only.
+    """
+    is_eval = F.col(eval_col) == eval_value
+    eval_grams = (
+        with_shingles(df.filter(is_eval), id_col, text_col, n=n)
+        .select(h64("shingle").alias("g_h"))
+        .distinct()
+    )
+    train_grams = with_shingles(df.filter(~is_eval), id_col, text_col, n=n).select(
+        id_col, h64("shingle").alias("g_h")
+    )
+    # shingles are distinct per doc and the eval set is distinct, so the
+    # post-join count(*) is exactly "distinct shared n-grams"
+    return (
+        train_grams.join(F.broadcast(eval_grams), "g_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )

@@ -1490,3 +1490,127 @@ def split_stratified(spark: SparkSession, sf: str) -> DataFrame:
 )
 def balanced_downsample(spark: SparkSession, sf: str) -> DataFrame:
     return text.balanced_downsample(table(spark, sf, "documents"), per_class=50)
+
+
+# ---------------------------------------------------------------------------
+# text retrieval + decontamination + training order
+# ---------------------------------------------------------------------------
+
+#: fixed benchmark query set for the BM25 retrieval query (vocabulary words
+#: from the synthetic corpus; real deployments stream these from a file)
+BM25_QUERIES = [
+    (0, "hash join strategy"),
+    (1, "window sort merge"),
+    (2, "stream filter group"),
+]
+
+
+def _bm25_oracle(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    qvals = ",\n           ".join(
+        f"({qid}, '{t}')"
+        for qid, qtext in BM25_QUERIES
+        for t in sorted(set(qtext.lower().split()))
+    )
+    return f"""
+    WITH {_TOKS},
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+    tf AS (
+      SELECT doc_id, unnest(t) AS term FROM toks WHERE len(t) > 0
+    ),
+    tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+    q(query_id, term) AS (VALUES {qvals}),
+    dfc AS (
+      SELECT term, count(*) AS df FROM tfc
+      WHERE term IN (SELECT term FROM q) GROUP BY 1
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT q.query_id, tfc.doc_id,
+             round(sum(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * ({k1} + 1.0))
+               / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))
+             ), 6) AS score
+      FROM q
+      JOIN tfc USING (term)
+      JOIN dfc USING (term)
+      JOIN dl ON dl.doc_id = tfc.doc_id
+      CROSS JOIN stats
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "text_bm25_search",
+    oracle=_bm25_oracle(),
+    doc="BM25 top-k retrieval: broadcast query set, postings equi-join on "
+    "term, 1-row corpus stats broadcast — the query side never forces a "
+    "corpus shuffle. Scores rounded to 6 digits pre-ranking for "
+    "cross-engine stability; ties broken by doc_id.",
+)
+def text_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators import search
+
+    return search.bm25_topk(table(spark, sf, "documents"), BM25_QUERIES)
+
+
+@register(
+    "decontaminate_against_eval",
+    oracle=f"""
+    WITH {_TOKS},
+    sh AS (
+      SELECT doc_id, source, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 7),
+               i -> array_to_string(t[i:i+7], ' ')))) AS g
+      FROM (SELECT d.doc_id, d.source, t FROM toks
+            JOIN documents d USING (doc_id)) WHERE len(t) >= 8
+    ),
+    shh AS (SELECT doc_id, source, {duckdb_h64('g')} AS g_h FROM sh),
+    ev AS (SELECT DISTINCT g_h FROM shh WHERE source = 'src0')
+    SELECT s.doc_id, count(*) AS n_hit_ngrams
+    FROM shh s JOIN ev USING (g_h)
+    WHERE s.source <> 'src0'
+    GROUP BY 1
+    """,
+    doc="Benchmark decontamination: flag training docs sharing any word "
+    "8-gram with the src0 eval partition. Eval n-gram hash set is tiny and "
+    "broadcast; the corpus side is never shuffled on the n-gram key.",
+)
+def decontaminate_against_eval(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.decontaminate(table(spark, sf, "documents"))
+
+
+@register(
+    "training_order_shuffle",
+    oracle=f"""
+    SELECT doc_id, shuffle_key FROM (
+      SELECT doc_id, {duckdb_h64("42 || ':' || doc_id")} AS shuffle_key
+      FROM documents
+    ) ORDER BY shuffle_key, doc_id LIMIT 1000
+    """,
+    doc="Deterministic global training-order shuffle: total sort on a "
+    "seeded 60-bit hash of the doc id. Spark range-partitions the sort "
+    "(sampled boundaries), so the order is reproducible across cluster "
+    "sizes — the property a resumable training run needs from its data "
+    "order. LIMIT keeps the driver compare small; the full sort is what "
+    "executes.",
+)
+def training_order_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.functions.hashing import h64_seeded
+
+    docs = table(spark, sf, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            h64_seeded(F.col("doc_id").cast("string"), 42).alias("shuffle_key"),
+        )
+        .orderBy("shuffle_key", "doc_id")
+        .limit(1000)
+    )
