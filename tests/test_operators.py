@@ -597,3 +597,60 @@ def test_decontaminate_flags_planted_overlap(spark):
     )
     got = {r.doc_id: r.n_hit_ngrams for r in dedup_ops.decontaminate(df).collect()}
     assert got == {2: 1}  # exactly the one shared 8-gram; doc 3 clean
+
+
+def test_interval_join_bucketed_vs_nested_loop(spark):
+    import datetime as dt
+
+    from zarr_datafusion_search_spark.operators.rangejoin import (
+        interval_join_bucketed,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=7 * i)) for i in range(40)],
+        ["pid", "ts"],
+    )
+    # intervals of varying length, incl. one spanning many buckets and one
+    # empty-overlap interval far in the future
+    ivs = spark.createDataFrame(
+        [
+            (100, base + dt.timedelta(minutes=5), base + dt.timedelta(minutes=20)),
+            (101, base + dt.timedelta(minutes=60), base + dt.timedelta(minutes=240)),
+            (102, base + dt.timedelta(days=30), base + dt.timedelta(days=31)),
+            (103, base, base),  # zero-length: matches the single point at base
+        ],
+        ["iid", "s", "e"],
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join_bucketed(pts, ivs, "ts", "s", "e", 600).collect()
+    }
+    import pyspark.sql.functions as F2
+
+    want = {
+        (r.pid, r.iid)
+        for r in pts.crossJoin(ivs)
+        .filter((F2.col("ts") >= F2.col("s")) & (F2.col("ts") <= F2.col("e")))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_interval_join_bucketed_keyed(spark):
+    import datetime as dt
+
+    from zarr_datafusion_search_spark.operators.rangejoin import (
+        interval_join_bucketed,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(1, "u1", base + dt.timedelta(minutes=10)), (2, "u2", base + dt.timedelta(minutes=10))],
+        ["pid", "user", "ts"],
+    )
+    ivs = spark.createDataFrame(
+        [("u1", base, base + dt.timedelta(hours=1))], ["user", "s", "e"]
+    )
+    got = [r.pid for r in interval_join_bucketed(pts, ivs, "ts", "s", "e", 600, keys=["user"]).collect()]
+    assert got == [1]  # u2's point matches the window but not the key

@@ -1614,3 +1614,49 @@ def training_order_shuffle(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("shuffle_key", "doc_id")
         .limit(1000)
     )
+
+
+@register(
+    "interval_join_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    i AS (
+      SELECT event_id AS purchase_id,
+             ts - INTERVAL 30 MINUTE AS win_start, ts AS win_end
+      FROM events WHERE event_type = 'purchase' AND value > 200
+    )
+    SELECT click_id, click_user, purchase_id
+    FROM p JOIN i ON click_ts >= win_start AND click_ts <= win_end
+    """,
+    doc="Bucketed interval join: clicks attributed to the 30-minute window "
+    "before any high-value purchase. The bucket equi-join replaces the "
+    "BroadcastNestedLoopJoin Spark would otherwise plan for a keyless "
+    "BETWEEN predicate; candidates are bounded per time bucket, not "
+    "|points| x |intervals|. Oracle uses the plain theta join (DuckDB "
+    "IEJoin handles sf0.01 sizes).",
+)
+def interval_join_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.rangejoin import (
+        interval_join_bucketed,
+    )
+
+    ev = table(spark, sf, "events")
+    points = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    intervals = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 200))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("win_start"),
+            F.col("ts").alias("win_end"),
+        )
+    )
+    return interval_join_bucketed(
+        points, intervals, "click_ts", "win_start", "win_end", 1800
+    ).select("click_id", "click_user", "purchase_id")
