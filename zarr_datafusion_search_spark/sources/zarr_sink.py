@@ -231,3 +231,36 @@ def write_zarr_distributed(
             index_crc32c=inner_rows is not None,
         )
     return total
+
+
+def compact_zarr_stores(
+    spark,
+    stores: list[str],
+    out_path: str,
+    group_path: str = "/",
+    chunk_rows: int = 65536,
+    inner_rows: int | None = None,
+    zstd_level: int = 0,
+) -> int:
+    """Rewrite many small Zarr stores (e.g. streaming landing-zone batch
+    stores from ``write_stream_to_zarr``) into ONE store, optionally
+    sharded. The compaction job a landing zone needs: reads are a chunk-
+    partitioned union scan (parallel across stores and chunks), the write
+    is the distributed sink — both ends executor-side, metadata-only on
+    the driver. Schemas must match across stores. Returns rows written."""
+    from functools import reduce
+
+    from zarr_datafusion_search_spark.sources.zarr_table import ZarrTable
+
+    if not stores:
+        raise ValueError("no stores to compact")
+    dfs = [ZarrTable(s, group_path).to_df(spark) for s in stores]
+    union = reduce(lambda a, b: a.unionByName(b), dfs)
+    return write_zarr_distributed(
+        union,
+        out_path,
+        group_path=group_path,
+        chunk_rows=chunk_rows,
+        inner_rows=inner_rows,
+        zstd_level=zstd_level,
+    )
