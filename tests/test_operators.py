@@ -654,3 +654,17 @@ def test_interval_join_bucketed_keyed(spark):
     )
     got = [r.pid for r in interval_join_bucketed(pts, ivs, "ts", "s", "e", 600, keys=["user"]).collect()]
     assert got == [1]  # u2's point matches the window but not the key
+
+
+def test_bucketed_join_has_no_shuffle_under_join(spark, sf_dir):
+    from zarr_datafusion_search_spark.operators.bucketing import (
+        bucketed_join_revenue,
+    )
+
+    df = bucketed_join_revenue(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_part = plan[plan.index("SortMergeJoin"):]
+    # below the join: scans only — the bucketed layout replaces the
+    # per-query shuffle (the agg above the join may still exchange)
+    assert "Exchange" not in join_part
+    assert df.count() > 0

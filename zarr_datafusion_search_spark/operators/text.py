@@ -338,3 +338,34 @@ def balanced_downsample(
         .filter(F.col("_rn") <= per_class)
         .select(id_col, class_col)
     )
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Single-pass data profiling: per column, row/null/exact-distinct
+    counts and min/max (rendered as strings so one schema fits all types).
+
+    All stats ride ONE aggregation job (map-side partial agg); the exact
+    NDV uses Spark's expand, which multiplies intermediate rows by
+    len(columns) — at 100 TB swap ``F.countDistinct`` for
+    ``F.approx_count_distinct`` (HLL, no expand) and keep the same shape.
+    Avoid double-typed columns if the output feeds a cross-engine compare
+    (float rendering differs engine-to-engine; ints and strings don't).
+    """
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(F.lit(1)).alias(f"_n_{c}"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"_nulls_{c}"),
+            F.countDistinct(c).alias(f"_ndv_{c}"),
+            F.min(c).cast("string").alias(f"_min_{c}"),
+            F.max(c).cast("string").alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _n_{c}, _nulls_{c}, _ndv_{c}, _min_{c}, _max_{c}"
+        for c in columns
+    )
+    return row.selectExpr(
+        f"stack({len(columns)}, {stack_args}) AS "
+        "(column, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )

@@ -1660,3 +1660,53 @@ def interval_join_attribution(spark: SparkSession, sf: str) -> DataFrame:
     return interval_join_bucketed(
         points, intervals, "click_ts", "win_start", "win_end", 1800
     ).select("click_id", "click_user", "purchase_id")
+
+
+@register(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+    doc="Co-located join off bucketBy(16, orderkey)+sortBy tables: the "
+    "write pays the shuffle once, after which the sort-merge join plans "
+    "with zero Exchange under it (asserted in tests). The 100 TB lever "
+    "for repeated fact-fact joins.",
+)
+def bucketed_colocated_join(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.bucketing import (
+        bucketed_join_revenue,
+    )
+
+    return bucketed_join_revenue(spark, sf)
+
+
+@register(
+    "profile_documents",
+    oracle="""
+    SELECT 'doc_id' AS column, count(*) AS n_rows,
+           count(*) - count(doc_id) AS n_nulls,
+           count(DISTINCT doc_id) AS n_distinct,
+           min(doc_id)::VARCHAR AS min_value, max(doc_id)::VARCHAR AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+           min(lang), max(lang) FROM documents
+    UNION ALL
+    SELECT 'source', count(*), count(*) - count(source),
+           count(DISTINCT source), min(source), max(source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), count(*) - count(n_chars),
+           count(DISTINCT n_chars), min(n_chars)::VARCHAR,
+           max(n_chars)::VARCHAR FROM documents
+    """,
+    doc="Single-pass table profiling (rows/nulls/exact NDV/min/max per "
+    "column) via one aggregation job + stack; the scale swap is HLL NDV "
+    "to avoid the expand.",
+)
+def profile_documents(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return text.profile_columns(docs, ["doc_id", "lang", "source", "n_chars"])
