@@ -1710,3 +1710,95 @@ def bucketed_colocated_join(spark: SparkSession, sf: str) -> DataFrame:
 def profile_documents(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
     return text.profile_columns(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+@register(
+    "snapshot_as_of",
+    oracle="""
+    SELECT user_id, ts AS as_of_ts, event_type AS as_of_type,
+           value AS as_of_value
+    FROM (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+    ) WHERE rn = 1
+    """,
+    doc="Point-in-time (AS OF) snapshot over the CDC stream: state of "
+    "every key at a cutoff timestamp. The cutoff filter pushes to the "
+    "scan (partition pruning on date-partitioned logs at scale), then one "
+    "ranking window per key — the time-travel read a lakehouse table "
+    "format serves from its log, expressed directly on the event stream.",
+)
+def snapshot_as_of(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cutoff = "2024-01-15 00:00:00"
+    e = table(spark, sf, "events").filter(F.col("ts") <= F.lit(cutoff).cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("as_of_ts"),
+            F.col("event_type").alias("as_of_type"),
+            F.col("value").alias("as_of_value"),
+        )
+    )
+
+
+@register(
+    "funnel_stages",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (WHERE t_view IS NOT NULL) AS n_viewed,
+           count(*) FILTER (WHERE t_click IS NOT NULL AND t_click > t_view)
+             AS n_clicked_after_view,
+           count(*) FILTER (WHERE t_purchase IS NOT NULL
+                            AND t_click > t_view
+                            AND t_purchase > t_click)
+             AS n_purchased_after_click
+    FROM stages
+    """,
+    doc="Ordered conversion funnel (view -> click -> purchase): one "
+    "grouped pass computes each user's first time per stage (map-side "
+    "combinable min FILTER), then a 1-row conditional count — no joins, "
+    "no per-user sequence materialization. Scales as a single shuffle on "
+    "user_id.",
+)
+def funnel_stages(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    stages = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return stages.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_viewed"),
+        F.count(
+            F.when(
+                F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_clicked_after_view"),
+        F.count(
+            F.when(
+                F.col("t_purchase").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_purchased_after_click"),
+    )
