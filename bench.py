@@ -52,6 +52,17 @@ HEADLINE = [
     "sessionization",
 ]
 
+#: round-2 additions, timed and reported separately so the headline total
+#: stays comparable across rounds (same 23-query membership as BASELINE.md)
+EXTENDED = [
+    "text_bm25_search",
+    "decontaminate_against_eval",
+    "interval_join_attribution",
+    "bucketed_colocated_join",
+    "profile_documents",
+    "funnel_stages",
+]
+
 
 def _sf_from_dir(d: str) -> float:
     m = re.search(r"sf([0-9.]+)", d)
@@ -144,6 +155,18 @@ def main() -> None:
                 times.append(dt)
         per_query[name] = round(statistics.median(times), 4)
 
+    extended: dict[str, float] = {}
+    for name in (n for n in EXTENDED if n in registry):
+        spec = registry[name]
+        times = []
+        for i in range(RUNS + 1):
+            t0 = time.perf_counter()
+            spec.spark(spark, SF_DIR).count()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                times.append(dt)
+        extended[name] = round(statistics.median(times), 4)
+
     zarr_micro = _zarr_scan_bench(spark)
 
     total = round(sum(per_query.values()), 4)
@@ -156,6 +179,10 @@ def main() -> None:
                 "queries": per_query,
                 # zarr scan microbench (BASELINE.md) — no DuckDB counterpart,
                 # reported separately and EXCLUDED from the headline total
+                # round-2 operators — reported separately, EXCLUDED from the
+                # headline total (fixed 23-query membership per BASELINE.md)
+                "extended": extended,
+                "extended_total": round(sum(extended.values()), 4),
                 "zarr_microbench": zarr_micro,
                 "zarr_microbench_total": round(sum(zarr_micro.values()), 4),
                 "sf": _sf_from_dir(SF_DIR),
