@@ -289,3 +289,24 @@ def resize_media(
             F.lit(height).cast("int").alias("height"),
         ).alias("media_meta"),
     )
+
+
+def fake_embed_media(
+    media: DataFrame, id_col: str = "doc_id", dim: int = 8
+) -> DataFrame:
+    """Deterministic stand-in for a CLIP-style media encoder: ``dim``
+    pseudo-embedding components derived from the payload bytes through the
+    engine-portable hash family (so the DuckDB oracle reproduces them
+    bit-for-bit). The real encoder would be an Arrow-batched ``mapInPandas``
+    model call with this exact output shape (id + array<double>); swapping
+    it in changes nothing downstream — the point of the composition test:
+    media -> embedding -> ANN runs entirely on the engine's vector ops.
+    """
+    from zarr_datafusion_search_spark.functions.hashing import h64_seeded
+
+    payload = F.decode(F.col("media_bytes"), "utf-8")
+    comps = [
+        ((h64_seeded(payload, i) % 2001) - 1000) / F.lit(1000.0)
+        for i in range(dim)
+    ]
+    return media.select(F.col(id_col), F.array(*comps).alias("embedding"))

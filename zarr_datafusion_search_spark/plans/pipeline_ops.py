@@ -1802,3 +1802,44 @@ def funnel_stages(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("n_purchased_after_click"),
     )
+
+
+def _fake_embed_sql(dim: int = 8) -> str:
+    comp = (
+        "((('0x' || substr(md5(i::VARCHAR || ':' || text), 2, 15))::BIGINT"
+        " % 2001) - 1000) / 1000.0"
+    )
+    return (
+        f"SELECT doc_id, list_transform(generate_series(0, {dim - 1}), "
+        f"i -> {comp}) AS embedding FROM documents"
+    )
+
+
+@register(
+    "multimodal_embed_ann",
+    oracle=f"""
+    WITH emb AS ({_fake_embed_sql()}),
+    q AS (SELECT * FROM emb WHERE doc_id < 4)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+             round({_duck_cos('q.embedding', 'c.embedding')}, 6) AS cosine,
+             CAST(row_number() OVER (
+               PARTITION BY q.doc_id
+               ORDER BY round({_duck_cos('q.embedding', 'c.embedding')}, 6) DESC,
+                        c.doc_id) AS INTEGER) AS rank
+      FROM q JOIN emb c ON q.doc_id <> c.doc_id
+    ) WHERE rank <= 5
+    """,
+    doc="Media -> embedding -> ANN composition: binary media columns are "
+    "encoded by a deterministic stand-in for a CLIP-style model (real "
+    "encoder = same-shaped mapInPandas model call), then exact cosine "
+    "top-5 runs on the engine's vector ops. Proves the multimodal "
+    "retrieval pipeline end-to-end without codec libraries.",
+)
+def multimodal_embed_ann(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    media = multimodal.attach_fake_media(docs)
+    emb = multimodal.fake_embed_media(media)
+    return similarity.brute_force_topk(
+        emb, emb.filter(F.col("doc_id") < 4), k=5, id_col="doc_id"
+    )
