@@ -249,3 +249,28 @@ def test_compact_batch_stores_to_sharded(spark, event_dir, tmp_path):
     want = {r.event_id: r.value for r in src.collect()}
     got = {r.event_id: r.value for r in back.collect()}
     assert got == want
+
+
+def test_stream_static_enrichment(spark, event_dir):
+    # static dimension: per-user tier derived from user_id
+    dim = spark.range(0, 10000).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 3 == 0, "gold").otherwise("standard").alias("tier"),
+    )
+    stream = streaming_events.read_event_stream(spark, event_dir)
+    out = streaming_events.enrich_stream_with_dim(stream, dim)
+    streaming_events.run_to_memory_sink(out, "enriched_stream_test")
+    got = spark.table("enriched_stream_test")
+    src = spark.read.format("json").schema(streaming_events.EVENTS_SCHEMA).load(event_dir)
+    assert got.count() == src.count()
+    # every gold row honors the dimension rule
+    bad = got.filter(
+        (F.col("tier") == "gold") & (F.col("user_id") % 3 != 0)
+    ).count()
+    assert bad == 0
+    # null tier only where the key has no dimension row (e.g. the fixture's
+    # far-future sentinel user) — exact match with the batch twin
+    want_nulls = src.join(dim, "user_id", "left").filter(
+        F.col("tier").isNull()
+    ).count()
+    assert got.filter(F.col("tier").isNull()).count() == want_nulls

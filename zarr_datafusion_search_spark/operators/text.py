@@ -369,3 +369,63 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
         f"stack({len(columns)}, {stack_args}) AS "
         "(column, n_rows, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+def validate_constraints(
+    facts: DataFrame,
+    dims: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    not_null: list[str],
+    unique: list[str],
+    positive: list[str],
+) -> DataFrame:
+    """Data-quality gate: evaluate a constraint suite and emit one row per
+    constraint with its violation count (0 = pass).
+
+    One conditional-aggregation pass covers null and range checks; the
+    uniqueness check is one map-side-combinable groupBy on the key tuple;
+    referential integrity is a broadcast-or-shuffle anti join. At 100 TB
+    these are the three cheapest shapes the checks can take — nothing is
+    recomputed per constraint, and the report is a handful of rows.
+    """
+    spark = facts.sparkSession
+    checks = []
+    for c in not_null:
+        checks.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"null_violations_{c}")
+        )
+    for c in positive:
+        checks.append(
+            F.sum(F.when(F.col(c) <= 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"nonpositive_violations_{c}")
+        )
+    onepass = facts.agg(*checks)
+    stack_args = ", ".join(
+        f"'{c.replace('_violations_', ':')}', {c}"
+        for c in onepass.columns
+    )
+    scalar = onepass.selectExpr(
+        f"stack({len(onepass.columns)}, {stack_args}) AS (constraint, violations)"
+    )
+    dup = (
+        facts.groupBy(*unique)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .agg(F.coalesce(F.sum(F.col("_n") - 1), F.lit(0)).cast("long").alias("violations"))
+        .select(
+            F.lit("unique:" + ",".join(unique)).alias("constraint"), "violations"
+        )
+    )
+    orphans = (
+        facts.join(dims, facts[fact_key] == dims[dim_key], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        .select(
+            F.lit(f"ref_integrity:{fact_key}->{dim_key}").alias("constraint"),
+            "violations",
+        )
+    )
+    return scalar.unionByName(dup).unionByName(orphans)

@@ -1843,3 +1843,51 @@ def multimodal_embed_ann(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.brute_force_topk(
         emb, emb.filter(F.col("doc_id") < 4), k=5, id_col="doc_id"
     )
+
+
+@register(
+    "validate_constraints",
+    oracle="""
+    SELECT 'null:l_orderkey' AS constraint,
+           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'null:l_quantity',
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'nonpositive:l_extendedprice',
+           CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'nonpositive:l_quantity',
+           CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique:l_orderkey,l_linenumber',
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+    FROM (SELECT count(*) AS n FROM lineitem
+          GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'ref_integrity:l_orderkey->o_orderkey',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+    doc="Data-quality constraint suite in three plan shapes: one "
+    "conditional-agg pass (null/range checks), one groupBy (uniqueness), "
+    "one anti join (referential integrity). Emits constraint -> violation "
+    "count; the dbt/Great-Expectations-style gate a pipeline runs before "
+    "publishing a table.",
+)
+def validate_constraints(spark: SparkSession, sf: str) -> DataFrame:
+    return text.validate_constraints(
+        table(spark, sf, "lineitem"),
+        table(spark, sf, "orders"),
+        fact_key="l_orderkey",
+        dim_key="o_orderkey",
+        not_null=["l_orderkey", "l_quantity"],
+        unique=["l_orderkey", "l_linenumber"],
+        positive=["l_extendedprice", "l_quantity"],
+    )

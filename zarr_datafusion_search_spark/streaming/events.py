@@ -262,3 +262,17 @@ def write_stream_to_zarr(
     )
     q.awaitTermination()
     return written
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static dimension enrichment: each micro-batch joins against
+    the (broadcast) static side with no state and no watermark — the
+    standard streaming lookup-join. The static plan is re-resolved per
+    batch, so a dimension refreshed in place (e.g. overwritten parquet) is
+    picked up without restarting the query.
+    """
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), key, "left")
