@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""End-to-end training-data preparation: the composition the individual
+operators exist for. Raw corpus in, training-ready shards out:
+
+  profile -> validate -> quality/language filter -> exact dedup ->
+  near-dup dedup (MinHash-LSH -> connected components -> survivors) ->
+  benchmark decontamination -> sequence packing -> deterministic
+  training-order shuffle -> sharded Zarr store
+
+Every step is a DataFrame transformation — one lazy plan per stage, no
+driver materialization until the final write. Run from the repo root:
+
+  python examples/training_pipeline.py
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from zarr_datafusion_search_spark import SessionContext, ZarrTable  # noqa: E402
+from zarr_datafusion_search_spark.functions.hashing import h64_seeded  # noqa: E402
+from zarr_datafusion_search_spark.operators import (  # noqa: E402
+    components,
+    dedup,
+    packing,
+    text,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    work = tempfile.mkdtemp(prefix="zdss_train_")
+    ctx = SessionContext(
+        master="local[8]",
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "4g"},
+    )
+    spark = ctx.spark
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n0 = docs.count()
+
+    # 0. know the data before touching it
+    print("== profile ==")
+    text.profile_columns(docs, ["doc_id", "lang", "source", "n_chars"]).show()
+
+    # 1. quality + language gate (keep scored >= 0.3, drop unknown langs)
+    scored = text.quality_score(docs).select("doc_id", "quality")
+    kept = (
+        docs.join(scored, "doc_id")
+        .filter((F.col("quality") >= 0.3) & F.col("lang").isNotNull())
+    )
+
+    # 2. exact dedup: lowest-id survivor per text fingerprint
+    survivors_exact = dedup.exact_dedup(kept).select("doc_id")
+    kept = kept.join(survivors_exact, "doc_id")
+
+    # 3. near-dup dedup: LSH pairs -> components -> keep cluster minima
+    pairs = dedup.minhash_lsh_pairs(kept)
+    kept = components.dedup_survivors(kept, pairs)
+
+    # 4. benchmark decontamination: drop anything sharing an 8-gram with
+    #    the held-out eval slice (source 'src0' stands in for the benchmark)
+    contaminated = dedup.decontaminate(kept).select("doc_id")
+    train = kept.filter(F.col("source") != "src0").join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+    # 5. pack into ~512-token sequences, then shuffle pack order
+    #    deterministically (seeded hash -> reproducible epoch order)
+    packed = packing.pack_documents_cumsum(train, budget=512)
+    ordered = (
+        train.join(packed.select("doc_id", "pack_id", "n_tokens"), "doc_id")
+        .withColumn(
+            "shuffle_key", h64_seeded(F.col("pack_id").cast("string"), 42)
+        )
+        .orderBy("shuffle_key", "pack_id", "doc_id")
+        .select("doc_id", "pack_id", "n_tokens", "source", "lang", "text")
+    )
+
+    # 6. land as a sharded Zarr store (task-side writes, metadata commit)
+    out = f"{work}/training.zarr"
+    t = ZarrTable.write(ordered, out, chunk_rows=4096)
+    n_final = t.n_rows
+
+    print("== funnel ==")
+    print(f"  raw docs:        {n0}")
+    print(f"  after filters:   {kept.count()} (quality/lang + exact + near-dup)")
+    print(f"  training rows:   {n_final} (post decontamination, packed + shuffled)")
+    print(f"  packs:           {packed.select('pack_id').distinct().count()}")
+    print(f"  store:           {out}")
+    print("read-back check:", ZarrTable(out).to_df(spark).count() == n_final)
+
+
+if __name__ == "__main__":
+    main()
