@@ -497,3 +497,79 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster, then exact cosine
+    pairs WITHIN each cluster only.
+
+    All-pairs similarity over a corpus is quadratic; SemDeDup's observation
+    is that semantic duplicates land in the same embedding cluster, so the
+    pair search can be restricted to cluster members. Assignment reuses the
+    deterministic IVF coarse quantizer (seed centroids = lowest-id vectors,
+    argmin by rounded cosine with centroid-id tiebreak), which keeps the
+    whole operator exactly reproducible cross-engine — no RNG, no
+    tolerance oracle. Returns (id_a, id_b, centroid_id, cosine) with
+    id_a < id_b and cosine >= threshold; feed into the connected-components
+    survivor selection like any other near-dup pair list.
+
+    Scale shape: centroids broadcast, assignment is a narrow map, the pair
+    join is an equi-join on centroid_id — the corpus shuffles once. Work is
+    sum over cells of |cell|^2, so keep n/k (mean cell size) bounded by
+    growing ``n_centroids`` with the corpus; a hot cell is capped the same
+    way SemDeDup caps clusters (sample within cell) without touching the
+    plan shape.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cent_vec"),
+        )
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(cents)
+    ).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        F.round(cosine_similarity(vec_col, "cent_vec"), COS_ROUND).alias("_c"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_c").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("cell")
+        )
+    )
+    a = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("cell").alias("centroid_id"),
+            F.round(cosine_similarity("_va", "_vb"), COS_ROUND).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

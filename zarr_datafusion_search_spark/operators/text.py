@@ -429,3 +429,109 @@ def validate_constraints(
         )
     )
     return scalar.unionByName(dup).unionByName(orphans)
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    total: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sample the corpus to a target domain mixture (data mixing).
+
+    Training runs rarely consume the raw corpus proportions — they target a
+    mixture like 60% web / 30% code / 10% reference. Given per-domain
+    weights and a target row count, each domain keeps its quota
+    ``floor(total * w / sum(w))``, chosen deterministically as the rows
+    with the smallest portable hash of the id (id tiebreaker). Domains
+    listed with weight 0 and domains absent from ``weights`` are dropped.
+
+    One shuffle on the domain key to rank within each domain; at 100 TB a
+    dominant domain serializes into one window partition, so at that scale
+    swap the exact rank for the hash-threshold variant (keep when
+    ``h64/2^60 < quota/domain_count``) which needs no shuffle and lands
+    within sampling error of the quota.
+    """
+    norm = sum(weights.values())
+    quota = {d: int(total * w / norm) for d, w in weights.items()}
+    quota_map = F.create_map(
+        *[F.lit(x) for dw in quota.items() for x in dw]
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        h64(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(domain_col).isin(*[d for d, q in quota.items() if q > 0]))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota_map[F.col(domain_col)])
+        .select(id_col, domain_col)
+    )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    min_count: int = 5,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining: top-k adjacent token bigrams by pointwise mutual
+    information, ``pmi = ln(p(ab) / (p(a) p(b)))`` with bigram probability
+    over the bigram count and unigram probabilities over the token count.
+    The statistic tokenizer builders and phrase-detection passes (word2vec
+    style) compute over a corpus.
+
+    Counts are exact: one explode->groupBy per granularity, both map-side
+    combinable, then two joins of the bigram table against the unigram
+    table. After aggregation both sides are vocabulary-sized — orders of
+    magnitude smaller than the corpus — so the joins shuffle almost
+    nothing; at 100 TB the unigram side still fits a broadcast for any
+    real vocabulary. PMI is rounded to 6 dp to absorb cross-engine libm
+    drift in ``ln``.
+    """
+    toks = df.select(tokens_col(text_col).alias("_t")).filter(F.size("_t") > 0)
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    n_tokens = uni.agg(F.sum("c_w").alias("n")).select("n")
+    bi = (
+        toks.filter(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_t) - 1),"
+                    " i -> struct(_t[i - 1] AS w1, _t[i] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    n_bigrams = bi.agg(F.sum("c_ab").alias("nb")).select("nb")
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
+    scored = (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_tokens))
+        .crossJoin(F.broadcast(n_bigrams))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("nb"))
+                    / ((F.col("c_a") / F.col("n")) * (F.col("c_b") / F.col("n")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(top_k)

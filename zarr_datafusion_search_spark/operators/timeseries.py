@@ -52,3 +52,82 @@ def resample_daily(
         F.round(F.coalesce(F.col("_v"), F.lit(0.0)), 6).alias("total_value"),
         F.round(F.last("_v", ignorenulls=True).over(w), 6).alias("carried_value"),
     )
+
+
+def scd2_history(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: collapse an event log into
+    validity intervals per key.
+
+    Consecutive rows with an unchanged attribute are merged; each surviving
+    change-point opens an interval ``[valid_from, valid_to)`` closed by the
+    next change (open-ended for the current state). ``id_col`` breaks ties
+    between same-timestamp events so the history is deterministic.
+
+    Two windows over the same (key, ts) ordering — Catalyst reuses one
+    exchange, so this is a single shuffle on the key. At 100 TB the log is
+    huge but per-key history is small; skewed keys (one bot user) are the
+    only hazard, the same salting escape as sessionization.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, id_col)
+    changes = (
+        events.select(key, ts_col, id_col, attr_col)
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(
+            F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
+        )
+    )
+    w2 = Window.partitionBy(key).orderBy(ts_col, id_col)
+    return changes.select(
+        F.col(key),
+        F.col(attr_col).alias("state"),
+        F.col(ts_col).cast("timestamp_ntz").alias("valid_from"),
+        F.lead(ts_col).over(w2).cast("timestamp_ntz").alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )
+
+
+def merge_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a compacted CDC changeset to a snapshot (MERGE semantics).
+
+    ``changes`` holds at most one row per key with ``op`` in
+    ('I','U','D') and the new attribute values under the base's column
+    names; the result is the next snapshot: deletes drop the base row,
+    upserts take the change row's values, untouched keys pass through.
+    Compact a raw multi-row log to latest-per-key first (the
+    ``latest_record_per_key`` operator).
+
+    One full-outer shuffle join on the key — the minimal work MERGE can
+    do. Changesets are usually tiny next to the snapshot; Catalyst's AQE
+    converts the join to broadcast when the compacted side fits, so at
+    100 TB the snapshot never re-shuffles for a small delta.
+    """
+    attrs = [c for c in base.columns if c != key]
+    ch = changes.select(
+        F.col(key).alias("_k"),
+        F.col(op_col).alias("_op"),
+        *[F.col(c).alias(f"_c_{c}") for c in attrs],
+    )
+    joined = base.join(ch, base[key] == ch["_k"], "full_outer")
+    return (
+        joined.filter(~(F.coalesce(F.col("_op"), F.lit("")) == F.lit("D")))
+        .select(
+            F.coalesce(base[key], F.col("_k")).alias(key),
+            *[
+                F.when(F.col("_op").isin("I", "U"), F.col(f"_c_{c}"))
+                .otherwise(base[c])
+                .alias(c)
+                for c in attrs
+            ],
+        )
+    )
