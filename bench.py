@@ -61,6 +61,11 @@ EXTENDED = [
     "bucketed_colocated_join",
     "profile_documents",
     "funnel_stages",
+    "mixture_sample_domains",
+    "bigram_pmi_top",
+    "scd2_user_state",
+    "merge_apply_snapshot",
+    "dedup_semantic",
 ]
 
 

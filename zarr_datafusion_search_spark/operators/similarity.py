@@ -519,12 +519,17 @@ def semantic_dedup_pairs(
     id_a < id_b and cosine >= threshold; feed into the connected-components
     survivor selection like any other near-dup pair list.
 
-    Scale shape: centroids broadcast, assignment is a narrow map, the pair
-    join is an equi-join on centroid_id — the corpus shuffles once. Work is
+    Scale shape: centroids broadcast; assignment is one crossJoin against
+    the k-row centroid table collapsed by a map-side-combinable ``max_by``
+    (the shuffle moves n rows, not n*k). Pair generation runs in two
+    phases like :func:`embedding_near_dup_pairs`: a per-cell vectorized
+    GEMM emits candidates with 1e-6 slack, then the survivors (tiny) are
+    rescored with the exact sequential-fold cosine so the emitted values
+    and threshold decision match the DuckDB oracle bit-for-bit. Work is
     sum over cells of |cell|^2, so keep n/k (mean cell size) bounded by
     growing ``n_centroids`` with the corpus; a hot cell is capped the same
     way SemDeDup caps clusters (sample within cell) without touching the
-    plan shape.
+    plan shape, and a huge cell's GEMM blocks row-wise inside the task.
     """
     cents = (
         corpus.orderBy(id_col)
@@ -542,33 +547,52 @@ def semantic_dedup_pairs(
         "centroid_id",
         F.round(cosine_similarity(vec_col, "cent_vec"), COS_ROUND).alias("_c"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_c").desc(), F.col("centroid_id")
+    # argmax by (rounded cosine, lowest centroid id): the struct compares
+    # fields in order and (-centroid_id) is unique, so ties are impossible
+    # and the partial aggregation combines map-side.
+    assigned = scored.groupBy(id_col, vec_col).agg(
+        F.max_by(
+            "centroid_id",
+            F.struct(F.col("_c"), (-F.col("centroid_id")).alias("_n")),
+        ).alias("cell")
     )
-    assigned = (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select(
-            F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("cell")
+
+    # slack covers GEMM-vs-sequential-fold summation drift (1e-9) plus the
+    # 6 dp rounding applied before the threshold comparison (5e-7).
+    cutoff = threshold - 1e-6
+
+    def gemm_cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        V = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        N = V / norms
+        S = N @ N.T
+        ii, jj = np.nonzero(S >= cutoff)
+        ids = pdf[id_col].to_numpy()
+        a, b = ids[ii], ids[jj]
+        keep = a < b
+        return pd.DataFrame(
+            {
+                "id_a": a[keep],
+                "id_b": b[keep],
+                "centroid_id": pdf["cell"].iloc[:1].repeat(keep.sum()),
+            }
         )
+
+    cand = assigned.groupBy("cell").applyInPandas(
+        gemm_cell, "id_a long, id_b long, centroid_id long"
     )
-    a = assigned.select(
-        F.col("cell"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
-    )
-    b = assigned.select(
-        F.col("cell"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
-    )
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.col("cell").alias("centroid_id"),
+            "centroid_id",
             F.round(cosine_similarity("_va", "_vb"), COS_ROUND).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
