@@ -7,12 +7,13 @@ ANN vector search (operators/similarity.py).
 
 Shape for 100 TB:
 
-- The postings list ``(doc_id, term, tf)`` is one explode + one map-side
-  combinable groupBy — shuffle bounded by distinct (doc, term) pairs.
-- The query set is tiny (a benchmark run is 10s–1000s of queries) and is
-  broadcast; scoring touches only postings whose term occurs in some query,
-  so the big corpus-side join is an equi-join on ``term`` after a semi
-  filter — never a full scan of the postings per query.
+- The query vocabulary is tiny (a benchmark run is 10s–1000s of queries)
+  and is compiled into the tokenize pass as a literal array filter, so
+  non-query tokens never reach the explode: the postings build
+  ``(doc_id, term, tf)`` shuffles rows proportional to query HITS, not to
+  corpus token count, and corpus stats ride out of the same pass.
+- The query set itself is broadcast for scoring — the corpus never
+  shuffles on anything but its own doc id.
 - Corpus stats (N, avgdl) are a 1-row aggregate broadcast to the scorer;
   no driver collect.
 - Hot terms (stopwords) skew the postings join at real-corpus scale; the
@@ -26,7 +27,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from zarr_datafusion_search_spark.operators.dedup import spread, tokens_col
+from zarr_datafusion_search_spark.operators.dedup import tokens_col
 
 
 def bm25_topk(
@@ -49,17 +50,39 @@ def bm25_topk(
     Returns ``(query_id, doc_id, score, rank)``.
     """
     spark = docs.sparkSession
-    toked = (
-        spread(docs, id_col)
-        .select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    # Only query terms can score, so non-query tokens are dropped BEFORE
+    # the explode: downstream rows are proportional to query hits, not to
+    # corpus token count (at sf0.1 that is ~5M rows -> a few thousand).
+    # The term filter is a codegen'd array_contains against the literal
+    # query vocabulary — no join, no broadcast. ``explode_outer`` keeps a
+    # null-term row for docs with no hits so the corpus stats (N, avgdl)
+    # can come out of the SAME pass.
+    qterms = sorted({t for _, qtext in queries for t in qtext.lower().split()})
+    qlit = F.array(*[F.lit(t) for t in qterms])
+    toks = tokens_col(text_col)
+    # One tokenize pass, then a repartition on doc id as the branch point:
+    # both consumers below re-read this exchange (ReusedExchange) instead
+    # of re-tokenizing, and hash(doc_id) partitioning already satisfies
+    # their groupBy clusterings, so neither adds another shuffle. The
+    # repartition also distributes the (tiny) post-explode rows, so no
+    # up-front spread of the raw text is needed — at cluster scale the
+    # tokenize parallelism comes from the input file splits.
+    ex = (
+        docs.select(F.col(id_col), toks.alias("_toks"))
         .filter(F.size("_toks") > 0)
-    )
-    # postings: one row per (doc, term); dl rides along as a grouping key
-    # (functionally dependent on doc_id, so it adds no groups)
-    tf = (
-        toked.select(
-            id_col, F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
+        .select(
+            id_col,
+            F.size("_toks").alias("dl"),
+            F.explode_outer(
+                F.filter("_toks", lambda t: F.array_contains(qlit, t))
+            ).alias("term"),
         )
+        .repartition(F.col(id_col))
+    )
+    # postings: one row per (doc, query term); dl rides along as a grouping
+    # key (functionally dependent on doc_id, so it adds no groups)
+    tf = (
+        ex.filter(F.col("term").isNotNull())
         .groupBy(id_col, "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -69,16 +92,15 @@ def bm25_topk(
         for t in sorted(set(qtext.lower().split()))
     ]
     qdf = spark.createDataFrame(qrows, "query_id INT, term STRING")
-    # df over the full corpus, but only for terms some query mentions
-    dfc = (
-        tf.join(F.broadcast(qdf.select("term").distinct()), "term")
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
+    # document frequency per query term (tf already holds one row per
+    # (doc, query term))
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
     if max_df is not None:
         dfc = dfc.filter(F.col("df") <= max_df)
-    stats = toked.agg(
-        F.count("*").alias("n_docs"), F.avg(F.size("_toks")).alias("avgdl")
+    stats = (
+        ex.groupBy(id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("_dummy"))
+        .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     )
     idf = F.log(
         F.lit(1.0)
