@@ -96,3 +96,20 @@ def test_events_fixture_matches_duckdb(spark, sf_dir, duck):
         "SELECT min(event_id), max(event_id) FROM events"
     ).fetchone()
     assert (s_min, s_max) == (d_min, d_max)
+
+
+def test_read_native_matches_python_source(spark, sf_dir):
+    from zarr_datafusion_search_spark.sources import nanos_parquet
+
+    path = f"{sf_dir}/events.parquet"
+    nanos_parquet.register(spark)
+    via_ds = (
+        spark.read.format(nanos_parquet.FORMAT_NAME)
+        .option("path", path)
+        .load()
+    )
+    via_native = nanos_parquet.read_native(spark, path)
+    assert via_native.schema == via_ds.schema
+    a = sorted(map(tuple, via_ds.collect()))
+    b = sorted(map(tuple, via_native.collect()))
+    assert a == b

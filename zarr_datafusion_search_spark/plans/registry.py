@@ -83,11 +83,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _read_nanos_parquet(spark: SparkSession, path: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects ([PARQUET_TYPE_ILLEGAL]). Route through the executor-side
-    ``zdss_nanos_parquet`` Python data source: the driver touches only the
-    footer, each task reads its own row groups and casts ns->us in place
-    (safe=False truncation — the same truncation a DuckDB TIMESTAMP_NS ->
-    python datetime fetch applies on the oracle side).
+    rejects ([PARQUET_TYPE_ILLEGAL]) under its own inferred schema. Route
+    through ``nanos_parquet.read_native``: the ns columns are requested as
+    LONG (their physical INT64 encoding, which the native vectorized
+    reader accepts) and rescaled to us timestamps in the plan — fully
+    JVM-side, with the same truncation a DuckDB TIMESTAMP_NS -> python
+    datetime fetch applies on the oracle side. The executor-side
+    ``zdss_nanos_parquet`` Python data source remains as the general
+    fallback (see its module docstring) and is covered by its own tests.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -99,12 +102,7 @@ def _read_nanos_parquet(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
     from zarr_datafusion_search_spark.sources import nanos_parquet
 
-    nanos_parquet.register(spark)
-    return (
-        spark.read.format(nanos_parquet.FORMAT_NAME)
-        .option("path", path)
-        .load()
-    )
+    return nanos_parquet.read_native(spark, path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -48,9 +48,8 @@ def _list_files(path: str) -> list[str]:
     return [path]
 
 
-def _spark_ddl_from_arrow(schema) -> str:
-    """Map the footer's Arrow schema to a Spark DDL string, rescaling ns
-    timestamps to Spark's native microsecond resolution."""
+def _field_ddl(t) -> str:
+    """Spark DDL type for one Arrow type (ns timestamps -> `timestamp`)."""
     import pyarrow as pa
 
     def field_type(t: "pa.DataType") -> str:
@@ -89,7 +88,48 @@ def _spark_ddl_from_arrow(schema) -> str:
             return f"array<{field_type(t.value_type)}>"
         raise TypeError(f"nanos_parquet: unsupported parquet type {t}")
 
-    return ", ".join(f"`{f.name}` {field_type(f.type)}" for f in schema)
+    return field_type(t)
+
+
+def _spark_ddl_from_arrow(schema) -> str:
+    """Map the footer's Arrow schema to a Spark DDL string, rescaling ns
+    timestamps to Spark's native microsecond resolution."""
+    return ", ".join(f"`{f.name}` {_field_ddl(f.type)}" for f in schema)
+
+
+def read_native(spark, path: str):
+    """Read a ns-timestamp parquet through Spark's NATIVE vectorized
+    reader by requesting the ns columns as LONG (their physical INT64
+    encoding, which the reader accepts), then rescaling to microsecond
+    timestamps in the plan: ``timestamp_micros(ts div 1000)``. The
+    truncation matches the executor-side source's Arrow ``safe=False``
+    cast and a DuckDB TIMESTAMP_NS fetch (all integer-truncate; test data
+    is post-epoch so rounding direction never differs).
+
+    This is the default route for the synthetic ``events`` table: it keeps
+    the whole scan JVM-side (whole-stage codegen, no Python workers) and
+    inherits native predicate pushdown on the non-timestamp columns. The
+    Python data source below remains the general fallback and the
+    demonstration of executor-side custom scans.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    schema = pq.read_schema(_list_files(path)[0])
+    ddl, cols = [], []
+    for f in schema:
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+            ddl.append(f"`{f.name}` bigint")
+            cols.append(
+                F.timestamp_micros(F.expr(f"`{f.name}` div 1000")).alias(
+                    f.name
+                )
+            )
+        else:
+            ddl.append(f"`{f.name}` {_field_ddl(f.type)}")
+            cols.append(F.col(f.name))
+    return spark.read.schema(", ".join(ddl)).parquet(path).select(*cols)
 
 
 def _cast_ns_to_us(table):
