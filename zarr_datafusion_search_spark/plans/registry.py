@@ -106,9 +106,19 @@ def _read_nanos_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every synthetic table as a temp view for spark.sql queries."""
+    """Register every synthetic table as a temp view for spark.sql queries.
+
+    Idempotent per (session, sf_dir): re-registering ten lazy views costs
+    ~0.8 s of driver round-trips (file listing + schema reads), which would
+    otherwise be paid by EVERY spark.sql query in a bench run. The marker
+    lives on the session object itself, so it dies with the session and a
+    different sf_dir re-registers."""
+    if getattr(spark, "_zdss_views_sf", None) == sf_dir:
+        _harden_session(spark)
+        return
     for t in TABLES:
         table(spark, sf_dir, t).createOrReplaceTempView(t)
+    spark._zdss_views_sf = sf_dir
 
 
 def load_all() -> dict[str, QuerySpec]:
