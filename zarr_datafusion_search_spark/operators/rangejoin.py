@@ -23,7 +23,20 @@ interval covers — no candidate is missed by quantization.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame
+
+
+def _epoch_seconds(df: DataFrame, col: str) -> F.Column:
+    """Integer epoch seconds for numeric, DATE, TIMESTAMP, or TIMESTAMP_NTZ
+    columns. TIMESTAMP_NTZ cannot cast to BIGINT directly (Spark 4), so it
+    goes through TIMESTAMP_LTZ first — exact under the engine's pinned UTC
+    session timezone (engine.py: spark.sql.session.timeZone=UTC)."""
+    c = F.col(col)
+    dt = df.schema[col].dataType
+    if isinstance(dt, (T.TimestampNTZType, T.DateType)):
+        c = c.cast("timestamp")
+    return c.cast("long")
 
 
 def interval_join_bucketed(
@@ -41,14 +54,14 @@ def interval_join_bucketed(
     keys = keys or []
     w = int(bucket_seconds)
     p = points.withColumn(
-        "_b", F.floor(F.col(point_ts).cast("long") / w).cast("long")
+        "_b", F.floor(_epoch_seconds(points, point_ts) / w).cast("long")
     )
     i = intervals.withColumn(
         "_b",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_col).cast("long") / w).cast("long"),
-                F.floor(F.col(end_col).cast("long") / w).cast("long"),
+                F.floor(_epoch_seconds(intervals, start_col) / w).cast("long"),
+                F.floor(_epoch_seconds(intervals, end_col) / w).cast("long"),
             )
         ),
     )

@@ -862,9 +862,34 @@ def pack_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "pack_documents_greedy",
-    oracle=None,  # reset-on-overflow fold is not SQL-expressible
+    # The reset-on-overflow fold has no window-function form, but it IS
+    # expressible as a per-source row walk: a recursive CTE advancing every
+    # source by one row per iteration (iterations = max rows per source).
+    oracle=r"""
+    WITH RECURSIVE base AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> len(x) > 0))::INTEGER AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk AS (
+      SELECT source, doc_id, n_tokens, rn,
+             0::BIGINT AS pack_id, n_tokens::BIGINT AS used
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.source, b.doc_id, b.n_tokens, b.rn,
+             CASE WHEN w.used > 0 AND w.used + b.n_tokens > 512
+                  THEN w.pack_id + 1 ELSE w.pack_id END,
+             CASE WHEN w.used > 0 AND w.used + b.n_tokens > 512
+                  THEN b.n_tokens::BIGINT ELSE w.used + b.n_tokens END
+      FROM base b JOIN walk w ON b.source = w.source AND b.rn = w.rn + 1
+    )
+    SELECT source, doc_id, n_tokens, pack_id FROM walk
+    """,
     doc="Exact first-fit sequence packing via ordered applyInPandas; "
-    "rows-only check (pytest asserts the budget invariant).",
+    "oracle replays the identical fold as a recursive-CTE row walk "
+    "(pytest additionally asserts the budget invariant).",
 )
 def pack_documents_greedy(spark: SparkSession, sf: str) -> DataFrame:
     from zarr_datafusion_search_spark.operators import packing
