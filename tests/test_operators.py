@@ -668,3 +668,41 @@ def test_bucketed_join_has_no_shuffle_under_join(spark, sf_dir):
     # per-query shuffle (the agg above the join may still exchange)
     assert "Exchange" not in join_part
     assert df.count() > 0
+
+
+def test_duplicated_spans_merges_overlapping_windows(spark):
+    # docs 1 and 2 share a 10-token passage; doc 3 is unrelated filler.
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique one two three {shared} tail1 only here"),
+            (2, f"{shared} completely different ending words four"),
+            (3, "nothing in common with anything else at all nope zip zilch nada"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+        for r in dedup.duplicated_spans(docs, k=8).collect()
+    }
+    # 10 shared tokens = three overlapping 8-windows merged into ONE span
+    # doc 1: shared passage occupies token positions 5..14
+    assert out[1] == (5, 14, 10)
+    # doc 2: positions 1..10
+    assert out[2] == (1, 10, 10)
+    assert 3 not in out
+
+
+def test_duplicated_spans_within_doc_repeat(spark):
+    # the same 8-token run appears twice inside ONE document -> both
+    # occurrences are spans (min_occurrences counts total, not distinct docs)
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = spark.createDataFrame(
+        [(1, f"{run} mid1 mid2 mid3 {run} end")],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        (r.span_start, r.span_end)
+        for r in dedup.duplicated_spans(docs, k=8).collect()
+    )
+    assert spans == [(1, 8), (12, 19)]

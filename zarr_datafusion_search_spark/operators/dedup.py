@@ -526,3 +526,81 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans per document (ExactSubstr-style).
+
+    Marks every position covered by a word ``k``-gram that occurs at least
+    ``min_occurrences`` times in the corpus (within or across documents),
+    then merges overlapping/adjacent covered windows into maximal spans —
+    the span inventory a Lee-et-al-style "remove duplicated substrings"
+    pass would cut. Complements :func:`duplicated_segments` (content-
+    defined chunks need exact chunk equality; this catches any repeated
+    run of >= ``k`` tokens regardless of boundary alignment).
+
+    100 TB shape: one explode to (doc, start, gram-hash) rows, a count
+    aggregation on the 60-bit gram hash (map-side combinable), an equi-join
+    back on the hash, and a per-document window merge — no self-join on
+    documents, no quadratic candidate set; the duplicated-hash side of the
+    join is small by construction (only hashes with >= 2 occurrences).
+
+    Returns ``(id, span_start, span_end, span_tokens)`` with 1-indexed
+    inclusive token positions.
+    """
+    from pyspark.sql import Window
+
+    toks = spread(df, id_col).select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    grams = (
+        toks.filter(F.size("_toks") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.concat_ws(" ", F.slice("_toks", i, k)).alias("gram"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(
+            id_col,
+            F.col("g.start").cast("long").alias("start"),
+            h64(F.col("g.gram")).alias("g_h"),
+        )
+    )
+    dup_hashes = (
+        grams.groupBy("g_h")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") >= min_occurrences)
+        .select("g_h")
+    )
+    marked = grams.join(dup_hashes, "g_h").select(
+        id_col, "start", (F.col("start") + (k - 1)).alias("end")
+    )
+    w = Window.partitionBy(id_col).orderBy("start")
+    prev_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = marked.withColumn(
+        "_new",
+        F.when(prev_end.isNull() | (F.col("start") > prev_end + 1), 1).otherwise(0),
+    )
+    grp = F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        flagged.withColumn("_grp", grp)
+        .groupBy(id_col, "_grp")
+        .agg(F.min("start").alias("span_start"), F.max("end").alias("span_end"))
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

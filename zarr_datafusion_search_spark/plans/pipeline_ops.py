@@ -355,6 +355,56 @@ def cdc_duplicated_segments(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.duplicated_segments(table(spark, sf, "documents"), min_tokens=4)
 
 
+@register(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> len(x) > 0) AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS start,
+             {duckdb_h64("array_to_string(t[u.i:u.i+7], ' ')")} AS g_h
+      FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    dup AS (
+      SELECT g_h FROM grams GROUP BY g_h HAVING count(*) >= 2
+    ),
+    marked AS (
+      SELECT g.doc_id, g.start, g.start + 7 AS e
+      FROM grams g JOIN dup USING (g_h)
+    ),
+    flagged AS (
+      SELECT doc_id, start, e,
+             CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    >= start - 1
+                  THEN 0 ELSE 1 END AS newgrp
+      FROM marked
+    ),
+    grps AS (
+      SELECT doc_id, start, e,
+             sum(newgrp) OVER (PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM flagged
+    )
+    SELECT doc_id, min(start) AS span_start, max(e) AS span_end,
+           max(e) - min(start) + 1 AS span_tokens
+    FROM grps GROUP BY doc_id, grp
+    """,
+    doc="ExactSubstr-style duplicated-passage spans: every 8-token window "
+    "repeated anywhere in the corpus marks its positions; overlapping "
+    "windows merge into maximal per-document spans (the regions an exact-"
+    "substring dedup pass would cut). Hash-count + equi-join back — no "
+    "document self-join, scale-safe.",
+)
+def dedup_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.duplicated_spans(table(spark, sf, "documents"), k=8)
+
+
 _SIMHASH_CTE = f"""
 tokh AS (
   SELECT doc_id, {duckdb_h64('tok')} AS h FROM (
