@@ -66,6 +66,7 @@ EXTENDED = [
     "scd2_user_state",
     "merge_apply_snapshot",
     "dedup_semantic",
+    "dedup_duplicate_spans",
 ]
 
 
