@@ -371,7 +371,7 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name AS nation,
-           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -401,7 +401,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(n.n_name.alias("nation"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        # round(4): the true sum lies on a 4-decimal grid (2-dec price x
+        # 2-dec discount), so both engines land on the same value despite
+        # summation-order ULP drift (partitioning-dependent on this side)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
     )
 
 
@@ -567,12 +574,12 @@ def window_rank(spark: SparkSession, sf: str) -> DataFrame:
     "window_frame_rows",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           sum(o_totalprice) OVER (
+           round(sum(o_totalprice) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_sum,
-           avg(o_totalprice) OVER (
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rolling_sum,
+           round(avg(o_totalprice) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_avg
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_avg
     FROM orders
     """,
     doc="Sliding and running aggregates over ROWS frames.",
@@ -588,11 +595,13 @@ def window_frame_rows(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(*ordering)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # rounding both sides: running aggregates accumulate in engine-specific
+    # order (incremental vs segment-tree), drifting in the last ULP
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum("o_totalprice").over(w_slide).alias("rolling_sum"),
-        F.avg("o_totalprice").over(w_run).alias("running_avg"),
+        F.round(F.sum("o_totalprice").over(w_slide), 2).alias("rolling_sum"),
+        F.round(F.avg("o_totalprice").over(w_run), 6).alias("running_avg"),
     )
 
 
@@ -950,8 +959,8 @@ def date_functions(spark: SparkSession, sf: str) -> DataFrame:
            CAST(ceil(l_extendedprice / 1000) AS BIGINT)  AS price_k_ceil,
            CAST(floor(l_discount * 100) AS BIGINT)       AS disc_pct,
            round(l_tax * 100)                         AS tax_pct,
-           ln(l_extendedprice)                        AS ln_price,
-           exp(l_discount)                            AS exp_disc,
+           round(ln(l_extendedprice), 6)              AS ln_price,
+           round(exp(l_discount), 6)                  AS exp_disc,
            sqrt(l_quantity)                           AS sqrt_qty,
            power(l_quantity, 2)                       AS qty_sq,
            CAST(l_quantity AS BIGINT) % 7             AS qty_mod7,
@@ -973,8 +982,10 @@ def math_case_functions(spark: SparkSession, sf: str) -> DataFrame:
         F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
         F.floor(F.col("l_discount") * 100).alias("disc_pct"),
         F.round(F.col("l_tax") * 100).alias("tax_pct"),
-        F.log(F.col("l_extendedprice")).alias("ln_price"),
-        F.exp(F.col("l_discount")).alias("exp_disc"),
+        # ln/exp are not correctly-rounded in every libm; round(6) both
+        # sides (sqrt IS IEEE-exact and stays raw)
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.exp(F.col("l_discount")), 6).alias("exp_disc"),
         F.sqrt(F.col("l_quantity")).alias("sqrt_qty"),
         F.pow(F.col("l_quantity"), 2).alias("qty_sq"),
         (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),

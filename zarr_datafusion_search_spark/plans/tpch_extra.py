@@ -25,7 +25,7 @@ from zarr_datafusion_search_spark.plans.registry import register, table
 @register(
     "q7_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l.l_shipdate) AS l_year,
@@ -77,9 +77,9 @@ def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
         )
     )
 
@@ -304,7 +304,7 @@ def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q17_small_quantity_parts",
     oracle="""
-    SELECT sum(l.l_extendedprice) / 7.0 AS avg_yearly
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN (
@@ -334,7 +334,7 @@ def q17_small_quantity_parts(spark: SparkSession, sf: str) -> DataFrame:
         l.join(p, l.l_partkey == p.p_partkey)
         .join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
 
 
