@@ -706,3 +706,21 @@ def test_duplicated_spans_within_doc_repeat(spark):
         for r in dedup.duplicated_spans(docs, k=8).collect()
     )
     assert spans == [(1, 8), (12, 19)]
+
+
+def test_remove_duplicated_spans_cuts_all_copies(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [
+            (1, f"keep1 keep2 {shared} keep3"),
+            (2, f"{shared} tail"),
+            (3, "independent words that survive fully intact here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.remove_duplicated_spans(docs, k=8).collect()}
+    assert out[1].clean_text == "keep1 keep2 keep3"
+    assert out[1].n_removed_tokens == 8
+    assert out[2].clean_text == "tail"
+    assert out[3].clean_text == "independent words that survive fully intact here ok"
+    assert out[3].n_removed_tokens == 0

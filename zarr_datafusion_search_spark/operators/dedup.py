@@ -604,3 +604,62 @@ def duplicated_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Cut every duplicated span (see :func:`duplicated_spans`) out of the
+    corpus — the ExactSubstr transform itself: all occurrences of a
+    duplicated >= ``k``-token run are removed (Lee et al. drop every copy;
+    near-dup doc-level passes upstream keep one canonical copy of whole
+    documents, so what reaches this operator is boilerplate).
+
+    Plan: token posexplode joined to the span inventory per document
+    (equi-join on the id; spans per doc are few, the range containment is
+    a post-join filter), surviving tokens re-concatenated in position
+    order. Shuffles on the doc id only.
+
+    Returns ``(id, clean_text, n_tokens, n_removed_tokens)`` for every
+    input document (docs without duplicated spans pass through intact).
+    """
+    spans = duplicated_spans(df, id_col, text_col, k, min_occurrences)
+    toks = spread(df, id_col).select(
+        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos0", "tok")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
+    covered = (
+        toks.join(spans, id_col)
+        .filter(
+            (F.col("pos") >= F.col("span_start"))
+            & (F.col("pos") <= F.col("span_end"))
+        )
+        .select(id_col, "pos")
+        .distinct()
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        totals.join(clean, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            (F.col("_total") - F.coalesce("n_tokens", F.lit(0))).alias(
+                "n_removed_tokens"
+            ),
+        )
+    )

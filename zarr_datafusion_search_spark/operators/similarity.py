@@ -597,3 +597,62 @@ def semantic_dedup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def random_projection(
+    corpus: DataFrame,
+    d_out: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic random-projection dimensionality reduction.
+
+    Projects each embedding onto ``d_out`` fixed pseudo-random hyperplanes
+    (the same dependency-free ``sin`` family the SRP-LSH tables use, offset
+    so the plane sets are disjoint). Johnson-Lindenstrauss-style reduction:
+    at 100 TB, running coarse ANN / clustering on 8 components instead of
+    64 cuts the dot-product cost 8x while approximately preserving
+    distances; the exact rescore then runs on the full vectors.
+
+    Returns long format ``(id, component, value)`` — one row per output
+    component, values in double precision rounded to 6 decimals (the
+    oracle's pairwise summation differs from the JVM fold at ~1e-13).
+
+    Built as one SQL expression per component (single expr parse; the
+    Column-DSL equivalent costs seconds of py4j round-trips per plan).
+    """
+    planes = [_hyperplane(dim, 7000 + p) for p in range(d_out)]
+    dots = []
+    for plane in planes:
+        arr = ", ".join(f"{x!r}D" for x in plane)
+        dots.append(
+            f"round(aggregate(zip_with({vec_col}, array({arr}), "
+            f"(x, y) -> cast(x AS double) * y), 0.0D, (acc, x) -> acc + x), 6)"
+        )
+    return corpus.select(
+        F.col(id_col),
+        F.posexplode(F.expr("array(" + ", ".join(dots) + ")")).alias(
+            "component", "value"
+        ),
+    ).select(id_col, F.col("component").cast("int").alias("component"), "value")
+
+
+def duckdb_random_projection_sql(
+    table: str = "embeddings",
+    d_out: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """DuckDB SQL computing the identical projection (same plane literals)."""
+    parts = []
+    for p in range(d_out):
+        plane = _hyperplane(dim, 7000 + p)
+        arr = ", ".join(repr(x) for x in plane)
+        parts.append(
+            f"SELECT {id_col}, {p} AS component, "
+            f"round(list_dot_product(({vec_col})::DOUBLE[], [{arr}]::DOUBLE[]), 6)"
+            f" AS value FROM {table}"
+        )
+    return " UNION ALL ".join(parts)

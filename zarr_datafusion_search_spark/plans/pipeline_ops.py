@@ -405,6 +405,83 @@ def dedup_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.duplicated_spans(table(spark, sf, "documents"), k=8)
 
 
+@register(
+    "dedup_remove_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> len(x) > 0) AS t
+      FROM documents
+    ),
+    pos_toks AS (
+      SELECT doc_id, CAST(u.p AS BIGINT) AS pos, t[u.p] AS tok
+      FROM toks, unnest(generate_series(1, len(t))) AS u(p)
+    ),
+    grams AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS start,
+             {duckdb_h64("array_to_string(t[u.i:u.i+7], ' ')")} AS g_h
+      FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    dup AS (
+      SELECT g_h FROM grams GROUP BY g_h HAVING count(*) >= 2
+    ),
+    marked AS (
+      SELECT g.doc_id, g.start, g.start + 7 AS e
+      FROM grams g JOIN dup USING (g_h)
+    ),
+    flagged AS (
+      SELECT doc_id, start, e,
+             CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    >= start - 1
+                  THEN 0 ELSE 1 END AS newgrp
+      FROM marked
+    ),
+    grps AS (
+      SELECT doc_id, start, e,
+             sum(newgrp) OVER (PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, min(start) AS s, max(e) AS e2
+      FROM grps GROUP BY doc_id, grp
+    ),
+    covered AS (
+      SELECT DISTINCT pt.doc_id, pt.pos
+      FROM pos_toks pt
+      JOIN spans sp ON pt.doc_id = sp.doc_id
+                   AND pt.pos BETWEEN sp.s AND sp.e2
+    ),
+    kept AS (
+      SELECT pt.doc_id, pt.pos, pt.tok
+      FROM pos_toks pt ANTI JOIN covered c
+        ON pt.doc_id = c.doc_id AND pt.pos = c.pos
+    ),
+    clean AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_tokens
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (
+      SELECT doc_id, count(*) AS tot FROM pos_toks GROUP BY doc_id
+    )
+    SELECT t.doc_id, coalesce(c.clean_text, '') AS clean_text,
+           coalesce(c.n_tokens, 0) AS n_tokens,
+           t.tot - coalesce(c.n_tokens, 0) AS n_removed_tokens
+    FROM totals t LEFT JOIN clean c USING (doc_id)
+    """,
+    doc="The ExactSubstr transform: every occurrence of a duplicated "
+    ">=8-token run is cut from every document; surviving tokens are "
+    "re-concatenated in order. Token posexplode + per-doc span containment "
+    "join + ordered re-assembly — doc-id-keyed shuffles only.",
+)
+def dedup_remove_spans(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.remove_duplicated_spans(table(spark, sf, "documents"), k=8)
+
+
 _SIMHASH_CTE = f"""
 tokh AS (
   SELECT doc_id, {duckdb_h64('tok')} AS h FROM (
@@ -1178,6 +1255,28 @@ def sessionization(spark: SparkSession, sf: str) -> DataFrame:
 )
 def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return text.unigram_logprob_score(table(spark, sf, "documents"))
+
+
+def _register_random_projection():
+    from zarr_datafusion_search_spark.operators.similarity import (
+        duckdb_random_projection_sql,
+        random_projection,
+    )
+
+    @register(
+        "embedding_random_projection",
+        oracle=duckdb_random_projection_sql("embeddings", d_out=8),
+        doc="Johnson-Lindenstrauss-style reduction: project 64-dim "
+        "embeddings onto 8 fixed pseudo-random hyperplanes (deterministic "
+        "sin family, disjoint from the SRP-LSH planes) — the cheap-vector "
+        "path coarse ANN/clustering runs on at scale before exact rescore "
+        "on full vectors. Long output (vec_id, component, value).",
+    )
+    def embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+        return random_projection(table(spark, sf, "embeddings"), d_out=8)
+
+
+_register_random_projection()
 
 
 @register(
