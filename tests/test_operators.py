@@ -724,3 +724,11 @@ def test_remove_duplicated_spans_cuts_all_copies(spark):
     assert out[2].clean_text == "tail"
     assert out[3].clean_text == "independent words that survive fully intact here ok"
     assert out[3].n_removed_tokens == 0
+
+
+def test_brute_force_topk_gemm_equals_fold(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    gemm = similarity.brute_force_topk_gemm(emb, queries, k=10)
+    fold = similarity.brute_force_topk_fold(emb, queries, k=10)
+    assert sorted(map(tuple, gemm.collect())) == sorted(map(tuple, fold.collect()))

@@ -27,18 +27,17 @@ from zarr_datafusion_search_spark.functions.vectors import cosine_similarity
 COS_ROUND = 6
 
 
-def brute_force_topk(
+def brute_force_topk_fold(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector.
-
-    ``queries`` is broadcast (small side); ranking ties break on neighbor id
-    so results are deterministic.
-    """
+    """Exact top-k via the plain cross-join + JVM fold — the semantics
+    reference for :func:`brute_force_topk` (identical output, ~3x slower:
+    every query x corpus cosine runs through the interpreted higher-order
+    fold instead of BLAS)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -48,6 +47,146 @@ def brute_force_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity("q_vec", "c_vec"), COS_ROUND).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+#: below this many query vectors the plain fold cross-join beats the GEMM
+#: path: Arrow transfer + repartition + candidate window cost ~0.5 s that
+#: BLAS only amortizes once |Q| x |C| folds dominate (measured at sf0.1,
+#: |C|=60k: |Q|=8 fold 0.86 s vs gemm 1.24 s; |Q|=512 fold 25 s vs 7.5 s)
+GEMM_TOPK_MIN_QUERIES = 64
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidate_margin: int = 50,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``strategy``: ``"fold"`` = cross-join + JVM fold
+    (:func:`brute_force_topk_fold`), ``"gemm"`` = BLAS candidates + exact
+    rescore (:func:`brute_force_topk_gemm`), ``"auto"`` (default) picks by
+    query count (:data:`GEMM_TOPK_MIN_QUERIES`). Identical output either
+    way — the choice is purely a throughput trade.
+    """
+    if strategy == "auto":
+        # limit() bounds the dispatch probe — never a full count of a
+        # large query side
+        n_probe = queries.limit(GEMM_TOPK_MIN_QUERIES).count()
+        strategy = "gemm" if n_probe >= GEMM_TOPK_MIN_QUERIES else "fold"
+    if strategy == "fold":
+        return brute_force_topk_fold(corpus, queries, k, id_col, vec_col)
+    return brute_force_topk_gemm(
+        corpus, queries, k, id_col, vec_col, candidate_margin
+    )
+
+
+def brute_force_topk_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidate_margin: int = 50,
+) -> DataFrame:
+    """Exact top-k via GEMM candidates + exact rescore — the large-|Q|
+    regime of :func:`brute_force_topk`, the same two-phase trick the
+    all-pairs near-dup path uses:
+
+    1. **GEMM candidates**: the (small, by contract) query matrix is
+       broadcast; each corpus partition computes all query cosines as one
+       BLAS matmul and keeps its top ``k + candidate_margin`` per query —
+       Arrow-batched pandas, no driver materialization of the corpus.
+    2. **exact rescore**: the pruned candidates (|Q| x (k+margin) rows)
+       rejoin their vectors and recompute the cosine with the sequential-
+       fold expression, so emitted values and the (rounded cosine,
+       neighbor id) ranking are bit-identical to the oracle.
+
+    ``candidate_margin`` absorbs rounding boundary ties: a true top-k
+    member can only be missed if > margin candidates tie within the final
+    6-decimal rounding at the cut — with real-valued embeddings that needs
+    a pathological value mass at one grid point.
+    """
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qmat))
+    take = k + candidate_margin
+
+    def gemm_topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        qi, qm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = qm @ mat.T  # (Q, b)
+            for qx in range(len(qi)):
+                row = sims[qx].copy()
+                row[ids == qi[qx]] = -2.0  # exclude self
+                if len(ids) > take:
+                    keep = np.argpartition(-row, take - 1)[:take]
+                else:
+                    keep = np.arange(len(ids))
+                keep = keep[row[keep] > -2.0]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qi[qx],
+                        "neighbor_id": ids[keep],
+                        "approx": row[keep],
+                    }
+                )
+
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        corpus.select(id_col, vec_col)
+        .repartition(par)
+        .mapInPandas(gemm_topk, "query_id long, neighbor_id long, approx double")
+    )
+    w0 = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id")
+    )
+    pruned = (
+        cand.withColumn("_r", F.row_number().over(w0))
+        .filter(F.col("_r") <= take)
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        pruned.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "neighbor_id",
