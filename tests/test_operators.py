@@ -732,3 +732,18 @@ def test_brute_force_topk_gemm_equals_fold(spark, sf_dir):
     gemm = similarity.brute_force_topk_gemm(emb, queries, k=10)
     fold = similarity.brute_force_topk_fold(emb, queries, k=10)
     assert sorted(map(tuple, gemm.collect())) == sorted(map(tuple, fold.collect()))
+
+
+def test_shard_by_token_budget_matches_global_cumsum(spark):
+    from zarr_datafusion_search_spark.operators import packing
+
+    # 200 docs of 7 tokens across many range partitions; global cumsum grid
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g") for i in range(200)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.shard_id for r in
+           packing.shard_by_token_budget(docs, budget=100).collect()}
+    cum = 0
+    for i in range(200):
+        assert out[i] == (cum // 100), f"doc {i}: {out[i]} vs {cum//100}"
+        cum += 7

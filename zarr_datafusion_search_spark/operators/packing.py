@@ -85,3 +85,79 @@ def pack_stats(packed: DataFrame, partition_col: str = "source") -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
     )
+
+
+def shard_by_token_budget(
+    docs: DataFrame,
+    budget: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to contiguous ~``budget``-token training shards in
+    global ``id_col`` order — the writer-side step that sizes output files
+    by token count rather than row count.
+
+    The naive plan is a global window cumsum (``Window.orderBy(id)`` with
+    no partition key), which Spark executes on ONE task — a non-starter at
+    scale. This is the classic two-phase distributed prefix sum instead:
+
+    1. range-repartition by id and locally cumsum each sorted partition
+       (``mapInPandas``, no exchange beyond the range shuffle);
+    2. per-partition totals (one row per partition) come back to the
+       driver, their exclusive prefix sums are broadcast, and each row's
+       global cumsum = local cumsum + its partition's offset.
+
+    The result is independent of the partitioning: shard_id =
+    floor((global_cumsum - n_tokens) / budget), the same grid convention
+    as :func:`pack_documents_cumsum`.
+    """
+    prepared = (
+        docs.select(F.col(id_col), _token_count().alias("n_tokens"))
+        .repartitionByRange(
+            docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+        .sortWithinPartitions(id_col)
+    )
+
+    def local_cumsum(batches):
+        import pandas as pd  # noqa: F401
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        running = 0
+        for pdf in batches:
+            s = pdf["n_tokens"].cumsum() + running
+            running = int(s.iloc[-1]) if len(s) else running
+            yield pdf.assign(pid=pid, local_cum=s)
+
+    local = prepared.mapInPandas(
+        local_cumsum, f"{id_col} long, n_tokens int, pid int, local_cum long"
+    ).persist()  # two passes: totals job now, offset join later
+    # one tiny row per partition -> exclusive prefix offsets, broadcast back
+    totals = (
+        local.groupBy("pid").agg(F.max("local_cum").alias("ptotal")).collect()
+    )
+    by_pid = {r["pid"]: r["ptotal"] for r in totals}
+    offsets, acc = {}, 0
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+    spark = docs.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "pid int, offset long"
+        )
+    )
+    return (
+        local.join(off_df, "pid")
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(
+                (F.col("local_cum") + F.col("offset") - F.col("n_tokens"))
+                / budget
+            )
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )

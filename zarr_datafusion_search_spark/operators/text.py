@@ -535,3 +535,58 @@ def bigram_pmi(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1"), F.col("w2")
     ).limit(top_k)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Frequency-induced vocabulary + per-group OOV coverage.
+
+    The tokenizer-design question at corpus scale: induce the top
+    ``vocab_size`` tokens by corpus frequency (ties broken by token text so
+    the vocabulary is deterministic), then measure per ``group_col`` what
+    fraction of running tokens the vocabulary covers — the
+    coverage/OOV-rate audit run before committing a tokenizer.
+
+    Plan shape: one token explode feeds BOTH the global frequency
+    aggregation (map-side combinable; the rank window runs on the
+    token-distinct aggregate, not raw tokens) and the per-group join
+    against the induced vocabulary (broadcast: ``vocab_size`` rows).
+    Returns ``(group, total_tokens, covered_tokens, coverage)`` with
+    coverage rounded to 6 decimals.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    # orderBy+limit plans as TakeOrderedAndProject: per-partition top-N then
+    # a bounded merge — never a single-partition window over the whole
+    # distinct-token table
+    vocab = freq.orderBy(F.col("n").desc(), "tok").limit(vocab_size).select("tok")
+    marked = toks.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "tok", "left"
+    )
+    return (
+        marked.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.coalesce("_in", F.lit(0))).alias("covered_tokens"),
+        )
+        .select(
+            group_col,
+            "total_tokens",
+            "covered_tokens",
+            F.round(F.col("covered_tokens") / F.col("total_tokens"), 6).alias(
+                "coverage"
+            ),
+        )
+    )

@@ -988,6 +988,34 @@ def pack_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "shard_by_token_budget",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> len(x) > 0))::INTEGER AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+             / 4096.0) AS BIGINT) AS shard_id
+    FROM toks
+    """,
+    doc="Token-balanced training shards in global doc order WITHOUT the "
+    "single-task global window: two-phase distributed prefix sum (range "
+    "repartition + local pandas cumsum, per-partition totals broadcast "
+    "back as exclusive offsets). The oracle is the equivalent global "
+    "window cumsum.",
+)
+def shard_by_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators import packing
+
+    return packing.shard_by_token_budget(table(spark, sf, "documents"), budget=4096)
+
+
+@register(
     "pack_documents_greedy",
     # The reset-on-overflow fold has no window-function form, but it IS
     # expressible as a per-source row walk: a recursive CTE advancing every
@@ -1232,6 +1260,36 @@ def histogram_bins(spark: SparkSession, sf: str) -> DataFrame:
 )
 def sessionization(spark: SparkSession, sf: str) -> DataFrame:
     return sessions.session_stats(table(spark, sf, "events"), gap_minutes=30)
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source AS grp, unnest(list_filter(
+               string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    vocab AS (SELECT tok FROM freq ORDER BY n DESC, tok LIMIT 1000),
+    marked AS (
+      SELECT t.grp, CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END AS _in
+      FROM toks t LEFT JOIN vocab v USING (tok)
+    )
+    SELECT grp AS source,
+           count(*) AS total_tokens,
+           CAST(sum(_in) AS BIGINT) AS covered_tokens,
+           round(CAST(sum(_in) AS DOUBLE) / count(*), 6) AS coverage
+    FROM marked GROUP BY grp
+    """,
+    doc="Tokenizer-design audit: induce the top-1000 token vocabulary by "
+    "corpus frequency (deterministic tie-break on token text) and measure "
+    "per-source coverage / OOV rate. Top-N via TakeOrderedAndProject "
+    "(bounded per-partition heads, no global window); vocabulary "
+    "broadcast back against the token stream.",
+)
+def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    return text.vocab_coverage(table(spark, sf, "documents"), vocab_size=1000)
 
 
 @register(
