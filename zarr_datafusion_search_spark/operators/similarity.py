@@ -795,3 +795,50 @@ def duckdb_random_projection_sql(
             f" AS value FROM {table}"
         )
     return " UNION ALL ".join(parts)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for each
+    query vector, the ``k`` most cosine-similar corpus vectors whose
+    ``label_col`` DIFFERS from the query's — the near-misses a trainer
+    wants in the batch. Same broadcast cross-join + JVM fold shape as
+    :func:`brute_force_topk_fold` with the label inequality applied before
+    ranking (so the rank-k cut is over negatives only)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("n_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("q_label") != F.col("n_label"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "n_label",
+            F.round(cosine_similarity("q_vec", "c_vec"), COS_ROUND).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "n_label", "cosine", "rank")
+    )

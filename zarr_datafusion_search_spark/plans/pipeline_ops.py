@@ -1315,6 +1315,32 @@ def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return text.unigram_logprob_score(table(spark, sf, "documents"))
 
 
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+    SELECT query_id, neighbor_id, n_label, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS n_label,
+             round({_duck_cos('q.embedding', 'c.embedding')}, 6) AS cosine,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round({_duck_cos('q.embedding', 'c.embedding')}, 6) DESC,
+                        c.vec_id) AS INTEGER) AS rank
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id <> c.vec_id AND q.label <> c.label
+      WHERE q.vec_id < 8
+    ) WHERE rank <= 5
+    """,
+    doc="Hard-negative mining for contrastive training: per query vector, "
+    "the 5 most cosine-similar corpus vectors with a DIFFERENT label — "
+    "broadcast cross-join + JVM fold with the label inequality applied "
+    "before the rank cut.",
+)
+def ann_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    return similarity.hard_negatives(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
 def _register_random_projection():
     from zarr_datafusion_search_spark.operators.similarity import (
         duckdb_random_projection_sql,
