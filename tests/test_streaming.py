@@ -274,3 +274,36 @@ def test_stream_static_enrichment(spark, event_dir):
         F.col("tier").isNull()
     ).count()
     assert got.filter(F.col("tier").isNull()).count() == want_nulls
+
+
+def test_stateful_running_totals_tws(spark, event_dir):
+    """transformWithStateInPandas twin of running_user_totals: final state
+    per user must equal the batch aggregate. The TWS driver worker needs
+    google.protobuf; without it the operator must fail fast with a clear
+    error (not crash the streaming query mid-run)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="transformWithStateInPandas"):
+            streaming_events.running_user_totals_tws(
+                streaming_events.read_event_stream(spark, event_dir)
+            )
+        return
+    stream = streaming_events.read_event_stream(spark, event_dir)
+    out = streaming_events.running_user_totals_tws(stream)
+    streaming_events.run_to_memory_sink(out, "tws_test", output_mode="update")
+    rows = spark.table("tws_test").collect()
+    assert len(rows) > 0
+    batch = (
+        _batch_events(spark, event_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )
+    want = {r.user_id: (r.n, r.v) for r in batch.collect()}
+    last = {}
+    for r in rows:
+        if r.user_id >= 0:
+            last[r.user_id] = (r.n_events, r.total_value)
+    for uid, (n, v) in want.items():
+        assert last[uid][0] == n
+        assert abs(last[uid][1] - v) < 1e-6

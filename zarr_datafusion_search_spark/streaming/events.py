@@ -276,3 +276,58 @@ def enrich_stream_with_dim(
     from pyspark.sql import functions as F
 
     return stream.join(F.broadcast(dim), key, "left")
+
+
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """Per-user lifetime totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API that supersedes ``applyInPandasWithState``
+    (typed state variables with per-variable TTL, timers, and
+    initial-state support; state survives in the state store per key).
+    Same semantics as :func:`running_user_totals`: emit the updated
+    (n_events, total_value) for each user on every micro-batch.
+
+    Environment gate: the TWS Python driver worker imports
+    ``google.protobuf`` (absent in this container, so the operator raises
+    a clear error up front instead of crashing the streaming query; the
+    ``applyInPandasWithState`` twin above is the exercised path here).
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf for its "
+            "driver worker; install protobuf or use running_user_totals "
+            "(applyInPandasWithState) instead"
+        ) from e
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n LONG, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id LONG, n_events LONG, total_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )
