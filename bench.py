@@ -67,6 +67,11 @@ EXTENDED = [
     "merge_apply_snapshot",
     "dedup_semantic",
     "dedup_duplicate_spans",
+    "dedup_remove_spans",
+    "text_vocab_coverage",
+    "shard_by_token_budget",
+    "ann_hard_negatives",
+    "embedding_random_projection",
 ]
 
 
