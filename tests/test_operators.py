@@ -747,3 +747,17 @@ def test_shard_by_token_budget_matches_global_cumsum(spark):
     for i in range(200):
         assert out[i] == (cum // 100), f"doc {i}: {out[i]} vs {cum//100}"
         cum += 7
+
+
+def test_shard_by_token_budget_honors_text_col(spark):
+    from zarr_datafusion_search_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g", "one two") for i in range(10)],
+        "doc_id long, text string, body string",
+    )
+    # 7 tokens/doc via "text" vs 2 tokens/doc via "body": budget 10 puts
+    # doc 0-4 in shard 0 only under the body column
+    via_body = {r.doc_id: r.shard_id for r in
+                packing.shard_by_token_budget(docs, budget=10, text_col="body").collect()}
+    assert via_body[4] == 0 and via_body[5] == 1

@@ -289,10 +289,18 @@ def test_stateful_running_totals_tws(spark, event_dir):
                 streaming_events.read_event_stream(spark, event_dir)
             )
         return
-    stream = streaming_events.read_event_stream(spark, event_dir)
-    out = streaming_events.running_user_totals_tws(stream)
-    streaming_events.run_to_memory_sink(out, "tws_test", output_mode="update")
-    rows = spark.table("tws_test").collect()
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = streaming_events.read_event_stream(spark, event_dir)
+        out = streaming_events.running_user_totals_tws(stream)
+        streaming_events.run_to_memory_sink(out, "tws_test", output_mode="update")
+        rows = spark.table("tws_test").collect()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert len(rows) > 0
     batch = (
         _batch_events(spark, event_dir)
@@ -300,10 +308,14 @@ def test_stateful_running_totals_tws(spark, event_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
     )
     want = {r.user_id: (r.n, r.v) for r in batch.collect()}
-    last = {}
+    # totals are monotone in n_events, so the final state per user is the
+    # row with max n_events — independent of sink row order across batches
+    final = {}
     for r in rows:
-        if r.user_id >= 0:
-            last[r.user_id] = (r.n_events, r.total_value)
+        if r.user_id >= 0 and (
+            r.user_id not in final or r.n_events > final[r.user_id][0]
+        ):
+            final[r.user_id] = (r.n_events, r.total_value)
     for uid, (n, v) in want.items():
-        assert last[uid][0] == n
-        assert abs(last[uid][1] - v) < 1e-6
+        assert final[uid][0] == n
+        assert abs(final[uid][1] - v) < 1e-6

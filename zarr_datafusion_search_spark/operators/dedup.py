@@ -631,15 +631,12 @@ def remove_duplicated_spans(
     toks = spread(df, id_col).select(
         F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos0", "tok")
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
-    covered = (
-        toks.join(spans, id_col)
-        .filter(
-            (F.col("pos") >= F.col("span_start"))
-            & (F.col("pos") <= F.col("span_end"))
-        )
-        .select(id_col, "pos")
-        .distinct()
-    )
+    # spans are maximal and merged, hence disjoint per document — the
+    # containment join emits each (id, pos) at most once, no distinct needed
+    covered = toks.join(spans, id_col).filter(
+        (F.col("pos") >= F.col("span_start"))
+        & (F.col("pos") <= F.col("span_end"))
+    ).select(id_col, "pos")
     kept = toks.join(covered, [id_col, "pos"], "left_anti")
     clean = kept.groupBy(id_col).agg(
         F.concat_ws(

@@ -18,8 +18,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
-def _token_count():
-    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0)
+def _token_count(text_col: str = "text"):
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
     return F.size(toks)
 
 
@@ -112,7 +114,7 @@ def shard_by_token_budget(
     as :func:`pack_documents_cumsum`.
     """
     prepared = (
-        docs.select(F.col(id_col), _token_count().alias("n_tokens"))
+        docs.select(F.col(id_col), _token_count(text_col).alias("n_tokens"))
         .repartitionByRange(
             docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
         )
@@ -130,9 +132,13 @@ def shard_by_token_budget(
             running = int(s.iloc[-1]) if len(s) else running
             yield pdf.assign(pid=pid, local_cum=s)
 
+    # two passes (totals job now, offset join later) re-read the SAME range
+    # shuffle — Spark skips the exchange stage on the second action, so the
+    # recompute is only the cheap pandas cumsum; no persist() (which would
+    # pin corpus-sized blocks with no handle for the consumer to release)
     local = prepared.mapInPandas(
         local_cumsum, f"{id_col} long, n_tokens int, pid int, local_cum long"
-    ).persist()  # two passes: totals job now, offset join later
+    )
     # one tiny row per partition -> exclusive prefix offsets, broadcast back
     totals = (
         local.groupBy("pid").agg(F.max("local_cum").alias("ptotal")).collect()

@@ -27,29 +27,34 @@ from zarr_datafusion_search_spark.functions.vectors import cosine_similarity
 COS_ROUND = 6
 
 
-def brute_force_topk_fold(
+def _fold_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    k: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str | None = None,
 ) -> DataFrame:
-    """Exact top-k via the plain cross-join + JVM fold — the semantics
-    reference for :func:`brute_force_topk` (identical output, ~3x slower:
-    every query x corpus cosine runs through the interpreted higher-order
-    fold instead of BLAS)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    """Shared broadcast cross-join + JVM-fold top-k pipeline. With
+    ``label_col`` set, only pairs with DIFFERING labels are ranked (the
+    hard-negative variant) and the neighbor label is carried through."""
+    q_cols = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")]
+    c_cols = [F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")]
+    if label_col is not None:
+        q_cols.append(F.col(label_col).alias("q_label"))
+        c_cols.append(F.col(label_col).alias("n_label"))
+    cond = F.col("query_id") != F.col("neighbor_id")
+    if label_col is not None:
+        cond = cond & (F.col("q_label") != F.col("n_label"))
+    out_cols = ["query_id", "neighbor_id"] + (
+        ["n_label"] if label_col is not None else []
     )
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        corpus.select(*c_cols)
+        .crossJoin(F.broadcast(queries.select(*q_cols)))
+        .filter(cond)
         .select(
-            "query_id",
-            "neighbor_id",
+            *out_cols,
             F.round(cosine_similarity("q_vec", "c_vec"), COS_ROUND).alias("cosine"),
         )
     )
@@ -59,8 +64,21 @@ def brute_force_topk_fold(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        .select(*out_cols, "cosine", "rank")
     )
+
+
+def brute_force_topk_fold(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k via the plain cross-join + JVM fold — the semantics
+    reference for :func:`brute_force_topk` (identical output; faster than
+    the GEMM path at small |Q|, ~3x slower once |Q| x |C| folds dominate)."""
+    return _fold_topk(corpus, queries, k, id_col, vec_col)
 
 
 #: below this many query vectors the plain fold cross-join beats the GEMM
@@ -86,6 +104,11 @@ def brute_force_topk(
     rescore (:func:`brute_force_topk_gemm`), ``"auto"`` (default) picks by
     query count (:data:`GEMM_TOPK_MIN_QUERIES`). Identical output either
     way — the choice is purely a throughput trade.
+
+    Note ``"auto"`` is EAGER: the bounded count probe runs a Spark job at
+    plan-build time and evaluates the query-side lineage once more than
+    the returned plan does. Pass an explicit strategy when the query side
+    is expensive to compute or nondeterministic.
     """
     if strategy == "auto":
         # limit() bounds the dispatch probe — never a full count of a
@@ -808,37 +831,7 @@ def hard_negatives(
     """Hard-negative mining for contrastive/retrieval training: for each
     query vector, the ``k`` most cosine-similar corpus vectors whose
     ``label_col`` DIFFERS from the query's — the near-misses a trainer
-    wants in the batch. Same broadcast cross-join + JVM fold shape as
+    wants in the batch. The shared fold pipeline of
     :func:`brute_force_topk_fold` with the label inequality applied before
     ranking (so the rank-k cut is over negatives only)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.col(label_col).alias("q_label"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col(label_col).alias("n_label"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(
-            (F.col("query_id") != F.col("neighbor_id"))
-            & (F.col("q_label") != F.col("n_label"))
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            "n_label",
-            F.round(cosine_similarity("q_vec", "c_vec"), COS_ROUND).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "n_label", "cosine", "rank")
-    )
+    return _fold_topk(corpus, queries, k, id_col, vec_col, label_col=label_col)

@@ -560,12 +560,7 @@ def vocab_coverage(
     """
     toks = df.select(
         F.col(group_col).alias("grp"),
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), r"\s+"),
-                lambda t: F.length(t) > 0,
-            )
-        ).alias("tok"),
+        F.explode(tokens_col(text_col)).alias("tok"),
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     # orderBy+limit plans as TakeOrderedAndProject: per-partition top-N then

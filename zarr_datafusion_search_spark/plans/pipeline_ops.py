@@ -591,7 +591,7 @@ def _duck_cos(a: str, b: str) -> str:
 def ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
     return similarity.brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < 8), k=10
+        emb, emb.filter(F.col("vec_id") < 8), k=10, strategy="fold"
     )
 
 
@@ -710,7 +710,7 @@ def ann_ivf_kmeans_recall(spark: SparkSession, sf: str) -> DataFrame:
     approx = similarity.ivf_topk(
         emb, queries, k=10, n_probe=4, centroids=cents
     ).select("query_id", "neighbor_id")
-    exact = similarity.brute_force_topk(emb, queries, k=10).select(
+    exact = similarity.brute_force_topk(emb, queries, k=10, strategy="fold").select(
         F.col("query_id").alias("e_qid"), F.col("neighbor_id").alias("e_nid")
     )
     hits = approx.join(
@@ -1341,26 +1341,17 @@ def ann_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.hard_negatives(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
-def _register_random_projection():
-    from zarr_datafusion_search_spark.operators.similarity import (
-        duckdb_random_projection_sql,
-        random_projection,
-    )
-
-    @register(
-        "embedding_random_projection",
-        oracle=duckdb_random_projection_sql("embeddings", d_out=8),
-        doc="Johnson-Lindenstrauss-style reduction: project 64-dim "
-        "embeddings onto 8 fixed pseudo-random hyperplanes (deterministic "
-        "sin family, disjoint from the SRP-LSH planes) — the cheap-vector "
-        "path coarse ANN/clustering runs on at scale before exact rescore "
-        "on full vectors. Long output (vec_id, component, value).",
-    )
-    def embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
-        return random_projection(table(spark, sf, "embeddings"), d_out=8)
-
-
-_register_random_projection()
+@register(
+    "embedding_random_projection",
+    oracle=similarity.duckdb_random_projection_sql("embeddings", d_out=8),
+    doc="Johnson-Lindenstrauss-style reduction: project 64-dim "
+    "embeddings onto 8 fixed pseudo-random hyperplanes (deterministic "
+    "sin family, disjoint from the SRP-LSH planes) — the cheap-vector "
+    "path coarse ANN/clustering runs on at scale before exact rescore "
+    "on full vectors. Long output (vec_id, component, value).",
+)
+def embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.random_projection(table(spark, sf, "embeddings"), d_out=8)
 
 
 @register(
@@ -2099,7 +2090,8 @@ def multimodal_embed_ann(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.attach_fake_media(docs)
     emb = multimodal.fake_embed_media(media)
     return similarity.brute_force_topk(
-        emb, emb.filter(F.col("doc_id") < 4), k=5, id_col="doc_id"
+        emb, emb.filter(F.col("doc_id") < 4), k=5, id_col="doc_id",
+        strategy="fold"
     )
 
 

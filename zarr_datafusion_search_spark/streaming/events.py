@@ -300,6 +300,17 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
             "driver worker; install protobuf or use running_user_totals "
             "(applyInPandasWithState) instead"
         ) from e
+    provider = stream.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    if "RocksDB" not in (provider or ""):
+        raise RuntimeError(
+            "transformWithStateInPandas requires the RocksDB state store: "
+            "set spark.sql.streaming.stateStore.providerClass to "
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider (the default HDFS-backed provider "
+            "does not support it)"
+        )
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     class RunningTotals(StatefulProcessor):
