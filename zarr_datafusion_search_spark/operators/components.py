@@ -29,6 +29,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from zarr_datafusion_search_spark.operators.cache import tracked_persist
+
 
 def connected_components(
     pairs: DataFrame,
@@ -75,6 +77,10 @@ def connected_components(
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} rounds"
             )
+        # the returned fixpoint stays persisted (it is already materialized
+        # by the convergence count) but is TRACKED, so the consumer can
+        # release it via release_operator_caches() after its action
+        tracked_persist(labels)
         return labels
     finally:
         edges.unpersist()

@@ -26,6 +26,17 @@ from pyspark.sql import DataFrame
 from zarr_datafusion_search_spark.functions.hashing import h64
 
 # ---------------------------------------------------------------------------
+# persist lifecycle (shared infra in operators.cache; re-exported here
+# because the dedup indexes are the dominant users)
+# ---------------------------------------------------------------------------
+
+from zarr_datafusion_search_spark.operators.cache import (  # noqa: E402
+    operator_cache_scope as dedup_cache_scope,
+    release_operator_caches as release_dedup_caches,
+    tracked_persist as _tracked_persist,
+)
+
+# ---------------------------------------------------------------------------
 # tokenize / shingle (shared by several dedup flavors)
 # ---------------------------------------------------------------------------
 
@@ -144,10 +155,12 @@ def hashed_shingles(
     persisted: ~16 bytes/row columnar vs the raw shingle strings, and the
     md5 digests — the dominant scan cost — run once instead of once per
     consumer. Spark's CacheManager canonicalizes plans, so repeated
-    invocations over the same input share one cache entry.
+    invocations over the same input share one cache entry; the handle is
+    tracked so :func:`release_dedup_caches` can drop the pinned blocks
+    once the consuming pipeline has materialized.
     """
     sh = with_shingles(df, id_col, text_col, n)
-    return sh.select(id_col, h64("shingle").alias("sh_h")).persist()
+    return _tracked_persist(sh.select(id_col, h64("shingle").alias("sh_h")))
 
 
 def minhash_signatures(
@@ -198,10 +211,9 @@ def lsh_band_signatures(
                 F.md5(F.concat_ws(",", *cols).cast("binary")).alias("sig"),
             )
         )
-    return (
+    return _tracked_persist(
         signatures.select(id_col, F.explode(F.array(*band_structs)).alias("bs"))
         .select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-        .persist()
     )
 
 
@@ -301,12 +313,13 @@ def ngram_jaccard_pairs(
     sh = hashed_shingles(df, id_col, text_col, n)
     if max_df is not None:
         dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("_df"))
-        # persisted: the filtered index feeds both self-join sides AND the
-        # set sizes — without it the df-filter join recomputes three times
-        sh = (
-            sh.join(dfreq.filter(F.col("_df") <= max_df), "sh_h")
-            .select(id_col, "sh_h")
-            .persist()
+        # persisted (tracked): the filtered index feeds both self-join sides
+        # AND the set sizes — without it the df-filter join recomputes three
+        # times; released via release_dedup_caches()
+        sh = _tracked_persist(
+            sh.join(dfreq.filter(F.col("_df") <= max_df), "sh_h").select(
+                id_col, "sh_h"
+            )
         )
     s1 = sh.alias("s1")
     s2 = sh.alias("s2")

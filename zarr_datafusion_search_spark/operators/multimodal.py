@@ -3,11 +3,18 @@
 The convention mirrors the reference's geometry handling — a plain physical
 type (there: WKT string, here: ``binary``) carrying semantics in column
 metadata (reference: src/schema.rs:57-74). Media decode/feature-extract run
-as Arrow-batched ``mapInPandas`` stages: the Spark-side plumbing (schema,
-partitioning, batch shape) is real; the pixel/sample decode itself is
-STUBBED because no image/audio codec libraries exist in this container —
-the stub raises ``NotImplementedError`` unless ``fake=True``, which swaps in
-a deterministic byte-level feature extractor with the same shape.
+as Arrow-batched ``mapInPandas`` stages.
+
+Two decode paths per operator:
+
+- ``fake=True``: a deterministic byte-level stand-in with the production
+  schema/batch shape — what the DuckDB oracle replays bit-for-bit;
+- ``fake=False`` (default): REAL decode for the formats the container can
+  handle without codec libraries (``functions.media_codecs``): 24-bit BMP
+  and binary PPM images, 16-bit PCM WAV audio, and ``video/ppm-stream``
+  (concatenated self-describing PPM frames) as the video container. Formats
+  that genuinely require ffmpeg/PIL (mp4, png, jpeg) raise
+  ``NotImplementedError`` naming the supported set.
 """
 
 from __future__ import annotations
@@ -53,36 +60,195 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _decoded_payload_bytes(payload: bytes, fmt: str) -> bytes:
+    """Raw decoded content bytes (pixels / PCM samples / frame pixels) for
+    the formats with dependency-free decoders; raises for the rest."""
+    from zarr_datafusion_search_spark.functions.media_codecs import (
+        SUPPORTED_IMAGE_FORMATS,
+        decode_image,
+        decode_ppm_stream,
+        decode_wav,
+    )
+
+    if fmt in SUPPORTED_IMAGE_FORMATS:
+        return decode_image(payload, fmt).tobytes()
+    if fmt == "audio/wav":
+        return decode_wav(payload)[0].tobytes()
+    if fmt == "video/ppm-stream":
+        return b"".join(f.tobytes() for f in decode_ppm_stream(payload))
+    raise NotImplementedError(
+        f"real decode of {fmt!r} needs codec libraries not in this "
+        "environment; supported: image/bmp, image/x-portable-pixmap, "
+        "audio/wav, video/ppm-stream (or pass fake=True for the "
+        "byte-level stand-in)"
+    )
+
+
+def attach_synthetic_images(
+    df: DataFrame, id_col: str = "doc_id", fmt: str = "image/bmp"
+) -> DataFrame:
+    """Attach REAL image bytes (BMP or PPM, picked by ``fmt``) rendered from
+    a closed-form pixel function of the row id:
+
+        ``pixel[y, x, c] = (id*31 + 7*y + 3*x + c) % 256``,
+        ``w = id % 8 + 1``, ``h = id % 6 + 1``
+
+    Every byte downstream decoders see comes out of a real encoder, and the
+    decoded content is predictable in closed form — which is what lets the
+    DuckDB oracle verify the real decode path (sum the formula) instead of
+    only the fake one."""
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from zarr_datafusion_search_spark.functions.media_codecs import (
+            encode_image,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = i % 8 + 1, i % 6 + 1
+                arr = (
+                    i * 31
+                    + 7 * np.arange(h)[:, None, None]
+                    + 3 * np.arange(w)[None, :, None]
+                    + np.arange(3)[None, None, :]
+                ) % 256
+                payloads.append(encode_image(arr.astype(np.uint8), fmt))
+            yield pd.DataFrame({id_col: pdf[id_col], "media_bytes": payloads})
+
+    gen = df.select(id_col).mapInPandas(_gen, f"{id_col} long, media_bytes binary")
+    return gen.select(
+        id_col,
+        "media_bytes",
+        F.struct(
+            F.lit(fmt).alias("format"),
+            (F.col(id_col) % 8 + 1).cast("int").alias("width"),
+            (F.col(id_col) % 6 + 1).cast("int").alias("height"),
+        ).alias("media_meta"),
+    )
+
+
+def attach_synthetic_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach REAL mono 16-bit WAV bytes with closed-form PCM samples:
+    ``n = id % 32 + 4`` samples, ``sample[k] = ((id*13 + 5*k) % 65536) -
+    32768`` — stdlib ``wave``-encoded, so the decode path exercises a real
+    RIFF parse while the oracle predicts the PCM content exactly."""
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from zarr_datafusion_search_spark.functions.media_codecs import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                n = i % 32 + 4
+                samples = ((i * 13 + 5 * np.arange(n)) % 65536 - 32768).astype(
+                    "<i2"
+                )
+                payloads.append(encode_wav(samples))
+            yield pd.DataFrame({id_col: pdf[id_col], "media_bytes": payloads})
+
+    gen = df.select(id_col).mapInPandas(_gen, f"{id_col} long, media_bytes binary")
+    return gen.select(
+        id_col,
+        "media_bytes",
+        F.struct(
+            F.lit("audio/wav").alias("format"),
+            (F.col(id_col) % 32 + 4).cast("int").alias("n_samples"),
+        ).alias("media_meta"),
+    )
+
+
+def attach_synthetic_ppm_video(
+    df: DataFrame, id_col: str = "doc_id", width: int = 4, height: int = 3
+) -> DataFrame:
+    """Attach a REAL ``video/ppm-stream`` container: ``id % 4 + 1``
+    concatenated P6 frames, frame ``f`` pixels
+    ``(id*31 + 11*f + 7*y + 3*x + c) % 256`` — samplers must parse the
+    embedded PPM headers to find frame boundaries."""
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from zarr_datafusion_search_spark.functions.media_codecs import (
+            encode_ppm_stream,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                frames = [
+                    (
+                        (
+                            i * 31
+                            + 11 * f
+                            + 7 * np.arange(height)[:, None, None]
+                            + 3 * np.arange(width)[None, :, None]
+                            + np.arange(3)[None, None, :]
+                        )
+                        % 256
+                    ).astype(np.uint8)
+                    for f in range(i % 4 + 1)
+                ]
+                payloads.append(encode_ppm_stream(frames))
+            yield pd.DataFrame({id_col: pdf[id_col], "media_bytes": payloads})
+
+    gen = df.select(id_col).mapInPandas(_gen, f"{id_col} long, media_bytes binary")
+    return gen.select(
+        id_col,
+        "media_bytes",
+        F.struct(
+            F.lit("video/ppm-stream").alias("format"),
+            (F.col(id_col) % 4 + 1).cast("int").alias("n_frames"),
+        ).alias("media_meta"),
+    )
+
+
 def extract_media_features(
     media: DataFrame, id_col: str = "doc_id", fake: bool = False
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary media columns.
 
-    With ``fake=True`` computes deterministic byte-level features (length,
-    first byte, additive checksum) — exercising the exact partitioning, UDF
-    signature, and batch shape a real decoder would use. With ``fake=False``
-    raises ``NotImplementedError`` from the executors: real decode needs
-    image/audio libraries not present in this container.
+    ``fake=True`` computes byte-level features over the RAW payload (the
+    deterministic stand-in the oracle replays); the real path DECODES the
+    payload per its typed format (BMP/PPM pixels, WAV PCM samples,
+    PPM-stream frames) and computes the same features over the decoded
+    content bytes — so e.g. BMP row padding and headers don't leak into
+    the features, and a corrupt payload fails loudly in the decode.
     """
 
     def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
         import pandas as pd
 
+        def content(b: bytes, fmt: str) -> bytes:
+            return bytes(b) if fake else _decoded_payload_bytes(bytes(b), fmt)
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires codec libraries (PIL/av/soundfile) "
-                    "not available in this environment; pass fake=True for "
-                    "the deterministic byte-level extractor"
-                )
-            payloads = pdf["media_bytes"]
+            decoded = [
+                content(b, f) for b, f in zip(pdf["media_bytes"], pdf["fmt"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "media_format": pdf["fmt"],
-                    "n_bytes": payloads.map(len),
-                    "first_byte": payloads.map(lambda b: b[0] if len(b) else -1),
-                    "byte_checksum": payloads.map(lambda b: int(sum(b)) % (1 << 31)),
+                    "n_bytes": [len(d) for d in decoded],
+                    "first_byte": [d[0] if len(d) else -1 for d in decoded],
+                    "byte_checksum": [
+                        int(np.frombuffer(d, dtype=np.uint8).sum()) % (1 << 31)
+                        if d
+                        else 0
+                        for d in decoded
+                    ],
                 }
             )
 
@@ -147,44 +313,65 @@ def sample_frames(
     Row explosion happens inside the Arrow-batched ``mapInPandas`` stage
     (one input video batch -> many frame rows), the shape a real
     container-parsing sampler (av/ffmpeg) would use: payload stays on the
-    executor, output batches are frame-granular. The fake decoder models a
-    video of ``n_frames`` equal byte slices and emits the sampled slices —
-    deterministic, so the whole plumbing (explosion factor, offsets, batch
-    schema) is oracle-checkable; the real decode is gated like
-    :func:`extract_media_features`.
+    executor, output batches are frame-granular.
+
+    The real path (default) parses ``video/ppm-stream`` containers — frame
+    boundaries come from each embedded PPM header, sampled frames are
+    re-encoded as standalone PPM images (mp4 would need ffmpeg and raises).
+    The fake decoder models a video of ``n_frames`` equal byte slices and
+    emits the sampled slices — deterministic, so the whole plumbing
+    (explosion factor, offsets, batch schema) is oracle-checkable.
     """
 
     def _sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video frame decode requires av/ffmpeg, not available in "
-                    "this environment; pass fake=True for the deterministic "
-                    "slice-based sampler"
-                )
             out = {k: [] for k in ("doc_id", "frame_idx", "frame_bytes", "frame_n_bytes")}
-            for doc, payload, n_frames in zip(
-                pdf[id_col], pdf["media_bytes"], pdf["n_frames"]
-            ):
-                n = int(n_frames)
-                size = len(payload) // n if n else 0
-                for i in range(0, n, every_n):
-                    # last frame takes the remainder bytes
-                    end = (i + 1) * size if i < n - 1 else len(payload)
-                    frame = payload[i * size : end]
-                    out["doc_id"].append(doc)
-                    out["frame_idx"].append(i)
-                    out["frame_bytes"].append(frame)
-                    out["frame_n_bytes"].append(len(frame))
+            if fake:
+                for doc, payload, n_frames in zip(
+                    pdf[id_col], pdf["media_bytes"], pdf["n_frames"]
+                ):
+                    n = int(n_frames)
+                    size = len(payload) // n if n else 0
+                    for i in range(0, n, every_n):
+                        # last frame takes the remainder bytes
+                        end = (i + 1) * size if i < n - 1 else len(payload)
+                        frame = payload[i * size : end]
+                        out["doc_id"].append(doc)
+                        out["frame_idx"].append(i)
+                        out["frame_bytes"].append(frame)
+                        out["frame_n_bytes"].append(len(frame))
+            else:
+                from zarr_datafusion_search_spark.functions.media_codecs import (
+                    decode_ppm_stream,
+                    encode_ppm,
+                )
+
+                for doc, payload, fmt in zip(
+                    pdf[id_col], pdf["media_bytes"], pdf["fmt"]
+                ):
+                    if fmt != "video/ppm-stream":
+                        raise NotImplementedError(
+                            f"real frame decode of {fmt!r} requires "
+                            "av/ffmpeg; supported: video/ppm-stream "
+                            "(or pass fake=True)"
+                        )
+                    frames = decode_ppm_stream(bytes(payload))
+                    for i in range(0, len(frames), every_n):
+                        fb = encode_ppm(frames[i])
+                        out["doc_id"].append(doc)
+                        out["frame_idx"].append(i)
+                        out["frame_bytes"].append(fb)
+                        out["frame_n_bytes"].append(len(fb))
             yield pd.DataFrame(out)
 
-    prepared = media.select(
-        F.col(id_col),
-        F.col("media_bytes"),
-        F.col("media_meta").getField("n_frames").alias("n_frames"),
+    meta_col = (
+        F.col("media_meta").getField("n_frames").alias("n_frames")
+        if fake
+        else F.col("media_meta").getField("format").alias("fmt")
     )
+    prepared = media.select(F.col(id_col), F.col("media_bytes"), meta_col)
     return prepared.mapInPandas(_sample, FRAME_SCHEMA)
 
 
@@ -196,30 +383,44 @@ def audio_windows(
 ) -> DataFrame:
     """Split each audio payload into fixed-size windows (ragged tail kept).
 
-    Same contract as :func:`sample_frames`: Arrow-batched explosion with a
-    deterministic fake (byte windows stand in for PCM sample windows), the
-    real resample/decode gated on codec libraries.
+    Same contract as :func:`sample_frames`: Arrow-batched explosion. The
+    real path (default) DECODES ``audio/wav`` payloads with the stdlib
+    ``wave`` reader and windows over the decoded PCM sample bytes — RIFF
+    headers never leak into windows, and ``start_byte`` indexes the PCM
+    stream; the fake path windows the raw payload bytes (the oracle
+    stand-in).
     """
 
     def _windows(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
-        for pdf in batches:
-            if not fake:
+        def pcm(payload: bytes, fmt: str) -> bytes:
+            if fake:
+                return bytes(payload)
+            if fmt != "audio/wav":
                 raise NotImplementedError(
-                    "audio decode requires soundfile/librosa, not available "
-                    "in this environment; pass fake=True for the "
-                    "deterministic byte-window splitter"
+                    f"real audio decode of {fmt!r} requires soundfile/"
+                    "librosa; supported: audio/wav (or pass fake=True)"
                 )
+            from zarr_datafusion_search_spark.functions.media_codecs import (
+                decode_wav,
+            )
+
+            return decode_wav(bytes(payload))[0].tobytes()
+
+        for pdf in batches:
             out = {
                 k: []
                 for k in (
                     "doc_id", "window_idx", "start_byte", "window_bytes", "window_n_bytes",
                 )
             }
-            for doc, payload in zip(pdf[id_col], pdf["media_bytes"]):
-                for w, start in enumerate(range(0, len(payload), window_bytes)):
-                    piece = payload[start : start + window_bytes]
+            for doc, payload, fmt in zip(
+                pdf[id_col], pdf["media_bytes"], pdf["fmt"]
+            ):
+                stream = pcm(payload, fmt)
+                for w, start in enumerate(range(0, len(stream), window_bytes)):
+                    piece = stream[start : start + window_bytes]
                     out["doc_id"].append(doc)
                     out["window_idx"].append(w)
                     out["start_byte"].append(start)
@@ -227,7 +428,11 @@ def audio_windows(
                     out["window_n_bytes"].append(len(piece))
             yield pd.DataFrame(out)
 
-    prepared = media.select(F.col(id_col), F.col("media_bytes"))
+    prepared = media.select(
+        F.col(id_col),
+        F.col("media_bytes"),
+        F.col("media_meta").getField("format").alias("fmt"),
+    )
     return prepared.mapInPandas(_windows, WINDOW_SCHEMA)
 
 
@@ -241,33 +446,46 @@ def resize_media(
     """binary -> binary transform keeping the media column convention:
     payload replaced, metadata struct updated with the new dimensions.
 
-    The fake resize stride-samples the payload down to ``width*height``
-    bytes (padding with zeros when shorter) — same output cardinality and
-    schema as a real thumbnailer; real pixel resampling is gated.
+    The real path (default) decodes BMP/PPM pixels, nearest-neighbor
+    resamples to ``width x height``, and re-encodes in the SAME format —
+    an actual thumbnailer on real bytes. The fake path stride-samples the
+    payload down to ``width*height`` bytes (padding with zeros when
+    shorter) — same output cardinality and schema, oracle-replayable.
     """
     target = width * height
 
     def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
+        def shrink_fake(b: bytes) -> bytes:
+            if len(b) >= target:
+                stride = len(b) / target
+                return bytes(b[int(i * stride)] for i in range(target))
+            return bytes(b) + b"\x00" * (target - len(b))
+
+        def shrink_real(b: bytes, fmt: str) -> bytes:
+            from zarr_datafusion_search_spark.functions.media_codecs import (
+                decode_image,
+                encode_image,
+                nearest_resize,
+            )
+
+            return encode_image(
+                nearest_resize(decode_image(bytes(b), fmt), width, height), fmt
+            )
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires PIL, not available in this "
-                    "environment; pass fake=True for the deterministic "
-                    "stride sampler"
-                )
-
-            def shrink(b: bytes) -> bytes:
-                if len(b) >= target:
-                    stride = len(b) / target
-                    return bytes(b[int(i * stride)] for i in range(target))
-                return bytes(b) + b"\x00" * (target - len(b))
-
+            if fake:
+                payloads = pdf["media_bytes"].map(shrink_fake)
+            else:
+                payloads = [
+                    shrink_real(b, f)
+                    for b, f in zip(pdf["media_bytes"], pdf["fmt"])
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "media_bytes": pdf["media_bytes"].map(shrink),
+                    "media_bytes": payloads,
                     "fmt": pdf["fmt"],
                 }
             )

@@ -132,13 +132,18 @@ def shard_by_token_budget(
             running = int(s.iloc[-1]) if len(s) else running
             yield pdf.assign(pid=pid, local_cum=s)
 
-    # two passes (totals job now, offset join later) re-read the SAME range
-    # shuffle — Spark skips the exchange stage on the second action, so the
-    # recompute is only the cheap pandas cumsum; no persist() (which would
-    # pin corpus-sized blocks with no handle for the consumer to release)
+    # localCheckpoint (eager) materializes the slim 4-long-column relation
+    # ONCE: the totals job and the final offset join both read the
+    # checkpointed blocks instead of re-running the range shuffle + cumsum
+    # (actions don't share exchanges — ReusedExchange is intra-plan only),
+    # and the snapshot makes the pid/local_cum assignments the offsets were
+    # computed from immutable even under nondeterministic upstream lineage.
+    # Unlike persist(), checkpoint blocks are released by the ContextCleaner
+    # as soon as this frame is garbage collected — no CacheManager pin.
+    # MEMORY_AND_DISK storage: at scale the slim relation spills, not OOMs.
     local = prepared.mapInPandas(
         local_cumsum, f"{id_col} long, n_tokens int, pid int, local_cum long"
-    )
+    ).localCheckpoint(eager=True)
     # one tiny row per partition -> exclusive prefix offsets, broadcast back
     totals = (
         local.groupBy("pid").agg(F.max("local_cum").alias("ptotal")).collect()

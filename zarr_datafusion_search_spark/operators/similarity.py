@@ -21,10 +21,24 @@ import math
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
 from zarr_datafusion_search_spark.functions.vectors import cosine_similarity
+from zarr_datafusion_search_spark.sources.metadata import metadata_row_count
 
 COS_ROUND = 6
+
+#: numerical floor for L2 norms: a zero (or denormal) embedding divides by
+#: this instead of 0, so the GEMM paths emit cosine ~0 rows for it — the
+#: same pairs the fold path's sequential expression produces — instead of
+#: NaN rows that silently drop the vector from the candidate set.
+NORM_EPS = 1e-12
+
+
+def _has_integral_id(df: DataFrame, id_col: str) -> bool:
+    return isinstance(
+        df.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    )
 
 
 def _fold_topk(
@@ -105,16 +119,24 @@ def brute_force_topk(
     query count (:data:`GEMM_TOPK_MIN_QUERIES`). Identical output either
     way — the choice is purely a throughput trade.
 
-    Note ``"auto"`` is EAGER: the bounded count probe runs a Spark job at
-    plan-build time and evaluates the query-side lineage once more than
-    the returned plan does. Pass an explicit strategy when the query side
-    is expensive to compute or nondeterministic.
+    ``"auto"`` sizes the query side from parquet footer metadata when the
+    query frame is a bare (projected) parquet scan — zero Spark jobs at
+    plan build. Otherwise it falls back to a bounded EAGER count probe
+    (``limit(64).count()``) that evaluates the query-side lineage once
+    more than the returned plan does — pass an explicit strategy when the
+    query side is expensive to compute or nondeterministic. Non-integral
+    id columns always dispatch to fold (the gemm path requires int ids).
     """
     if strategy == "auto":
-        # limit() bounds the dispatch probe — never a full count of a
-        # large query side
-        n_probe = queries.limit(GEMM_TOPK_MIN_QUERIES).count()
-        strategy = "gemm" if n_probe >= GEMM_TOPK_MIN_QUERIES else "fold"
+        if not (_has_integral_id(corpus, id_col) and _has_integral_id(queries, id_col)):
+            strategy = "fold"
+        else:
+            n_probe = metadata_row_count(queries)
+            if n_probe is None:
+                # limit() bounds the dispatch probe — never a full count
+                # of a large query side
+                n_probe = queries.limit(GEMM_TOPK_MIN_QUERIES).count()
+            strategy = "gemm" if n_probe >= GEMM_TOPK_MIN_QUERIES else "fold"
     if strategy == "fold":
         return brute_force_topk_fold(corpus, queries, k, id_col, vec_col)
     return brute_force_topk_gemm(
@@ -150,6 +172,13 @@ def brute_force_topk_gemm(
     """
     import numpy as np
 
+    if not (_has_integral_id(corpus, id_col) and _has_integral_id(queries, id_col)):
+        raise ValueError(
+            "brute_force_topk_gemm requires an integral id column (the "
+            f"candidate stage materializes ids as int64); {id_col!r} is "
+            f"{corpus.schema[id_col].dataType.simpleString()} — use "
+            "strategy='fold', which supports any orderable id type"
+        )
     qrows = queries.select(id_col, vec_col).collect()
     if not qrows:
         return corpus.sparkSession.createDataFrame(
@@ -157,7 +186,9 @@ def brute_force_topk_gemm(
         )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = qmat / np.maximum(
+        np.linalg.norm(qmat, axis=1, keepdims=True), NORM_EPS
+    )
     bc = corpus.sparkSession.sparkContext.broadcast((qids, qmat))
     take = k + candidate_margin
 
@@ -171,7 +202,9 @@ def brute_force_topk_gemm(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
             sims = qm @ mat.T  # (Q, b)
             for qx in range(len(qi)):
                 row = sims[qx].copy()
@@ -338,7 +371,7 @@ def _corpus_matrix(corpus: DataFrame, id_col: str, vec_col: str):
     rows = corpus.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), NORM_EPS)
     return ids, mat
 
 
@@ -354,7 +387,9 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Pairs with cosine >= threshold.
 
-    Two regimes behind one API, switched on corpus size (one cheap count):
+    Two regimes behind one API, switched on corpus size — read from parquet
+    footer metadata when the corpus is a bare (projected) parquet scan
+    (zero Spark jobs at plan build), else one cheap count:
 
     - ``<= max_allpairs_rows``: **exact all-pairs** via broadcast GEMM
       (below) — the correctness baseline;
@@ -375,7 +410,10 @@ def embedding_near_dup_pairs(
        the sequential-fold expression, so emitted values and the threshold
        decision are bit-identical to the DuckDB oracle.
     """
-    if corpus.count() > max_allpairs_rows:
+    n_rows = metadata_row_count(corpus)
+    if n_rows is None:
+        n_rows = corpus.count()
+    if n_rows > max_allpairs_rows:
         return embedding_near_dup_pairs_bucketed(
             corpus,
             threshold,
@@ -582,10 +620,16 @@ def kmeans_centroids(
                 "_mean", F.lit(0.0), lambda acc, x: acc + x * x
             )
         )
+        # localCheckpoint the k-row centroid frame each round: without it
+        # the n_iter rounds nest crossJoin+agg lineage into one deep plan
+        # Catalyst re-analyzes per round (quadratic planning at larger
+        # n_iter). Eager checkpoint = one job per Lloyd round (the same
+        # total compute the deep lazy plan pays at the end) with constant
+        # plan depth; blocks are ContextCleaner-released on GC.
         cents = means.select(
             "centroid_id",
             F.transform("_mean", lambda x: x / norm).alias("cent_vec"),
-        )
+        ).localCheckpoint(eager=True)
     return cents
 
 
@@ -661,12 +705,40 @@ def ivf_topk(
     )
 
 
+#: per-cell row bound for SemDeDup: above this a cell is deterministically
+#: hash-sampled down before the within-cell GEMM, so the worst single task
+#: is O(max_cell_rows^2) regardless of corpus size or cell skew.
+SEMDEDUP_MAX_CELL_ROWS = 100_000
+
+#: row-block size of the within-cell GEMM: peak similarity-matrix memory is
+#: block x |cell| doubles (4096 x 100k x 8B = 3.2 GB worst case) instead of
+#: |cell|^2 (80 GB at the cap) — a hot cell streams instead of OOMing.
+SEMDEDUP_GEMM_BLOCK_ROWS = 4096
+
+#: target mean cell population used by ``n_centroids="auto"``.
+SEMDEDUP_TARGET_CELL_ROWS = 50_000
+
+
+def _splitmix64(x):
+    """Vectorized splitmix64 finalizer over a uint64 array — the
+    deterministic, seedless within-cell sampling key (wrapping uint64
+    arithmetic is identical on every platform numpy supports)."""
+    import numpy as np
+
+    u = np.uint64
+    x = (x + u(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x = (x ^ (x >> u(30))) * u(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> u(27))) * u(0x94D049BB133111EB)
+    return x ^ (x >> u(31))
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_rows: int = SEMDEDUP_MAX_CELL_ROWS,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster, then exact cosine
     pairs WITHIN each cluster only.
@@ -688,11 +760,28 @@ def semantic_dedup_pairs(
     GEMM emits candidates with 1e-6 slack, then the survivors (tiny) are
     rescored with the exact sequential-fold cosine so the emitted values
     and threshold decision match the DuckDB oracle bit-for-bit. Work is
-    sum over cells of |cell|^2, so keep n/k (mean cell size) bounded by
-    growing ``n_centroids`` with the corpus; a hot cell is capped the same
-    way SemDeDup caps clusters (sample within cell) without touching the
-    plan shape, and a huge cell's GEMM blocks row-wise inside the task.
+    sum over cells of |cell|^2, bounded two ways:
+
+    - ``n_centroids="auto"`` sizes the quantizer from the corpus row count
+      (parquet-footer metadata when available, zero Spark jobs) so the
+      MEAN cell stays ~:data:`SEMDEDUP_TARGET_CELL_ROWS` as the corpus
+      grows; an explicit int keeps exact cross-engine reproducibility.
+    - a HOT cell is capped the way SemDeDup caps clusters: above
+      ``max_cell_rows`` the cell is deterministically downsampled (keep
+      the ``max_cell_rows`` members with smallest splitmix64(id) — a
+      seedless, engine-independent choice), so the worst task does
+      O(max_cell_rows^2) work no matter how skewed the clustering; the
+      within-cell GEMM additionally runs row-blocked
+      (:data:`SEMDEDUP_GEMM_BLOCK_ROWS`) so peak memory is
+      block x |cell|, never |cell|^2. Pairs both of whose endpoints were
+      sampled out of a hot cell are not emitted — the standard SemDeDup
+      recall trade, taken only above the cap.
     """
+    if n_centroids == "auto":
+        n_rows = metadata_row_count(corpus)
+        if n_rows is None:
+            n_rows = corpus.count()
+        n_centroids = max(16, -(-n_rows // SEMDEDUP_TARGET_CELL_ROWS))
     cents = (
         corpus.orderBy(id_col)
         .limit(n_centroids)
@@ -727,20 +816,33 @@ def semantic_dedup_pairs(
         import numpy as np
         import pandas as pd
 
+        if not len(pdf):
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "centroid_id": []}
+            ).astype("int64")
+        if len(pdf) > max_cell_rows:
+            # hot-cell cap: deterministic downsample by splitmix64(id)
+            h = _splitmix64(pdf[id_col].to_numpy().astype(np.uint64))
+            keep_idx = np.argsort(h, kind="stable")[:max_cell_rows]
+            pdf = pdf.iloc[np.sort(keep_idx)]
         V = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms = np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         N = V / norms
-        S = N @ N.T
-        ii, jj = np.nonzero(S >= cutoff)
         ids = pdf[id_col].to_numpy()
-        a, b = ids[ii], ids[jj]
-        keep = a < b
+        cell = int(pdf["cell"].iloc[0])
+        out_a, out_b = [], []
+        # row-blocked GEMM: peak memory block x |cell|, never |cell|^2
+        for s in range(0, len(N), SEMDEDUP_GEMM_BLOCK_ROWS):
+            S = N[s : s + SEMDEDUP_GEMM_BLOCK_ROWS] @ N.T
+            ii, jj = np.nonzero(S >= cutoff)
+            a, b = ids[s + ii], ids[jj]
+            keep = a < b
+            out_a.append(a[keep])
+            out_b.append(b[keep])
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
         return pd.DataFrame(
-            {
-                "id_a": a[keep],
-                "id_b": b[keep],
-                "centroid_id": pdf["cell"].iloc[:1].repeat(keep.sum()),
-            }
+            {"id_a": a, "id_b": b, "centroid_id": np.full(len(a), cell)}
         )
 
     cand = assigned.groupBy("cell").applyInPandas(

@@ -1503,6 +1503,158 @@ def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal: REAL decode paths (dependency-free codecs). The synthetic
+# generators render closed-form pixel/sample functions of doc_id through
+# real encoders, so the DuckDB oracle can verify the DECODED content by
+# summing the formula — the decode itself (BMP header parse, RIFF chunk
+# walk, PPM stream split) runs for real on every row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_real_image_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 8 + 1 AS w, doc_id % 6 + 1 AS h FROM documents
+    ),
+    y AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM d),
+    x AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM y),
+    px AS (SELECT doc_id, w, h, y, x, unnest(range(0, 3)) AS c FROM x)
+    SELECT doc_id,
+           'image/bmp' AS media_format,
+           CAST(w * h * 3 AS BIGINT) AS n_bytes,
+           CAST((doc_id * 31) % 256 AS INTEGER) AS first_byte,
+           CAST(SUM((doc_id * 31 + 7 * y + 3 * x + c) % 256) % 2147483648
+                AS BIGINT) AS byte_checksum
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="REAL image decode: closed-form pixels rendered through the real "
+    "24-bit BMP encoder (bottom-up BGR rows, 4-byte padding), then decoded "
+    "back by the real header-parsing BMP reader inside mapInPandas; "
+    "features are computed over the DECODED pixel bytes, so padding/header "
+    "bytes must not leak. Oracle sums the pixel formula directly.",
+)
+def multimodal_real_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    media = multimodal.attach_synthetic_images(docs, fmt="image/bmp")
+    return multimodal.extract_media_features(media, fake=False)
+
+
+@register(
+    "multimodal_real_wav_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 32 + 4 AS n FROM documents
+    ),
+    k AS (SELECT doc_id, n, unnest(range(0, n)) AS k FROM d),
+    -- samples are ((id*13+5k) % 65536) - 32768 as int16; their two's-
+    -- complement unsigned-16 image is (id*13+5k+32768) % 65536, whose low
+    -- byte equals (id*13+5k) % 256 (32768 % 256 = 0) but whose HIGH byte
+    -- carries the sign-shift
+    s AS (
+      SELECT doc_id, n, (doc_id * 13 + 5 * k + 32768) % 65536 AS u16 FROM k
+    )
+    SELECT doc_id,
+           'audio/wav' AS media_format,
+           CAST(2 * n AS BIGINT) AS n_bytes,
+           CAST((doc_id * 13) % 256 AS INTEGER) AS first_byte,
+           CAST(SUM(u16 % 256 + u16 // 256) % 2147483648 AS BIGINT)
+             AS byte_checksum
+    FROM s GROUP BY doc_id, n
+    """,
+    doc="REAL audio decode: closed-form int16 PCM samples written through "
+    "the stdlib wave encoder (RIFF container), decoded back by the real "
+    "WAV reader; features run over the decoded little-endian PCM bytes "
+    "(low + high byte of each sample's two's-complement image in the "
+    "oracle), so the 44-byte RIFF header must be stripped by a real chunk "
+    "parse.",
+)
+def multimodal_real_wav_features(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    media = multimodal.attach_synthetic_wav(docs)
+    return multimodal.extract_media_features(media, fake=False)
+
+
+@register(
+    "multimodal_real_frame_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 4 + 1 AS nf FROM documents
+    ),
+    f AS (SELECT doc_id, unnest(range(0, nf, 2)) AS fi FROM d),
+    y AS (SELECT doc_id, fi, unnest(range(0, 3)) AS y FROM f),
+    x AS (SELECT doc_id, fi, y, unnest(range(0, 4)) AS x FROM y),
+    px AS (SELECT doc_id, fi, y, x, unnest(range(0, 3)) AS c FROM x)
+    SELECT doc_id,
+           CAST(fi AS INTEGER) AS frame_idx,
+           CAST(36 AS BIGINT) AS n_bytes,
+           CAST((doc_id * 31 + 11 * fi) % 256 AS INTEGER) AS first_byte,
+           CAST(SUM((doc_id * 31 + 11 * fi + 7 * y + 3 * x + c) % 256)
+                % 2147483648 AS BIGINT) AS byte_checksum
+    FROM px GROUP BY doc_id, fi
+    """,
+    doc="REAL video pipeline end-to-end: a ppm-stream container (frame "
+    "boundaries only discoverable by parsing each embedded P6 header) is "
+    "frame-sampled every 2nd frame, each sampled frame re-encoded as a "
+    "standalone PPM, then decoded AGAIN by the feature extractor — two "
+    "real encode/decode hops; the oracle predicts the 4x3 frame pixels "
+    "(36 content bytes) in closed form.",
+)
+def multimodal_real_frame_features(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    media = multimodal.attach_synthetic_ppm_video(docs, width=4, height=3)
+    frames = multimodal.sample_frames(media, every_n=2, fake=False)
+    # composite key doc_id*16 + frame_idx (frame_idx < 4) carries the frame
+    # identity through the per-id feature extractor, then splits back out
+    keyed = frames.select(
+        (F.col("doc_id") * 16 + F.col("frame_idx")).alias("doc_id"),
+        F.col("frame_bytes").alias("media_bytes"),
+        F.struct(F.lit("image/x-portable-pixmap").alias("format")).alias(
+            "media_meta"
+        ),
+    )
+    feats = multimodal.extract_media_features(keyed, fake=False)
+    return feats.select(
+        F.expr("doc_id div 16").alias("doc_id"),
+        F.expr("CAST(doc_id % 16 AS INT)").alias("frame_idx"),
+        "n_bytes",
+        "first_byte",
+        "byte_checksum",
+    )
+
+
+@register(
+    "multimodal_real_resize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 8 + 1 AS w, doc_id % 6 + 1 AS h FROM documents
+    ),
+    yo AS (SELECT doc_id, w, h, unnest(range(0, 2)) AS yo FROM d),
+    xo AS (SELECT doc_id, w, h, yo, unnest(range(0, 2)) AS xo FROM yo),
+    px AS (SELECT doc_id, w, h, yo, xo, unnest(range(0, 3)) AS c FROM xo)
+    SELECT doc_id,
+           'image/x-portable-pixmap' AS media_format,
+           CAST(12 AS BIGINT) AS n_bytes,
+           CAST((doc_id * 31) % 256 AS INTEGER) AS first_byte,
+           CAST(SUM((doc_id * 31 + 7 * ((yo * h) // 2) + 3 * ((xo * w) // 2)
+                     + c) % 256) % 2147483648 AS BIGINT) AS byte_checksum
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="REAL image resize: PPM-encoded closed-form images are decoded, "
+    "nearest-neighbor resampled to 2x2 (source index (out*dim)//2 — the "
+    "oracle replays the index arithmetic), re-encoded as PPM, then decoded "
+    "again by the feature extractor over the 12 thumbnail content bytes.",
+)
+def multimodal_real_resize(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    media = multimodal.attach_synthetic_images(
+        docs, fmt="image/x-portable-pixmap"
+    )
+    small = multimodal.resize_media(media, width=2, height=2, fake=False)
+    return multimodal.extract_media_features(small, fake=False)
+
+
+# ---------------------------------------------------------------------------
 # zarr sink roundtrip
 # ---------------------------------------------------------------------------
 

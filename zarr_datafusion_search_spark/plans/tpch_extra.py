@@ -304,7 +304,7 @@ def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q17_small_quantity_parts",
     oracle="""
-    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    SELECT round(round(sum(l.l_extendedprice), 2) / 7.0, 4) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN (
@@ -334,7 +334,15 @@ def q17_small_quantity_parts(spark: SparkSession, sf: str) -> DataFrame:
         l.join(p, l.l_partkey == p.p_partkey)
         .join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        # snap the sum to its true 2-decimal grid BEFORE the /7.0 so both
+        # engines divide bit-identical inputs — round(sum/7, 4) alone is not
+        # grid-snapped and a last-ULP drift near a .00005 boundary could
+        # still flip the rounded digit cross-engine
+        .agg(
+            F.round(F.round(F.sum("l_extendedprice"), 2) / 7.0, 4).alias(
+                "avg_yearly"
+            )
+        )
     )
 
 
