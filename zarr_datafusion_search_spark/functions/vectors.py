@@ -31,7 +31,10 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: cosine with a zero-norm vector is undefined -> NULL (under
+    # Spark 4's default ANSI mode a plain `/` would instead fail the whole
+    # job on the first zero vector)
+    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))
 
 
 #: DuckDB SQL fragments computing the same quantities on ``a``/``b`` list
@@ -41,7 +44,8 @@ def duckdb_dot(a: str, b: str) -> str:
 
 
 def duckdb_cosine(a: str, b: str) -> str:
+    # nullif mirrors the Spark try_divide: zero-norm vector -> NULL cosine
     return (
-        f"({duckdb_dot(a, b)} / "
-        f"(sqrt({duckdb_dot(a, a)}) * sqrt({duckdb_dot(b, b)})))"
+        f"({duckdb_dot(a, b)} / nullif("
+        f"sqrt({duckdb_dot(a, a)}) * sqrt({duckdb_dot(b, b)}), 0))"
     )

@@ -169,6 +169,13 @@ def brute_force_topk_gemm(
     member can only be missed if > margin candidates tie within the final
     6-decimal rounding at the cut — with real-valued embeddings that needs
     a pathological value mass at one grid point.
+
+    Zero-norm vectors: norms are clamped at :data:`NORM_EPS`, so a
+    zero-norm query still emits k rows (its exact rescored cosines are
+    NULL — the fold expression divides by the true zero norm — matching
+    the fold path) instead of NaN-dropping every candidate; among such
+    all-tied NULL cosines the particular k neighbors kept may differ
+    between strategies.
     """
     import numpy as np
 
@@ -739,6 +746,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell_rows: int = SEMDEDUP_MAX_CELL_ROWS,
+    gemm_block_rows: int = SEMDEDUP_GEMM_BLOCK_ROWS,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster, then exact cosine
     pairs WITHIN each cluster only.
@@ -832,8 +840,8 @@ def semantic_dedup_pairs(
         cell = int(pdf["cell"].iloc[0])
         out_a, out_b = [], []
         # row-blocked GEMM: peak memory block x |cell|, never |cell|^2
-        for s in range(0, len(N), SEMDEDUP_GEMM_BLOCK_ROWS):
-            S = N[s : s + SEMDEDUP_GEMM_BLOCK_ROWS] @ N.T
+        for s in range(0, len(N), gemm_block_rows):
+            S = N[s : s + gemm_block_rows] @ N.T
             ii, jj = np.nonzero(S >= cutoff)
             a, b = ids[s + ii], ids[jj]
             keep = a < b
