@@ -80,6 +80,56 @@ def _sf_from_dir(d: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+#: per-run wall-clock cap for a DuckDB oracle during the paired measurement;
+#: a query that can't finish one run inside this is recorded as skipped
+#: (e.g. the recursive-CTE replays that are verification-only by design)
+DUCK_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_DUCK_TIMEOUT", "30"))
+
+
+def _duckdb_times(registry, names: list[str]) -> tuple[dict, list]:
+    """Median DuckDB wall-clock per oracle (same protocol as the Spark side:
+    1 warmup + median of RUNS, full fetchall materialization) over views on
+    the SAME parquet files. Returns (times, skipped)."""
+    import threading
+
+    import duckdb
+
+    from zarr_datafusion_search_spark.plans.registry import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    times_by_query: dict[str, float] = {}
+    skipped: list[str] = []
+    for name in names:
+        sql = registry[name].oracle
+        if not sql:
+            skipped.append(name)
+            continue
+        times = []
+        ok = True
+        for i in range(RUNS + 1):
+            watchdog = threading.Timer(DUCK_TIMEOUT_S, con.interrupt)
+            watchdog.start()
+            t0 = time.perf_counter()
+            try:
+                con.execute(sql).fetchall()
+            except Exception:
+                ok = False
+            finally:
+                watchdog.cancel()
+            if not ok:
+                break
+            if i > 0:
+                times.append(time.perf_counter() - t0)
+        if ok:
+            times_by_query[name] = round(statistics.median(times), 4)
+        else:
+            skipped.append(name)
+    con.close()
+    return times_by_query, skipped
+
+
 ZARR_BENCH_ROWS = 1_000_000
 ZARR_BENCH_STORE = "/tmp/zdss_bench_zarr_1m.zarr"
 
@@ -180,6 +230,15 @@ def main() -> None:
 
     zarr_micro = _zarr_scan_bench(spark)
 
+    # paired DuckDB measurement (VERDICT r02 §6): identical SQL over the
+    # same parquet, same warmup+median protocol, one comparable ratio per
+    # section instead of prose ranges. Runs AFTER all Spark timing so the
+    # DuckDB process-side work never contends with Spark executors.
+    duck_headline, duck_skipped_h = _duckdb_times(registry, names)
+    duck_extended, duck_skipped_e = _duckdb_times(
+        registry, [n for n in EXTENDED if n in registry]
+    )
+
     total = round(sum(per_query.values()), 4)
     print(
         json.dumps(
@@ -194,6 +253,30 @@ def main() -> None:
                 # headline total (fixed 23-query membership per BASELINE.md)
                 "extended": extended,
                 "extended_total": round(sum(extended.values()), 4),
+                # paired DuckDB (same SQL, same parquet, same protocol);
+                # ratio = spark_total / duckdb_total over the queries BOTH
+                # engines completed — the <=2x gate from BASELINE.md
+                "duckdb": {
+                    "headline_queries": duck_headline,
+                    "headline_total": round(sum(duck_headline.values()), 4),
+                    "ratio_headline": round(
+                        sum(v for k, v in per_query.items() if k in duck_headline)
+                        / max(sum(duck_headline.values()), 1e-9),
+                        4,
+                    ),
+                    "extended_queries": duck_extended,
+                    "extended_total": round(sum(duck_extended.values()), 4),
+                    "ratio_extended": round(
+                        sum(v for k, v in extended.items() if k in duck_extended)
+                        / max(sum(duck_extended.values()), 1e-9),
+                        4,
+                    ),
+                    "skipped": duck_skipped_h + duck_skipped_e,
+                    "timeout_s": DUCK_TIMEOUT_S,
+                    "protocol": "1 warmup + median of runs_per_query, "
+                    "fetchall-materialized, run after Spark timing in the "
+                    "same process; fresh-session numbers in BASELINE.md",
+                },
                 "zarr_microbench": zarr_micro,
                 "zarr_microbench_total": round(sum(zarr_micro.values()), 4),
                 "sf": _sf_from_dir(SF_DIR),
