@@ -52,6 +52,17 @@ HEADLINE = [
     "sessionization",
 ]
 
+#: round-3 additions — separate section, same reasoning as EXTENDED
+EXTENDED_R3 = [
+    "text_tfidf_search",
+    "text_bigram_perplexity",
+    "pagerank_event_types",
+    "multimodal_real_image_features",
+    "multimodal_real_wav_features",
+    "multimodal_real_frame_features",
+    "multimodal_real_resize",
+]
+
 #: round-2 additions, timed and reported separately so the headline total
 #: stays comparable across rounds (same 23-query membership as BASELINE.md)
 EXTENDED = [
@@ -216,17 +227,22 @@ def main() -> None:
                 times.append(dt)
         per_query[name] = round(statistics.median(times), 4)
 
-    extended: dict[str, float] = {}
-    for name in (n for n in EXTENDED if n in registry):
-        spec = registry[name]
-        times = []
-        for i in range(RUNS + 1):
-            t0 = time.perf_counter()
-            spec.spark(spark, SF_DIR).count()
-            dt = time.perf_counter() - t0
-            if i > 0:
-                times.append(dt)
-        extended[name] = round(statistics.median(times), 4)
+    def _time_section(section_names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in (n for n in section_names if n in registry):
+            spec = registry[name]
+            times = []
+            for i in range(RUNS + 1):
+                t0 = time.perf_counter()
+                spec.spark(spark, SF_DIR).count()
+                dt = time.perf_counter() - t0
+                if i > 0:
+                    times.append(dt)
+            out[name] = round(statistics.median(times), 4)
+        return out
+
+    extended = _time_section(EXTENDED)
+    extended_r3 = _time_section(EXTENDED_R3)
 
     zarr_micro = _zarr_scan_bench(spark)
 
@@ -237,6 +253,9 @@ def main() -> None:
     duck_headline, duck_skipped_h = _duckdb_times(registry, names)
     duck_extended, duck_skipped_e = _duckdb_times(
         registry, [n for n in EXTENDED if n in registry]
+    )
+    duck_r3, duck_skipped_r3 = _duckdb_times(
+        registry, [n for n in EXTENDED_R3 if n in registry]
     )
 
     total = round(sum(per_query.values()), 4)
@@ -253,6 +272,8 @@ def main() -> None:
                 # headline total (fixed 23-query membership per BASELINE.md)
                 "extended": extended,
                 "extended_total": round(sum(extended.values()), 4),
+                "extended_r3": extended_r3,
+                "extended_r3_total": round(sum(extended_r3.values()), 4),
                 # paired DuckDB (same SQL, same parquet, same protocol);
                 # ratio = spark_total / duckdb_total over the queries BOTH
                 # engines completed — the <=2x gate from BASELINE.md
@@ -271,7 +292,14 @@ def main() -> None:
                         / max(sum(duck_extended.values()), 1e-9),
                         4,
                     ),
-                    "skipped": duck_skipped_h + duck_skipped_e,
+                    "extended_r3_queries": duck_r3,
+                    "extended_r3_total": round(sum(duck_r3.values()), 4),
+                    "ratio_extended_r3": round(
+                        sum(v for k, v in extended_r3.items() if k in duck_r3)
+                        / max(sum(duck_r3.values()), 1e-9),
+                        4,
+                    ),
+                    "skipped": duck_skipped_h + duck_skipped_e + duck_skipped_r3,
                     "timeout_s": DUCK_TIMEOUT_S,
                     "protocol": "1 warmup + median of runs_per_query, "
                     "fetchall-materialized, run after Spark timing in the "

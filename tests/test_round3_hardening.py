@@ -195,3 +195,42 @@ def test_gemm_zero_norm_query_still_emits_rows(spark):
             corpus, zq, k=3, strategy=strategy
         ).collect()
         assert len(out) == 3, f"{strategy} dropped zero-norm query rows"
+
+
+# ---------------------------------------------------------------------------
+# pagerank (cross-engine oracle runs in test_queries_oracle; these pin the
+# mathematical invariants)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_invariants(spark):
+    from zarr_datafusion_search_spark.operators.graph import pagerank
+
+    # star graph: a,b,c -> hub; hub dangles (no out-edges)
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub")], "src string, dst string"
+    )
+    ranks = {r.node: r["rank"] for r in pagerank(edges, n_iter=5).collect()}
+    assert set(ranks) == {"a", "b", "c", "hub"}
+    # total rank mass is conserved (dangling redistribution); each reported
+    # rank is rounded to 6 dp, so the sum may carry n/2 ULPs of that grid
+    assert abs(sum(ranks.values()) - 1.0) < 5e-6 * len(ranks)
+    # the hub absorbs every spoke's mass -> strictly highest rank
+    assert ranks["hub"] > max(ranks["a"], ranks["b"], ranks["c"])
+    # spokes are symmetric
+    assert ranks["a"] == ranks["b"] == ranks["c"]
+
+
+def test_pagerank_weighted_prefers_heavy_edge(spark):
+    from zarr_datafusion_search_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("u", "x", 9.0), ("u", "y", 1.0), ("x", "u", 1.0), ("y", "u", 1.0)],
+        "src string, dst string, weight double",
+    )
+    ranks = {
+        r.node: r["rank"]
+        for r in pagerank(edges, n_iter=5, weight="weight").collect()
+    }
+    assert ranks["x"] > ranks["y"]
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6

@@ -1,0 +1,173 @@
+"""Iterative graph ranking over edge DataFrames.
+
+Link-graph analytics is a standard curation signal at corpus scale (domain/
+page authority weighting of web crawls). :func:`pagerank` is the classic
+power iteration expressed as pure DataFrame ops:
+
+- a FIXED ``n_iter`` rounds (no data-dependent stopping) keeps the result
+  deterministic and lets the DuckDB oracle replay the exact unrolled
+  computation;
+- each round is one equi-join of the edge list with the current rank vector
+  on ``src`` plus one aggregation on ``dst`` — shuffles on edge endpoints
+  only, never materializing anything driver-side except two scalar
+  broadcasts (node count, per-round dangling mass);
+- weighted edges are first-class (a multigraph collapses to summed weights
+  up front, shrinking every later round);
+- per-round ranks are rounded to a fixed grid (pins cross-engine float
+  summation drift) and ``localCheckpoint``-ed so plan depth stays constant
+  across iterations (same discipline as ``similarity.kmeans_centroids``);
+  blocks are ContextCleaner-released on GC.
+
+At 100 TB the rank vector is a distributed (node, rank) relation; the only
+per-round synchronization is the 1-row dangling-mass aggregate, exactly the
+shape the classic MapReduce/Pregel formulations use.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: per-round grid for rank values: coarse enough to absorb summation-order
+#: drift between engines (~1e-16 relative), fine enough that 5 iterations
+#: lose no meaningful precision before the final 6-decimal rounding
+RANK_ROUND = 10
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """(node, rank) after ``n_iter`` damped power-iteration rounds.
+
+    ``rank_{t+1}(v) = (1-d)/N + d * (sum_{u->v} rank_t(u) * w(u,v)/W(u)
+    + dangling_t / N)`` where ``W(u)`` is u's total out-weight and
+    ``dangling_t`` the rank mass on nodes with no out-edges (redistributed
+    uniformly, the standard correction). Unweighted edges count 1 each.
+    """
+    w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = (
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"), w_col.alias("_w"))
+        .groupBy("_src", "_dst")
+        .agg(F.sum("_w").alias("_w"))
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()  # scalar, reused every round
+    outw = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
+    # out-weight folded into the edge relation once: every round's join
+    # then touches a single pre-divided edge list
+    enorm = (
+        e.join(outw, "_src")
+        .select("_src", "_dst", (F.col("_w") / F.col("_ow")).alias("_frac"))
+        .localCheckpoint(eager=True)
+    )
+    has_out = outw.select(F.col("_src").alias("node"))
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    # (1 - damping) via Decimal: Python float `1.0 - 0.85` is 1 ULP away
+    # from the double nearest 0.15, which is what SQL engines produce when
+    # they evaluate the DECIMAL literal — compute the same double here so
+    # the oracle's grid-rounded ranks match bit-for-bit
+    from decimal import Decimal
+
+    base = float(Decimal(1) - Decimal(str(damping))) / n_nodes
+    for _ in range(n_iter):
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        contrib = (
+            enorm.join(ranks.withColumnRenamed("node", "_src"), "_src")
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("_frac")).alias("_c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + damping
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_dm") / n_nodes
+                    ),
+                    RANK_ROUND,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def event_transition_edges(events: DataFrame) -> DataFrame:
+    """Weighted event-type transition graph: one edge per observed
+    consecutive (type -> next type) within a user's timeline, collapsed to
+    counts. The window shuffles once on user_id; the edge aggregation is
+    map-side combinable."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+def duckdb_pagerank_sql(
+    edges_sql: str, n_iter: int = 5, damping: float = 0.85
+) -> str:
+    """DuckDB SQL replaying :func:`pagerank` exactly: the power iteration is
+    UNROLLED into one CTE chain per round (the fixed iteration count is what
+    makes the operator oraclable at all), with the same per-round
+    :data:`RANK_ROUND` grid pinning. ``edges_sql`` must produce
+    (src, dst, w)."""
+    sql = f"""
+WITH edges0 AS ({edges_sql}),
+edges AS (
+  SELECT src AS _src, dst AS _dst, CAST(sum(w) AS DOUBLE) AS _w
+  FROM edges0 GROUP BY src, dst
+),
+nodes AS (SELECT _src AS node FROM edges UNION SELECT _dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outw AS (SELECT _src, sum(_w) AS _ow FROM edges GROUP BY _src),
+enorm AS (
+  SELECT _src, _dst, _w / _ow AS _frac FROM edges JOIN outw USING (_src)
+),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        sql += f""",
+d{i} AS (
+  SELECT coalesce(sum(rank), 0) AS dm FROM r{p}
+  WHERE node NOT IN (SELECT _src FROM outw)
+),
+r{i} AS (
+  SELECT nodes.node,
+         round((1 - {damping}) / (SELECT n FROM nn)
+               + {damping} * (coalesce(c.contrib, 0)
+                              + (SELECT dm FROM d{i}) / (SELECT n FROM nn)),
+               {RANK_ROUND}) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT en._dst AS node, sum(r.rank * en._frac) AS contrib
+    FROM enorm en JOIN r{p} r ON r.node = en._src
+    GROUP BY en._dst
+  ) c ON c.node = nodes.node
+)"""
+    sql += f"\nSELECT node, round(rank, 6) AS rank FROM r{n_iter}"
+    return sql

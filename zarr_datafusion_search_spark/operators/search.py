@@ -24,6 +24,8 @@ Shape for 100 TB:
 
 from __future__ import annotations
 
+from collections import Counter
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -120,6 +122,109 @@ def bm25_topk(
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", id_col)
         .agg(F.round(F.sum(w), 6).alias("score"))
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents per query under tf-idf cosine (the vector-space
+    complement to :func:`bm25_topk`).
+
+    ``idf = ln((1 + N) / (1 + df)) + 1`` (smooth — defined even for unseen
+    query terms), doc weight ``w = tf * idf``, score =
+    ``dot(q, d) / (||q|| * ||d||)`` rounded to 6 digits, ties by doc id.
+
+    Scale shape differs from BM25 on purpose: the DOC NORM needs every
+    term's weight, so this pipeline builds the full postings relation
+    (shuffle bounded by total token occurrences — the inverted-index build
+    a retrieval deployment pays once and reuses), while the dot product
+    still touches only query-term postings. Query-side weights/norms are a
+    few-row aggregate, broadcast; corpus rows never shuffle on anything
+    but term and doc id.
+    """
+    spark = docs.sparkSession
+    toks = tokens_col(text_col)
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = (
+        docs.select(F.col(id_col))
+        .where(F.size(toks) > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    idf = F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0
+    # tf |><| dfc is vocabulary-sized on both sides: an equi-join on term
+    # (no broadcast hint — at corpus scale the df relation outgrows a
+    # broadcast; AQE still broadcasts it when it is actually small)
+    weights = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(id_col, "term", (F.col("tf") * idf).alias("w"))
+    )
+    norms = weights.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("d_norm")
+    )
+    qrows = [
+        (int(qid), t, c)
+        for qid, qtext in queries
+        for t, c in sorted(Counter(qtext.lower().split()).items())
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id INT, term STRING, qtf INT")
+    # query weights use the same smooth idf; df of unseen terms is 0. The
+    # df relation is pre-filtered to the literal query vocabulary so the
+    # broadcast is query-sized, never vocabulary-sized
+    qterms = sorted({t for _, t, _ in qrows})
+    dfc_q = dfc.filter(F.col("term").isin(qterms))
+    qw = (
+        qdf.join(F.broadcast(dfc_q), "term", "left")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "query_id",
+            "term",
+            (
+                F.col("qtf")
+                * (
+                    F.log(
+                        (1.0 + F.col("n_docs"))
+                        / (1.0 + F.coalesce(F.col("df"), F.lit(0)))
+                    )
+                    + 1.0
+                )
+            ).alias("qw"),
+        )
+    )
+    qnorms = qw.groupBy("query_id").agg(
+        F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("q_norm")
+    )
+    scored = (
+        weights.join(F.broadcast(qw), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+        .join(norms, id_col)
+        .join(F.broadcast(qnorms), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                F.col("dot") / (F.col("d_norm") * F.col("q_norm")), 6
+            ).alias("score"),
+        )
     )
     rank_w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col)

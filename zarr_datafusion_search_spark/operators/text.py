@@ -585,3 +585,64 @@ def vocab_coverage(
             ),
         )
     )
+
+
+def bigram_lm_perplexity(
+    df: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document perplexity under an additively-smoothed bigram LM
+    trained on the corpus itself — the KenLM-style quality filter (docs
+    whose bigrams surprise the corpus LM are boilerplate/garbled/outlier
+    candidates), one model tier above ``unigram_logprob_score``.
+
+    ``P(w2|w1) = (c(w1 w2) + alpha) / (c_prefix(w1) + alpha * V)`` with
+    ``c_prefix`` counting w1 as a bigram prefix and ``V`` the corpus
+    vocabulary size; ``perplexity = exp(-mean ln P)`` over the doc's
+    bigrams, rounded to 6 dp (libm drift).
+
+    Scale shape: one explode -> two map-side-combinable count aggregations
+    (bigram, prefix); the per-doc scoring joins the doc's bigram stream
+    against the aggregated (vocabulary-sized) count tables on the bigram/
+    prefix keys — shuffles bounded by token occurrences, the same budget
+    the corpus tokenize already paid. V and nothing else is a scalar
+    broadcast; docs with < 2 tokens drop out (no bigram exists).
+    """
+    toks = df.select(F.col(id_col), tokens_col(text_col).alias("_t"))
+    vocab = (
+        toks.select(F.explode("_t").alias("w"))
+        .agg(F.countDistinct("w").cast("double").alias("v"))
+    )
+    bi = (
+        toks.filter(F.size("_t") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_t) - 1),"
+                    " i -> struct(_t[i - 1] AS w1, _t[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select(id_col, "b.w1", "b.w2")
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    logp = (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log(
+                (F.col("c2") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha) * F.col("v"))
+            ).alias("_lp"),
+        )
+    )
+    return logp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.exp(-F.avg("_lp")), 6).alias("perplexity"),
+    )

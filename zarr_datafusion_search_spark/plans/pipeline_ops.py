@@ -17,6 +17,7 @@ from zarr_datafusion_search_spark.functions.hashing import duckdb_h64
 from zarr_datafusion_search_spark.operators import (
     asof,
     dedup,
+    graph,
     multimodal,
     sessions,
     similarity,
@@ -1960,6 +1961,136 @@ def text_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     from zarr_datafusion_search_spark.operators import search
 
     return search.bm25_topk(table(spark, sf, "documents"), BM25_QUERIES)
+
+
+TFIDF_QUERIES = [
+    (0, "hash join strategy"),
+    (1, "window sort merge"),
+    (2, "stream filter group"),
+]
+
+
+def _tfidf_oracle(k: int = 10) -> str:
+    from collections import Counter
+
+    qvals = ",\n           ".join(
+        f"({qid}, '{t}', {c})"
+        for qid, qtext in TFIDF_QUERIES
+        for t, c in sorted(Counter(qtext.lower().split()).items())
+    )
+    return f"""
+    WITH {_TOKS},
+    tfc AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(t) AS term FROM toks WHERE len(t) > 0
+      ) GROUP BY 1, 2
+    ),
+    dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM toks WHERE len(t) > 0),
+    w AS (
+      SELECT doc_id, term,
+             tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0) AS w
+      FROM tfc JOIN dfc USING (term) CROSS JOIN nd
+    ),
+    dnorm AS (SELECT doc_id, sqrt(sum(w * w)) AS d_norm FROM w GROUP BY 1),
+    q(query_id, term, qtf) AS (VALUES {qvals}),
+    qw AS (
+      SELECT query_id, q.term,
+             qtf * (ln((1.0 + n_docs) / (1.0 + coalesce(df, 0))) + 1.0) AS qw
+      FROM q LEFT JOIN dfc ON dfc.term = q.term CROSS JOIN nd
+    ),
+    qnorm AS (SELECT query_id, sqrt(sum(qw * qw)) AS q_norm FROM qw GROUP BY 1),
+    scored AS (
+      SELECT qw.query_id, w.doc_id,
+             round(sum(w.w * qw.qw) / (any_value(d_norm) * any_value(q_norm)),
+                   6) AS score
+      FROM w JOIN qw USING (term)
+      JOIN dnorm ON dnorm.doc_id = w.doc_id
+      JOIN qnorm ON qnorm.query_id = qw.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "text_tfidf_search",
+    oracle=_tfidf_oracle(),
+    doc="tf-idf cosine retrieval (vector-space complement to BM25): full "
+    "postings build (the inverted-index investment — doc norms need every "
+    "term), query-side weights/norms broadcast, dot product touches only "
+    "query-term postings. Smooth idf keeps unseen query terms defined; "
+    "scores rounded to 6 digits pre-ranking, ties by doc_id.",
+)
+def text_tfidf_search(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators import search
+
+    return search.tfidf_topk(table(spark, sf, "documents"), TFIDF_QUERIES)
+
+
+@register(
+    "text_bigram_perplexity",
+    oracle=f"""
+    WITH {_TOKS},
+    v AS (
+      SELECT CAST(count(DISTINCT x) AS DOUBLE) AS v
+      FROM (SELECT unnest(t) AS x FROM toks)
+    ),
+    bi AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2
+      )
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+    lp AS (
+      SELECT doc_id,
+             ln((c2 + 0.5) / (c1 + 0.5 * (SELECT v FROM v))) AS logp
+      FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(exp(-avg(logp)), 6) AS perplexity
+    FROM lp GROUP BY doc_id
+    """,
+    doc="Additively-smoothed bigram LM perplexity per document (KenLM-style "
+    "quality filter, one tier above the unigram score): two map-side-"
+    "combinable count aggs, per-doc scoring joins the bigram stream on "
+    "(w1,w2)/(w1) keys — shuffle bounded by token occurrences; V is the "
+    "only scalar broadcast. Final exp(-avg ln) rounded 6 dp (libm drift).",
+)
+def text_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    return text.bigram_lm_perplexity(table(spark, sf, "documents"))
+
+
+@register(
+    "pagerank_event_types",
+    oracle=graph.duckdb_pagerank_sql(
+        """
+        SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+          SELECT event_type AS src,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS dst
+          FROM events
+        ) WHERE dst IS NOT NULL GROUP BY src, dst
+        """
+    ),
+    doc="Damped PageRank (5 fixed power-iteration rounds, dangling mass "
+    "redistributed) over the weighted event-type transition graph: edges "
+    "from one user-partitioned window pass, each round one equi-join + one "
+    "dst aggregation with per-round grid rounding and localCheckpoint "
+    "(constant plan depth). Oracle unrolls the identical 5 rounds as a "
+    "CTE chain.",
+)
+def pagerank_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    edges = graph.event_transition_edges(table(spark, sf, "events"))
+    return graph.pagerank(edges, n_iter=5, weight="weight")
 
 
 @register(
