@@ -50,10 +50,15 @@ def pagerank(
     uniformly, the standard correction). Unweighted edges count 1 each.
     """
     w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
+    # checkpoint the collapsed edge list FIRST: the upstream edge extraction
+    # (often a window over the raw corpus) executes exactly once, and every
+    # derived relation below reads the snapshot instead of re-running it
+    # per power-iteration round
     e = (
         edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"), w_col.alias("_w"))
         .groupBy("_src", "_dst")
         .agg(F.sum("_w").alias("_w"))
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("_src").alias("node"))
@@ -70,7 +75,7 @@ def pagerank(
         .select("_src", "_dst", (F.col("_w") / F.col("_ow")).alias("_frac"))
         .localCheckpoint(eager=True)
     )
-    has_out = outw.select(F.col("_src").alias("node"))
+    has_out = enorm.select(F.col("_src").alias("node")).distinct()
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     # (1 - damping) via Decimal: Python float `1.0 - 0.85` is 1 ULP away

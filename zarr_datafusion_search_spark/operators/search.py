@@ -155,19 +155,22 @@ def tfidf_topk(
     few-row aggregate, broadcast; corpus rows never shuffle on anything
     but term and doc id.
     """
+    from zarr_datafusion_search_spark.operators.cache import tracked_persist
+
     spark = docs.sparkSession
     toks = tokens_col(text_col)
-    tf = (
+    # the postings relation feeds FIVE consumers (df counts, weights, doc
+    # norms, scoring, corpus size) — without materialization each branch
+    # re-scans and re-tokenizes the corpus (~20 file scans in the final
+    # plan). Persisting it IS the inverted-index build; the handle is
+    # tracked for release_operator_caches()
+    tf = tracked_persist(
         docs.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = (
-        docs.select(F.col(id_col))
-        .where(F.size(toks) > 0)
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
+    n_docs = tf.select(id_col).distinct().agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0
     # tf |><| dfc is vocabulary-sized on both sides: an equi-join on term
     # (no broadcast hint — at corpus scale the df relation outgrows a

@@ -610,12 +610,17 @@ def bigram_lm_perplexity(
     the corpus tokenize already paid. V and nothing else is a scalar
     broadcast; docs with < 2 tokens drop out (no bigram exists).
     """
+    from zarr_datafusion_search_spark.operators.cache import tracked_persist
+
     toks = df.select(F.col(id_col), tokens_col(text_col).alias("_t"))
     vocab = (
         toks.select(F.explode("_t").alias("w"))
         .agg(F.countDistinct("w").cast("double").alias("v"))
     )
-    bi = (
+    # the bigram stream feeds three consumers (bigram counts, prefix
+    # counts, per-doc scoring) — materialize the tokenize+explode once
+    # (tracked; released via release_operator_caches())
+    bi = tracked_persist(
         toks.filter(F.size("_t") >= 2)
         .select(
             id_col,
