@@ -99,8 +99,13 @@ DUCK_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_DUCK_TIMEOUT", "30"))
 
 def _duckdb_times(registry, names: list[str]) -> tuple[dict, list]:
     """Median DuckDB wall-clock per oracle (same protocol as the Spark side:
-    1 warmup + median of RUNS, full fetchall materialization) over views on
-    the SAME parquet files. Returns (times, skipped)."""
+    1 warmup + median of RUNS) over views on the SAME parquet files.
+
+    Each oracle is timed as ``SELECT count(*) FROM (<oracle>)`` — the exact
+    symmetric of the Spark side's ``.count()`` action: both engines fully
+    execute joins/aggregations/windows (they define the cardinality), both
+    get the same chance to prune unused final projections, and neither pays
+    client-side row conversion. Returns (times, skipped)."""
     import threading
 
     import duckdb
@@ -117,18 +122,33 @@ def _duckdb_times(registry, names: list[str]) -> tuple[dict, list]:
         if not sql:
             skipped.append(name)
             continue
+        counted = f"SELECT count(*) FROM ({sql}) AS _q"
         times = []
         ok = True
         for i in range(RUNS + 1):
-            watchdog = threading.Timer(DUCK_TIMEOUT_S, con.interrupt)
+            fired = []
+
+            def _interrupt():
+                fired.append(1)
+                con.interrupt()
+
+            watchdog = threading.Timer(DUCK_TIMEOUT_S, _interrupt)
             watchdog.start()
             t0 = time.perf_counter()
             try:
-                con.execute(sql).fetchall()
+                con.execute(counted).fetchall()
             except Exception:
                 ok = False
             finally:
                 watchdog.cancel()
+            if fired and ok:
+                # timer fired in the window after the query finished but
+                # before cancel(): the interrupt flag would abort the NEXT
+                # statement — drain it on a throwaway query
+                try:
+                    con.execute("SELECT 1").fetchall()
+                except Exception:
+                    pass
             if not ok:
                 break
             if i > 0:
@@ -241,8 +261,17 @@ def main() -> None:
             out[name] = round(statistics.median(times), 4)
         return out
 
+    from zarr_datafusion_search_spark.operators.cache import (
+        release_operator_caches,
+    )
+
+    release_operator_caches()  # drop headline-section pipeline caches
     extended = _time_section(EXTENDED)
+    release_operator_caches()
     extended_r3 = _time_section(EXTENDED_R3)
+    # release before the in-process DuckDB timing so its measurements don't
+    # run under pinned-cache memory pressure
+    release_operator_caches()
 
     zarr_micro = _zarr_scan_bench(spark)
 
@@ -301,9 +330,11 @@ def main() -> None:
                     ),
                     "skipped": duck_skipped_h + duck_skipped_e + duck_skipped_r3,
                     "timeout_s": DUCK_TIMEOUT_S,
-                    "protocol": "1 warmup + median of runs_per_query, "
-                    "fetchall-materialized, run after Spark timing in the "
-                    "same process; fresh-session numbers in BASELINE.md",
+                    "protocol": "1 warmup + median of runs_per_query; both "
+                    "engines timed via count(*) over the full query (same "
+                    "pruning opportunities, no client row conversion), "
+                    "DuckDB run after all Spark timing in the same process; "
+                    "fresh-session numbers in BASELINE.md",
                 },
                 "zarr_microbench": zarr_micro,
                 "zarr_microbench_total": round(sum(zarr_micro.values()), 4),

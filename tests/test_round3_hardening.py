@@ -159,6 +159,10 @@ def test_metadata_row_count_refuses_cardinality_changers(spark, sf_dir):
 
 def test_dedup_caches_released(spark, sf_dir):
     sc = spark.sparkContext
+    # drop caches left by earlier tests: with them alive, CacheManager
+    # plan canonicalization would satisfy this pipeline from the existing
+    # entries and no NEW storage would appear
+    release_operator_caches()
     before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     minhash_lsh_pairs(docs).count()
@@ -234,3 +238,12 @@ def test_pagerank_weighted_prefers_heavy_edge(spark):
     }
     assert ranks["x"] > ranks["y"]
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    from zarr_datafusion_search_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(edges, n_iter=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "rank"]

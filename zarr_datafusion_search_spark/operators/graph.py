@@ -58,6 +58,11 @@ def pagerank(
         edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"), w_col.alias("_w"))
         .groupBy("_src", "_dst")
         .agg(F.sum("_w").alias("_w"))
+        # zero/negative collapsed weights are dropped: PageRank is defined
+        # over positive weights, and a kept 0 would make the src's
+        # out-weight normalization divide by zero (the oracle SQL applies
+        # the identical HAVING guard)
+        .filter(F.col("_w") > 0)
         .localCheckpoint(eager=True)
     )
     nodes = (
@@ -67,6 +72,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()  # scalar, reused every round
+    if n_nodes == 0:
+        # empty edge list -> empty ranking (matches the oracle, which
+        # yields zero rows), not a ZeroDivisionError at plan build
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     outw = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
     # out-weight folded into the edge relation once: every round's join
     # then touches a single pre-divided edge list
@@ -146,7 +155,7 @@ def duckdb_pagerank_sql(
 WITH edges0 AS ({edges_sql}),
 edges AS (
   SELECT src AS _src, dst AS _dst, CAST(sum(w) AS DOUBLE) AS _w
-  FROM edges0 GROUP BY src, dst
+  FROM edges0 GROUP BY src, dst HAVING CAST(sum(w) AS DOUBLE) > 0
 ),
 nodes AS (SELECT _src AS node FROM edges UNION SELECT _dst FROM edges),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),

@@ -179,13 +179,15 @@ def brute_force_topk_gemm(
     """
     import numpy as np
 
-    if not (_has_integral_id(corpus, id_col) and _has_integral_id(queries, id_col)):
-        raise ValueError(
-            "brute_force_topk_gemm requires an integral id column (the "
-            f"candidate stage materializes ids as int64); {id_col!r} is "
-            f"{corpus.schema[id_col].dataType.simpleString()} — use "
-            "strategy='fold', which supports any orderable id type"
-        )
+    for side, df_side in (("corpus", corpus), ("queries", queries)):
+        if not _has_integral_id(df_side, id_col):
+            raise ValueError(
+                "brute_force_topk_gemm requires an integral id column (the "
+                f"candidate stage materializes ids as int64); {side} "
+                f"{id_col!r} is "
+                f"{df_side.schema[id_col].dataType.simpleString()} — use "
+                "strategy='fold', which supports any orderable id type"
+            )
     qrows = queries.select(id_col, vec_col).collect()
     if not qrows:
         return corpus.sparkSession.createDataFrame(
@@ -210,7 +212,7 @@ def brute_force_topk_gemm(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             mat = mat / np.maximum(
-                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+                np.linalg.norm(mat, axis=1, keepdims=True), NORM_EPS
             )
             sims = qm @ mat.T  # (Q, b)
             for qx in range(len(qi)):
@@ -834,7 +836,7 @@ def semantic_dedup_pairs(
             keep_idx = np.argsort(h, kind="stable")[:max_cell_rows]
             pdf = pdf.iloc[np.sort(keep_idx)]
         V = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-        norms = np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        norms = np.maximum(np.linalg.norm(V, axis=1, keepdims=True), NORM_EPS)
         N = V / norms
         ids = pdf[id_col].to_numpy()
         cell = int(pdf["cell"].iloc[0])
