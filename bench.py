@@ -61,6 +61,8 @@ EXTENDED_R3 = [
     "multimodal_real_wav_features",
     "multimodal_real_frame_features",
     "multimodal_real_resize",
+    "dedup_minhash_cross_corpus",
+    "multimodal_image_channel_stats",
 ]
 
 #: round-2 additions, timed and reported separately so the headline total

@@ -247,3 +247,23 @@ def test_pagerank_empty_graph_returns_empty(spark):
     out = pagerank(edges, n_iter=3)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["node", "rank"]
+
+
+def test_cross_corpus_minhash_sides_are_disjoint(spark, sf_dir):
+    """Cross-corpus matching never pairs two incoming docs or two reference
+    docs — only (new, ref) pairs come out, and a doc duplicated across the
+    split IS reported (that's the signal)."""
+    from zarr_datafusion_search_spark.operators.dedup import (
+        minhash_lsh_pairs_between,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    incoming = docs.filter(F.col("source") == "src0")
+    reference = docs.filter(F.col("source") != "src0")
+    out = minhash_lsh_pairs_between(incoming, reference).collect()
+    new_ids = {r.doc_id for r in incoming.select("doc_id").collect()}
+    ref_ids = {r.doc_id for r in reference.select("doc_id").collect()}
+    for r in out:
+        assert r.doc_new in new_ids and r.doc_ref in ref_ids
+        assert r.jaccard >= 0.5
+    release_operator_caches()

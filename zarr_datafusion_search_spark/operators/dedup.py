@@ -255,12 +255,20 @@ def minhash_lsh_pairs(
 
 
 def _verify_jaccard(
-    cand: DataFrame, shingled: DataFrame, id_col: str, threshold: float
+    cand: DataFrame,
+    shingled: DataFrame,
+    id_col: str,
+    threshold: float,
+    shingled_b: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact Jaccard over the hashed-shingle relation (all-long joins)."""
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    """Exact Jaccard over the hashed-shingle relation (all-long joins).
+    ``shingled_b`` switches to the cross-corpus form: ``doc_a`` ids resolve
+    against ``shingled``, ``doc_b`` ids against ``shingled_b``."""
+    sh_b = shingled if shingled_b is None else shingled_b
+    sizes_a = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sizes_b = sh_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     s1 = shingled.alias("s1")
-    s2 = shingled.alias("s2")
+    s2 = sh_b.alias("s2")
     inter = (
         cand.join(s1, F.col("doc_a") == F.col(f"s1.{id_col}"))
         .join(
@@ -271,8 +279,8 @@ def _verify_jaccard(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    sa = sizes_a.alias("sa")
+    sb = sizes_b.alias("sb")
     jac = F.col("n_inter").cast("double") / (
         F.col("sa.n") + F.col("sb.n") - F.col("n_inter")
     )
@@ -281,6 +289,60 @@ def _verify_jaccard(
         .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs_between(
+    incoming: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus near-dup detection: match an INCOMING batch against an
+    existing REFERENCE corpus — the incremental-ingestion mode a production
+    pipeline actually runs (the self-join variant re-processes the whole
+    corpus per batch; this one only ever joins new docs against the
+    standing index).
+
+    Identical hash family and banding as :func:`minhash_lsh_pairs`, but the
+    candidate join is bands(incoming) x bands(reference) — no self-join on
+    either side, no ``<`` ordering constraint (the sides are disjoint
+    inputs; a doc appearing in both matches itself, which is exactly the
+    signal wanted). At 100 TB the reference side's shingle/band relations
+    are the persisted index assets (tracked handles); the incoming batch
+    is small, so every shuffle is bounded by batch size + band collisions.
+
+    Returns ``(doc_new, doc_ref, jaccard)`` with exact verified Jaccard.
+    """
+    shn = hashed_shingles(incoming, id_col, text_col)
+    shr = hashed_shingles(reference, id_col, text_col)
+    bn = lsh_band_signatures(
+        minhash_signatures(shn, num_hashes, id_col), rows_per_band, num_hashes, id_col
+    )
+    br = lsh_band_signatures(
+        minhash_signatures(shr, num_hashes, id_col), rows_per_band, num_hashes, id_col
+    )
+    cand = (
+        bn.alias("a")
+        .join(
+            br.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verify_jaccard(
+        cand, shn, id_col, jaccard_threshold, shingled_b=shr
+    ).select(
+        F.col("doc_a").alias("doc_new"),
+        F.col("doc_b").alias("doc_ref"),
+        "jaccard",
     )
 
 

@@ -509,6 +509,54 @@ def resize_media(
     )
 
 
+def image_channel_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-channel pixel statistics over REAL decoded images (mean/min/max
+    per RGB channel) — the feature-extraction profile step an image-corpus
+    pipeline runs for normalization constants and outlier gates. Decode is
+    the real BMP/PPM parse; stats are exact integer sums divided in double,
+    bit-identical cross-engine with no rounding (Python round() is
+    banker's, SQL round() is half-up — skipping rounding sidesteps the
+    disagreement entirely).
+
+    Returns one row per (id, channel): long format keeps the schema stable
+    for any channel count."""
+
+    def _stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from zarr_datafusion_search_spark.functions.media_codecs import (
+            decode_image,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "channel", "mean_value", "min_value", "max_value")}
+            for doc, payload, fmt in zip(
+                pdf[id_col], pdf["media_bytes"], pdf["fmt"]
+            ):
+                arr = decode_image(bytes(payload), fmt)
+                flat = arr.reshape(-1, arr.shape[2]).astype(np.int64)
+                for c in range(arr.shape[2]):
+                    col = flat[:, c]
+                    out["doc_id"].append(doc)
+                    out["channel"].append(c)
+                    out["mean_value"].append(float(col.sum()) / len(col))
+                    out["min_value"].append(int(col.min()))
+                    out["max_value"].append(int(col.max()))
+            yield pd.DataFrame(out)
+
+    prepared = media.select(
+        F.col(id_col),
+        F.col("media_bytes"),
+        F.col("media_meta").getField("format").alias("fmt"),
+    )
+    return prepared.mapInPandas(
+        _stats,
+        f"{id_col} long, channel int, mean_value double, "
+        "min_value int, max_value int",
+    )
+
+
 def fake_embed_media(
     media: DataFrame, id_col: str = "doc_id", dim: int = 8
 ) -> DataFrame:

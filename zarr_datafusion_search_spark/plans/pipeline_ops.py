@@ -1963,6 +1963,126 @@ def text_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     return search.bm25_topk(table(spark, sf, "documents"), BM25_QUERIES)
 
 
+def _minhash_cross_oracle(num_hashes: int = 16, rows_per_band: int = 4) -> str:
+    """DuckDB twin of the cross-corpus MinHash+LSH match: incoming =
+    src0, reference = every other source; same affine constants/banding as
+    the self-join oracle, candidate join across the two band sets."""
+    mins = ",\n         ".join(
+        "min(({a} * (sh_h % 4294967296) + {b}) % {p}) AS m{i}".format(
+            a=dedup.minhash_affine_params(i)[0],
+            b=dedup.minhash_affine_params(i)[1],
+            p=dedup.MINHASH_PRIME,
+            i=i,
+        )
+        for i in range(num_hashes)
+    )
+    band_cases = "\n           ".join(
+        "WHEN {band} THEN md5(concat_ws(',', {cols}))".format(
+            band=band,
+            cols=", ".join(
+                f"m{band * rows_per_band + j}" for j in range(rows_per_band)
+            ),
+        )
+        for band in range(num_hashes // rows_per_band)
+    )
+    n_bands = num_hashes // rows_per_band
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> len(x) > 0) AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source, unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+shh AS (SELECT doc_id, source, {duckdb_h64('shingle')} AS sh_h FROM sh),
+mh AS (
+  SELECT doc_id, source,
+         {mins}
+  FROM shh GROUP BY doc_id, source
+),
+bands AS (
+  SELECT doc_id, source, b.b AS band,
+         CASE b.b
+           {band_cases}
+         END AS sig
+  FROM mh
+  CROSS JOIN (SELECT unnest(generate_series(0, {n_bands - 1})) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_ref
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.source = 'src0' AND b.source <> 'src0'
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_new, c.doc_ref, count(*) AS n_inter
+  FROM cand c
+  JOIN shh s1 ON s1.doc_id = c.doc_new
+  JOIN shh s2 ON s2.doc_id = c.doc_ref AND s1.sh_h = s2.sh_h
+  GROUP BY c.doc_new, c.doc_ref
+)
+SELECT i.doc_new, i.doc_ref,
+       i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_new
+JOIN sizes sb ON sb.doc_id = i.doc_ref
+WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= 0.5
+"""
+
+
+@register(
+    "dedup_minhash_cross_corpus",
+    oracle=_minhash_cross_oracle(),
+    doc="Incremental-ingestion near-dup: MinHash+LSH match of an incoming "
+    "batch (src0) against the standing reference corpus (every other "
+    "source) — bands(new) x bands(ref) candidate join, no self-join on "
+    "either side, exact cross-side Jaccard verification. The reference "
+    "band/shingle relations are the persisted index assets at scale.",
+)
+def dedup_minhash_cross_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs_between(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") != "src0"),
+        jaccard_threshold=0.5,
+    )
+
+
+@register(
+    "multimodal_image_channel_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 8 + 1 AS w, doc_id % 6 + 1 AS h FROM documents
+    ),
+    y AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM d),
+    x AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM y),
+    px AS (
+      SELECT doc_id, w, h, c.c AS channel,
+             (doc_id * 31 + 7 * y + 3 * x + c.c) % 256 AS v
+      FROM x CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c
+    )
+    SELECT doc_id, CAST(channel AS INTEGER) AS channel,
+           CAST(sum(v) AS DOUBLE) / (w * h) AS mean_value,
+           CAST(min(v) AS INTEGER) AS min_value,
+           CAST(max(v) AS INTEGER) AS max_value
+    FROM px GROUP BY doc_id, w, h, channel
+    """,
+    doc="Per-channel pixel statistics over REAL decoded BMP images (the "
+    "normalization-constant profile step): exact integer sums divided in "
+    "double — bit-identical cross-engine with NO rounding (Python round is "
+    "banker's, SQL round is half-up; exactness sidesteps the mismatch). "
+    "Oracle replays the closed-form pixel function per channel.",
+)
+def multimodal_image_channel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    media = multimodal.attach_synthetic_images(docs, fmt="image/bmp")
+    return multimodal.image_channel_stats(media)
+
+
 TFIDF_QUERIES = [
     (0, "hash join strategy"),
     (1, "window sort merge"),
