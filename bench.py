@@ -63,6 +63,7 @@ EXTENDED_R3 = [
     "multimodal_real_resize",
     "dedup_minhash_cross_corpus",
     "multimodal_image_channel_stats",
+    "snapshot_diff_user_state",
 ]
 
 #: round-2 additions, timed and reported separately so the headline total

@@ -131,3 +131,57 @@ def merge_apply(
             ],
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots of a keyed relation:
+    ``change_type`` in {added, deleted, changed, unchanged} per key — the
+    audit step between pipeline runs (what did this rebuild actually
+    touch?), and the complement of :func:`merge_apply` (which APPLIES a
+    changeset; this RECOVERS one from two states).
+
+    One full-outer equi-join on the key columns (single shuffle per side,
+    co-partitioned); value comparison is null-safe (``<=>``), so NULL ->
+    value and value -> NULL count as changed. Old and new values ride
+    along for changed rows.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"_k{i}") for i, k in enumerate(keys)],
+        *[F.col(c).alias(f"old_{c}") for c in value_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk{i}") for i, k in enumerate(keys)],
+        *[F.col(c).alias(f"new_{c}") for c in value_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    cond = None
+    for i in range(len(keys)):
+        c = F.col(f"_k{i}") == F.col(f"_nk{i}")
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    same = None
+    for c in value_cols:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("deleted"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    key_out = [
+        F.coalesce(F.col(f"_k{i}"), F.col(f"_nk{i}")).alias(k)
+        for i, k in enumerate(keys)
+    ]
+    return joined.select(
+        *key_out,
+        change.alias("change_type"),
+        *[F.col(f"old_{c}") for c in value_cols],
+        *[F.col(f"new_{c}") for c in value_cols],
+    )

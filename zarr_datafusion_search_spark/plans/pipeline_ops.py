@@ -2083,6 +2083,60 @@ def multimodal_image_channel_stats(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.image_channel_stats(media)
 
 
+@register(
+    "snapshot_diff_user_state",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, value FROM events
+      WHERE ts < TIMESTAMP '2024-01-15'
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    ),
+    n AS (
+      SELECT user_id, event_type, value FROM events
+      WHERE ts < TIMESTAMP '2024-02-01'
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT coalesce(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'deleted'
+                WHEN o.event_type IS NOT DISTINCT FROM n.event_type
+                 AND o.value IS NOT DISTINCT FROM n.value THEN 'unchanged'
+                ELSE 'changed' END AS change_type,
+           o.event_type AS old_event_type, o.value AS old_value,
+           n.event_type AS new_event_type, n.value AS new_value
+    FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+    """,
+    doc="Snapshot diff between two point-in-time user states (latest event "
+    "per user at each cutoff): one full-outer equi-join on the key, "
+    "null-safe value comparison -> added/deleted/changed/unchanged — the "
+    "between-runs audit that recovers a changeset from two states "
+    "(complement of the CDC merge_apply, which applies one).",
+)
+def snapshot_diff_user_state(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from zarr_datafusion_search_spark.operators.timeseries import snapshot_diff
+
+    events = table(spark, sf, "events")
+
+    def snap(cutoff: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            events.filter(F.col("ts") < cutoff)
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("user_id", "event_type", "value")
+        )
+
+    return snapshot_diff(
+        snap("2024-01-15"), snap("2024-02-01"), ["user_id"], ["event_type", "value"]
+    )
+
+
 TFIDF_QUERIES = [
     (0, "hash join strategy"),
     (1, "window sort merge"),
