@@ -69,10 +69,115 @@ class TestFrequentTerms:
             misra_gries_summaries,
         )
 
-        terms = _skewedterms = _skewed_terms(spark, n_tail=5000)
+        terms = _skewed_terms(spark, n_tail=5000)
         summ = misra_gries_summaries(terms, capacity=16).collect()
         n_candidates = sum(1 for r in summ if r["term"] is not None)
         n_parts = terms.rdd.getNumPartitions()
         assert n_candidates <= 16 * n_parts
         # sentinels carry the exact global N
         assert sum(r["n"] for r in summ if r["term"] is None) == terms.count()
+
+
+class TestSamplePerKey:
+    def test_partitioning_and_k(self, spark):
+        from zarr_datafusion_search_spark.operators.text import sample_per_key
+
+        rows = [(i, f"s{i % 3}") for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        a = sample_per_key(df.coalesce(1), key_col="source", k=5).collect()
+        b = sample_per_key(df.repartition(16), key_col="source", k=5).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        per_key = {}
+        for r in a:
+            per_key.setdefault(r["source"], []).append(r["sample_rank"])
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_key.values())
+
+    def test_seed_changes_sample(self, spark):
+        from zarr_datafusion_search_spark.operators.text import sample_per_key
+
+        rows = [(i, "s") for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        a = {r["doc_id"] for r in sample_per_key(df, "source", k=10, seed=1).collect()}
+        b = {r["doc_id"] for r in sample_per_key(df, "source", k=10, seed=2).collect()}
+        assert a != b
+
+
+class TestScd2Lookup:
+    def test_half_open_interval_edges(self, spark):
+        """A fact at exactly valid_from takes the NEW state; a fact before
+        the first interval gets NULL."""
+        from zarr_datafusion_search_spark.operators.timeseries import (
+            scd2_history,
+            scd2_lookup,
+        )
+
+        ev = spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:00:00", 10, "bronze"),
+                (1, "2024-01-05 00:00:00", 11, "gold"),
+            ],
+            "user_id long, ts string, event_id long, event_type string",
+        ).select(
+            "user_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "event_id",
+            "event_type",
+        )
+        facts = spark.createDataFrame(
+            [
+                (1, "2023-12-31 23:59:59", 100),  # before any state
+                (1, "2024-01-05 00:00:00", 101),  # exactly at change -> gold
+                (1, "2024-01-04 23:59:59", 102),  # just before -> bronze
+            ],
+            "user_id long, ts string, event_id long",
+        ).select(
+            "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "event_id"
+        )
+        out = {
+            r["event_id"]: r["state_right"]
+            for r in scd2_lookup(
+                facts, scd2_history(ev), key="user_id", ts_col="ts"
+            ).collect()
+        }
+        assert out == {100: None, 101: "gold", 102: "bronze"}
+
+
+class TestMergeAggregates:
+    def test_matches_full_recompute(self, spark):
+        from zarr_datafusion_search_spark.operators.timeseries import (
+            merge_aggregates,
+        )
+
+        all_rows = [(i % 7, float(i)) for i in range(100)] + [(99, 5.0)]
+        df = spark.createDataFrame(all_rows, "user_id long, value double")
+        base_rows = df.limit(60)
+        delta = df.subtract(base_rows.limit(0)).exceptAll(base_rows)
+        base = base_rows.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+        )
+        merged = merge_aggregates(base, delta, key="user_id")
+        full = df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total"),
+            F.round(F.sum("value") / F.count(F.lit(1)), 6).alias("avg_value"),
+        )
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
+
+class TestMadOutliers:
+    def test_zero_mad_guard(self, spark):
+        """A majority-constant key yields NULL mad and zero outliers
+        instead of a division blowup."""
+        from zarr_datafusion_search_spark.operators.outliers import (
+            mad_outlier_stats,
+        )
+
+        rows = [("const", 5.0)] * 20 + [("var", float(i)) for i in range(20)]
+        rows += [("var", 1000.0)]  # an obvious outlier
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        out = {r["event_type"]: r for r in mad_outlier_stats(df).collect()}
+        assert out["const"]["mad"] is None
+        assert out["const"]["n_outliers"] == 0
+        assert out["var"]["n_outliers"] == 1

@@ -243,6 +243,39 @@ def weighted_sample(
     return df.filter(u < keep_p)
 
 
+def sample_per_key(
+    df: DataFrame,
+    key_col: str = "source",
+    k: int = 20,
+    seed: int = 7,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic k-per-key sample ("reservoir sampling, replayable").
+
+    Rows rank within their key by a seeded member of the portable hash
+    family over the id (id as final tiebreaker); the first ``k`` survive,
+    with their rank in ``sample_rank``. Distributionally this IS a
+    uniform k-reservoir — every size-k subset of a key's rows is equally
+    likely over the hash family — but unlike RNG reservoirs the draw is a
+    pure function of (seed, id): re-running the pipeline, adding
+    partitions, or replaying a subset of the data reproduces the exact
+    same sample, and the DuckDB oracle can recompute it.
+
+    One shuffle on the key (the ranking window). Per-key top-k keeps
+    window state at k rows per task; a pathologically hot key salts the
+    same way as stratified_split's escape hatch.
+    """
+    from zarr_datafusion_search_spark.functions.hashing import h64_seeded
+
+    w = Window.partitionBy(key_col).orderBy(
+        h64_seeded(F.col(id_col).cast("string"), seed), id_col
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def chunk_windows(
     df: DataFrame,
     window: int = 32,
@@ -650,4 +683,97 @@ def bigram_lm_perplexity(
     return logp.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.exp(-F.avg("_lp")), 6).alias("perplexity"),
+    )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    top_n: int = 40,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-training statistics: the first BPE iteration's merge
+    candidates — adjacent character-pair counts over the corpus word
+    frequency table, highest first.
+
+    The classic BPE trainer is a driver-side loop over a word-count
+    table; the expensive part at corpus scale is building that table and
+    the pair statistics, which is exactly what distributes: one
+    vocab-sized shuffle for word counts (map-side combined), a narrow
+    per-word expansion into its (length-1) character 2-grams, one
+    pair-sized shuffle, then TakeOrderedAndProject for the top-N (no
+    global sort). Ties break on the pair string so the ranking is total.
+
+    Each output row: ``pair`` (the two characters), ``pair_count``
+    (occurrences weighted by word frequency), ``rank``. Subsequent BPE
+    iterations re-run the same statistics over re-segmented symbols —
+    the per-iteration cost is this operator, which is why it must not
+    shuffle raw text.
+    """
+    words = (
+        df.select(F.explode(tokens_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "wc",
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("wc").alias("pair_count"))
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-N +
+    # bounded merge); the rank window then runs over top_n rows only, never
+    # the full pair table
+    top = counted.orderBy(F.col("pair_count").desc(), "pair").limit(top_n)
+    return top.select(
+        "pair",
+        "pair_count",
+        F.row_number()
+        .over(Window.orderBy(F.col("pair_count").desc(), F.col("pair")))
+        .cast("int")
+        .alias("rank"),
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-shaped quality classifier scoring: hashed bag-of-words
+    features through a linear model + sigmoid.
+
+    The production pattern for corpus-scale quality filtering is a tiny
+    linear classifier over hashed token features (train offline on a few
+    thousand labels, score billions of documents). The *scoring* plumbing
+    is what must scale and is fully real here: portable 60-bit token
+    hash -> feature bucket, mean-pooled bucket weights, sigmoid — all
+    built-in expressions, zero shuffles (the fold runs per row inside
+    codegen, in token order for cross-engine determinism). The weight
+    table is a deterministic stand-in (``w(b) = ((b*2654435761) % 997 -
+    498) / 997`` — a fixed pseudo-trained vector the oracle reproduces);
+    swap in learned weights as a broadcast map or a literal array without
+    touching the plan shape.
+    """
+    from zarr_datafusion_search_spark.functions.hashing import h64
+
+    toks = tokens_col(text_col)
+    weights = F.transform(
+        toks,
+        lambda t: (
+            ((h64(t) % n_buckets) * 2654435761 % 997 - 498) / F.lit(997.0)
+        ),
+    )
+    margin = F.try_divide(
+        F.aggregate(weights, F.lit(0.0), lambda acc, x: acc + x),
+        F.size(toks).cast("double"),
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return df.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.round(margin, 6).alias("margin"),
+        F.round(score, 6).alias("quality_prob"),
     )

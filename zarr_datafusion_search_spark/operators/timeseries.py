@@ -92,6 +92,38 @@ def scd2_history(
     )
 
 
+def scd2_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    ts_col: str,
+    state_col: str = "state",
+) -> DataFrame:
+    """Point-in-time dimension enrichment: attach to each fact the SCD2
+    state whose validity interval covers the fact's timestamp.
+
+    ``history`` is :func:`scd2_history` output (``valid_from``/``valid_to``
+    intervals per key). Because per-key intervals are contiguous and
+    non-overlapping, interval containment reduces to an as-of match on the
+    interval's opening edge — so this reuses the union+window as-of join
+    (one shuffle on the key, linear scan) instead of a fact x history
+    interval join whose intermediate blows up with history depth. A fact
+    at exactly ``valid_from`` takes the NEW state ([valid_from, valid_to)
+    half-open semantics, the as-of join's right-sorts-first tie rule);
+    facts before the first interval get NULL.
+
+    At 100 TB this is THE dimension-join shape for replayed training
+    snapshots: the fact log never joins against more than one state row
+    per fact, and the window scan is a single pass per key timeline.
+    """
+    from zarr_datafusion_search_spark.operators.asof import asof_join
+
+    dim = history.select(
+        key, F.col("valid_from").alias(ts_col), F.col(state_col)
+    )
+    return asof_join(facts, dim, key=key, ts=ts_col, right_cols=[state_col])
+
+
 def merge_apply(
     base: DataFrame,
     changes: DataFrame,
@@ -184,4 +216,39 @@ def snapshot_diff(
         change.alias("change_type"),
         *[F.col(f"old_{c}") for c in value_cols],
         *[F.col(f"new_{c}") for c in value_cols],
+    )
+
+
+def merge_aggregates(
+    base_summary: DataFrame,
+    delta: DataFrame,
+    key: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: fold a batch of new
+    rows into an existing per-key summary WITHOUT rescanning the base data.
+
+    ``base_summary`` carries re-aggregatable state (``n``, ``total``) per
+    key; the delta batch is aggregated to the same shape (map-side
+    combined), unioned, and merged with one summary-sized shuffle — the
+    incremental-view-maintenance primitive behind continuous rollups.
+    Derived measures (``avg_value``) are computed from the merged state,
+    never averaged across partials. At 100 TB the point is the asymmetry:
+    the shuffle moves O(|keys|) summary rows + O(|delta keys|) partials,
+    not the base fact data; count/sum/min/max generalize the same way
+    (any commutative monoid), percentiles/NDV need sketches instead.
+    """
+    d = delta.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("total")
+    )
+    merged = base_summary.select(key, "n", "total").unionByName(d)
+    return (
+        merged.groupBy(key)
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        .select(
+            key,
+            F.col("n").cast("long").alias("n"),
+            F.round("total", 6).alias("total"),
+            F.round(F.col("total") / F.col("n"), 6).alias("avg_value"),
+        )
     )

@@ -75,3 +75,209 @@ def frequent_terms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         min_count=_FREQ_MIN_COUNT,
         capacity=_FREQ_CAPACITY,
     )
+
+
+@register(
+    "sample_per_source",
+    oracle="""
+    SELECT doc_id, source, n_chars, sample_rank FROM (
+      SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5('7:' || doc_id::VARCHAR), 2, 15))::BIGINT,
+                        doc_id
+             ) AS INT) AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= 20
+    """,
+    doc="Deterministic k-per-key sampling (replayable reservoir): rows "
+    "rank within their key by a seeded portable hash of the id, first k "
+    "survive. Distributionally a uniform k-reservoir, but a pure function "
+    "of (seed, id) — re-runs, repartitions, and the DuckDB oracle all "
+    "reproduce the exact sample. One key-shuffle window.",
+)
+def sample_per_source(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.text import sample_per_key
+
+    docs = table(spark, sf, "documents")
+    return sample_per_key(docs, key_col="source", k=20, seed=7).select(
+        "doc_id", "source", "n_chars", "sample_rank"
+    )
+
+
+@register(
+    "scd2_point_in_time_lookup",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type <> 'purchase'
+    ),
+    cp AS (
+      SELECT user_id, ts, event_type AS state FROM (
+        SELECT user_id, ts, event_type,
+               lag(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM src)
+      WHERE prev IS NULL OR event_type <> prev
+    ),
+    f AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.ts,
+           cp.ts AS ts_right, cp.state AS state_right
+    FROM f ASOF LEFT JOIN cp
+      ON f.user_id = cp.user_id AND f.ts >= cp.ts
+    """,
+    doc="SCD2 point-in-time dimension lookup: each purchase enriched with "
+    "the user's activity state valid at purchase time. Interval "
+    "containment over contiguous SCD2 intervals reduces to an as-of match "
+    "on valid_from, so the plan is the union+window as-of join (one "
+    "key-shuffle, linear scan) — no fact x history interval join. Oracle: "
+    "change-point build + DuckDB native ASOF JOIN.",
+)
+def scd2_point_in_time_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.timeseries import (
+        scd2_history,
+        scd2_lookup,
+    )
+
+    e = table(spark, sf, "events")
+    history = scd2_history(e.filter(F.col("event_type") != "purchase"))
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "event_id"
+    )
+    out = scd2_lookup(facts, history, key="user_id", ts_col="ts")
+    return out.select("event_id", "user_id", "ts", "ts_right", "state_right")
+
+
+@register(
+    "outliers_mad_value",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS dv, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, count(*) AS n, any_value(med) AS med,
+             nullif(quantile_cont(dv, 0.5), 0.0) AS mad
+      FROM dev GROUP BY 1
+    ),
+    sc AS (
+      SELECT d.event_type, d.dv / (1.4826 * m.mad) AS rz
+      FROM dev d JOIN mad m USING (event_type)
+    )
+    SELECT m.event_type, m.n, round(m.med, 6) AS med,
+           round(m.mad, 6) AS mad, s.n_outliers, s.max_robust_z
+    FROM mad m JOIN (
+      SELECT event_type,
+             count(*) FILTER (rz > 3.0) AS n_outliers,
+             round(max(rz), 6) AS max_robust_z
+      FROM sc GROUP BY 1
+    ) s USING (event_type)
+    """,
+    doc="Robust per-group anomaly detection: median/MAD outlier stats per "
+    "event type (mean/stddev z-scores break on the outliers themselves). "
+    "Three scan+broadcast passes, no data-sized shuffle; exact grouped "
+    "percentile for the oracle, approx_percentile at 100 TB.",
+)
+def outliers_mad_value(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.outliers import mad_outlier_stats
+
+    return mad_outlier_stats(
+        table(spark, sf, "events"), key_col="event_type", value_col="value"
+    )
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH {_TOKS},
+    words AS (
+      SELECT word, count(*) AS wc
+      FROM (SELECT unnest(t) AS word FROM toks) GROUP BY 1
+    ),
+    p AS (
+      SELECT substr(word, i, 2) AS pair, wc
+      FROM words, unnest(range(1, len(word))) AS r(i)
+      WHERE len(word) >= 2
+    ),
+    c AS (SELECT pair, sum(wc)::BIGINT AS pair_count FROM p GROUP BY 1)
+    SELECT pair, pair_count, rank FROM (
+      SELECT pair, pair_count,
+             CAST(row_number() OVER (
+               ORDER BY pair_count DESC, pair) AS INT) AS rank
+      FROM c)
+    WHERE rank <= 40
+    """,
+    doc="Tokenizer-training statistics: first-iteration BPE merge "
+    "candidates (adjacent character-pair counts over the word-frequency "
+    "table). Vocab-sized shuffles only — raw text never moves; top-N via "
+    "TakeOrderedAndProject with a total tie-break.",
+)
+def bpe_merge_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.text import bpe_merge_candidates
+
+    return bpe_merge_candidates(table(spark, sf, "documents"), top_n=40)
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(sum(value), 6) AS total,
+           round(sum(value) / count(*), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+    doc="Incremental materialized-aggregate maintenance: a pre-2024-02 "
+    "per-user summary is folded together with the February delta batch "
+    "WITHOUT rescanning base data — the shuffle moves summary rows, not "
+    "facts. Oracle: full recompute over all events (the merge must be "
+    "indistinguishable from it).",
+)
+def incremental_agg_merge(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.timeseries import merge_aggregates
+
+    e = table(spark, sf, "events")
+    cutoff = "2024-02-01"
+    base = (
+        e.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    delta = e.filter(F.col("ts") >= cutoff)
+    return merge_aggregates(base, delta, key="user_id", value_col="value")
+
+
+@register(
+    "hashed_classifier_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> len(x) > 0) AS t
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+             list_sum(list_transform(t, x ->
+               ((('0x' || substr(md5(x), 2, 15))::BIGINT % 1024)
+                * 2654435761 % 997 - 498) / 997.0
+             )) / nullif(len(t), 0) AS margin
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, round(margin, 6) AS margin,
+           round(1.0 / (1.0 + exp(-margin)), 6) AS quality_prob
+    FROM d
+    """,
+    doc="fastText-shaped quality classifier scoring: hashed bag-of-words "
+    "features -> mean-pooled linear weights -> sigmoid, all built-in "
+    "expressions with a per-row sequential fold (zero shuffles). Weight "
+    "table is a deterministic pseudo-trained stand-in the oracle "
+    "reproduces; learned weights swap in without changing the plan.",
+)
+def hashed_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.text import hashed_linear_score
+
+    return hashed_linear_score(table(spark, sf, "documents"), n_buckets=1024)
