@@ -181,3 +181,66 @@ class TestMadOutliers:
         assert out["const"]["mad"] is None
         assert out["const"]["n_outliers"] == 0
         assert out["var"]["n_outliers"] == 1
+
+
+class TestItemsetPairs:
+    def test_basket_cap_bounds_expansion(self, spark):
+        """A pathological doc with many frequent tokens contributes at most
+        cap*(cap-1)/2 pairs."""
+        from zarr_datafusion_search_spark.operators.text import (
+            frequent_itemset_pairs,
+        )
+
+        wide = " ".join(f"tok{i:03d}" for i in range(30))
+        # every token appears in every doc -> all singletons frequent
+        df = spark.createDataFrame(
+            [(i, wide) for i in range(10)], "doc_id long, text string"
+        )
+        out = frequent_itemset_pairs(df, min_support=5, max_items_per_doc=8)
+        rows = out.collect()
+        # only the first 8 tokens in sort order survive the cap
+        assert len(rows) == 8 * 7 // 2
+        assert all(r["support"] == 10 for r in rows)
+        items = {r["item_a"] for r in rows} | {r["item_b"] for r in rows}
+        assert items == {f"tok{i:03d}" for i in range(8)}
+
+    def test_apriori_pruning(self, spark):
+        from zarr_datafusion_search_spark.operators.text import (
+            frequent_itemset_pairs,
+        )
+
+        docs = [(i, "common rare" if i == 0 else "common other") for i in range(10)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = frequent_itemset_pairs(df, min_support=5)
+        rows = [tuple(r) for r in out.collect()]
+        # 'rare' (support 1) can never reach the pair stage
+        assert rows == [("common", "other", 9)]
+
+
+class TestCentroidDrift:
+    def test_known_centroids(self, spark):
+        from zarr_datafusion_search_spark.operators.similarity import (
+            centroid_drift_matrix,
+            group_centroids,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0]), (1, [3.0, 0.0]),   # centroid (2, 0)
+                (2, [0.0, 2.0]),                     # centroid (0, 2)
+                (3, [1.0, 1.0]), (3, [3.0, 3.0]),   # centroid (2, 2)
+            ],
+            "label long, embedding array<double>",
+        )
+        cents = {
+            r["label"]: (r["n_vectors"], r["centroid"])
+            for r in group_centroids(df).collect()
+        }
+        assert cents == {1: (2, [2.0, 0.0]), 2: (1, [0.0, 2.0]), 3: (2, [2.0, 2.0])}
+        drift = {
+            (r["group_a"], r["group_b"]): r["cosine"]
+            for r in centroid_drift_matrix(df).collect()
+        }
+        assert drift[(1, 2)] == 0.0
+        assert abs(drift[(1, 3)] - 0.707107) < 1e-6
+        assert abs(drift[(2, 3)] - 0.707107) < 1e-6

@@ -947,3 +947,74 @@ def hard_negatives(
     :func:`brute_force_topk_fold` with the label inequality applied before
     ranking (so the rank-k cut is over negatives only)."""
     return _fold_topk(corpus, queries, k, id_col, vec_col, label_col=label_col)
+
+
+def group_centroids(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroid (mean vector), computed as a
+    (group, dimension) partial aggregation.
+
+    ``posexplode`` turns vectors into (group, dim, value) rows whose sums
+    combine map-side, so the shuffle carries |groups| x dims partial
+    aggregates — never the vectors themselves. Centroids are reassembled
+    in dimension order via ``array_sort`` over (pos, value) structs
+    (collect_list order is partition-dependent; the sort makes the array
+    deterministic). Output: ``(group, n_vectors, centroid: array<double>)``.
+    """
+    exploded = emb.select(
+        F.col(group_col), F.posexplode(vec_col).alias("pos", "v")
+    )
+    dims = exploded.groupBy(group_col, "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("v")
+    )
+    cent = dims.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+            lambda s: s["v"],
+        ).alias("centroid")
+    )
+    n = emb.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_vectors"))
+    return n.join(cent, group_col)
+
+
+def centroid_drift_matrix(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine similarity between group centroids — the domain
+    drift / domain overlap audit (are two sources converging? did a
+    scrape batch shift distribution?).
+
+    The centroid relation is |groups| rows; the pairwise stage is a
+    self-join on ``group_a < group_b`` over that tiny relation (broadcast,
+    |groups|^2/2 pairs), so the corpus is touched exactly once by
+    :func:`group_centroids`. Cosines are rounded to 6dp — per-dimension
+    averages differ across engines in the final ULPs.
+    """
+    from zarr_datafusion_search_spark.functions.vectors import cosine_similarity
+
+    c = group_centroids(emb, group_col, vec_col)
+    a = c.select(
+        F.col(group_col).alias("group_a"),
+        F.col("n_vectors").alias("n_a"),
+        F.col("centroid").alias("_ca"),
+    )
+    b = c.select(
+        F.col(group_col).alias("group_b"),
+        F.col("n_vectors").alias("n_b"),
+        F.col("centroid").alias("_cb"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            F.round(cosine_similarity("_ca", "_cb"), 6).alias("cosine"),
+        )
+    )

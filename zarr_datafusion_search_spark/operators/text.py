@@ -777,3 +777,86 @@ def hashed_linear_score(
         F.round(margin, 6).alias("margin"),
         F.round(score, 6).alias("quality_prob"),
     )
+
+
+def quantile_calibrate(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quantile (rank) calibration of a score column.
+
+    Scores from different domains are not comparable (one source's 0.7 is
+    another's 0.95); rank-normalizing within each group maps every
+    group's distribution onto uniform [0, 1] so a single global threshold
+    means the same thing everywhere — the calibration step before
+    cross-domain quality filtering or mixture re-weighting.
+    ``calibrated = percent_rank`` within the group, ordered by (value,
+    id) so ties are deterministic.
+
+    One shuffle on the group key. Rank-based calibration needs a total
+    order per group (a window), not a percentile cutoff — but groups are
+    domains (large), so the window parallelizes across groups; a single
+    giant group degrades to the two-phase prefix-sum trick used by
+    shard_by_token_budget if it ever matters.
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    return df.withColumn(
+        "calibrated", F.round(F.percent_rank().over(w), 6)
+    )
+
+
+def frequent_itemset_pairs(
+    df: DataFrame,
+    min_support: int = 50,
+    max_items_per_doc: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequent token co-occurrence pairs (the A-priori first join step).
+
+    Counts unordered pairs of DISTINCT tokens co-occurring in a document,
+    keeping pairs with support >= ``min_support``. Two classic guards
+    make this survive scale:
+
+    - **A-priori pruning**: only tokens that are themselves frequent
+      (singleton support >= min_support) can appear in a frequent pair,
+      so the token set is filtered against the (broadcast) frequent-
+      singleton table BEFORE pair expansion;
+    - **basket cap**: a document contributes at most
+      ``max_items_per_doc`` distinct frequent tokens (kept
+      deterministically in token sort order) — one pathological page
+      can't emit a quadratic pair blowup.
+
+    Pair expansion is a self zip of the per-doc sorted item array
+    (i < j), all expression-level; one shuffle on the pair key.
+    """
+    items = df.select(
+        F.col(id_col),
+        F.array_distinct(tokens_col(text_col)).alias("_items"),
+    ).select(F.col(id_col), F.explode("_items").alias("item"))
+    singles = (
+        items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_support)
+        .select("item")
+    )
+    frequent_items = (
+        items.join(F.broadcast(singles), "item", "left_semi")
+        .groupBy(id_col)
+        .agg(F.slice(F.array_sort(F.collect_list("item")), 1, max_items_per_doc).alias("_fi"))
+    )
+    pairs = frequent_items.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_fi, (a, i) -> "
+                "transform(slice(_fi, i + 2, size(_fi)), b -> struct(a, b))))"
+            )
+        ).alias("_p")
+    ).select(F.col("_p.a").alias("item_a"), F.col("_p.b").alias("item_b"))
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )

@@ -281,3 +281,95 @@ def hashed_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
     from zarr_datafusion_search_spark.operators.text import hashed_linear_score
 
     return hashed_linear_score(table(spark, sf, "documents"), n_buckets=1024)
+
+
+@register(
+    "score_calibration_per_source",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           round(percent_rank() OVER (
+             PARTITION BY source ORDER BY n_chars, doc_id), 6) AS calibrated
+    FROM documents
+    """,
+    doc="Per-domain quantile calibration: percent_rank within each source "
+    "maps every domain's score distribution onto uniform [0,1], making a "
+    "single global threshold mean the same thing across domains — the "
+    "pre-step to cross-domain quality filtering. One group-key shuffle.",
+)
+def score_calibration_per_source(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.text import quantile_calibrate
+
+    docs = table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return quantile_calibrate(
+        docs, group_col="source", value_col="n_chars", id_col="doc_id"
+    )
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH x AS (
+      SELECT label, i, avg(embedding[i]::DOUBLE) AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)
+      GROUP BY 1, 2
+    ),
+    c AS (SELECT label, list(v ORDER BY i) AS centroid FROM x GROUP BY 1),
+    n AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY 1)
+    SELECT a.label AS group_a, b.label AS group_b,
+           na.n_vectors AS n_a, nb.n_vectors AS n_b,
+           round(list_dot_product(a.centroid, b.centroid) / nullif(
+             sqrt(list_dot_product(a.centroid, a.centroid))
+             * sqrt(list_dot_product(b.centroid, b.centroid)), 0), 6) AS cosine
+    FROM c a JOIN c b ON a.label < b.label
+    JOIN n na ON na.label = a.label
+    JOIN n nb ON nb.label = b.label
+    """,
+    doc="Domain drift audit: pairwise cosine between per-label embedding "
+    "centroids. Centroids via (group, dim) partial aggregation — the "
+    "shuffle carries |groups| x dims partial sums, never vectors; the "
+    "pairwise stage is a broadcast self-join over the |groups|-row "
+    "centroid relation.",
+)
+def embedding_centroid_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.similarity import (
+        centroid_drift_matrix,
+    )
+
+    return centroid_drift_matrix(table(spark, sf, "embeddings"))
+
+
+@register(
+    "frequent_itemset_pairs",
+    oracle=f"""
+    WITH {_TOKS},
+    items AS (
+      SELECT DISTINCT doc_id, item
+      FROM (SELECT doc_id, unnest(t) AS item FROM toks)
+    ),
+    singles AS (SELECT item FROM items GROUP BY 1 HAVING count(*) >= 50),
+    fi AS (
+      SELECT doc_id, list_sort(list(item))[1:64] AS its
+      FROM items JOIN singles USING (item) GROUP BY 1
+    ),
+    p AS (
+      SELECT its[i] AS item_a, its[j] AS item_b
+      FROM fi,
+           unnest(range(1, len(its) + 1)) r(i),
+           unnest(range(1, len(its) + 1)) s(j)
+      WHERE i < j
+    )
+    SELECT item_a, item_b, count(*) AS support
+    FROM p GROUP BY 1, 2 HAVING count(*) >= 50
+    """,
+    doc="Frequent co-occurrence pairs (A-priori first join step) with the "
+    "two scale guards: singleton-support pruning before pair expansion "
+    "(broadcast frequent-item table) and a deterministic per-document "
+    "basket cap so no page emits a quadratic blowup. Pair expansion is "
+    "an expression-level i<j self-zip; one pair-key shuffle.",
+)
+def frequent_itemset_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.text import frequent_itemset_pairs
+
+    return frequent_itemset_pairs(
+        table(spark, sf, "documents"), min_support=50, max_items_per_doc=64
+    )
