@@ -244,3 +244,107 @@ class TestCentroidDrift:
         assert drift[(1, 2)] == 0.0
         assert abs(drift[(1, 3)] - 0.707107) < 1e-6
         assert abs(drift[(2, 3)] - 0.707107) < 1e-6
+
+
+class TestZarrAppend:
+    def _roundtrip(self, spark, store):
+        from zarr_datafusion_search_spark.sources import zarrv3
+
+        g = zarrv3.open_group(store)
+        n = g.n_rows
+        return {
+            name: list(meta.read_range(0, n)) for name, meta in g.arrays.items()
+        }
+
+    def _df(self, spark, lo, hi):
+        return spark.createDataFrame(
+            [(i, f"s{i}", float(i) / 2) for i in range(lo, hi)],
+            "id long, name string, score double",
+        )
+
+    def test_append_unaligned_boundary(self, spark, tmp_path):
+        """Append across a partial final chunk: the boundary chunk is
+        merged and rewritten, earlier chunk files are untouched."""
+        from zarr_datafusion_search_spark.sources.zarr_sink import (
+            append_zarr_distributed,
+            write_zarr_distributed,
+        )
+
+        store = str(tmp_path / "a.zarr")
+        assert write_zarr_distributed(self._df(spark, 0, 25), store, chunk_rows=10) == 25
+        import os
+
+        chunk0 = os.path.join(store, "id", "c", "0")
+        mtime0 = os.path.getmtime(chunk0)
+        assert (
+            append_zarr_distributed(self._df(spark, 25, 42), store) == 42
+        )
+        data = self._roundtrip(spark, store)
+        assert data["id"] == list(range(42))
+        assert data["name"] == [f"s{i}" for i in range(42)]
+        assert data["score"] == [i / 2 for i in range(42)]
+        # chunks fully covered by old data were not rewritten
+        assert os.path.getmtime(chunk0) == mtime0
+        # chunk stats extended to the new chunk count (5 chunks of 10)
+        from zarr_datafusion_search_spark.sources import zarrv3
+
+        meta = zarrv3.open_array(store, "id")
+        assert meta.n_rows == 42
+        assert meta.chunk_stats is not None
+        assert len(meta.chunk_stats["min"]) == 5
+        assert meta.chunk_stats["min"][2] == 20  # merged boundary chunk
+        assert meta.chunk_stats["max"][2] == 29
+
+    def test_append_aligned_boundary(self, spark, tmp_path):
+        from zarr_datafusion_search_spark.sources.zarr_sink import (
+            append_zarr_distributed,
+            write_zarr_distributed,
+        )
+
+        store = str(tmp_path / "b.zarr")
+        write_zarr_distributed(self._df(spark, 0, 20), store, chunk_rows=10)
+        append_zarr_distributed(self._df(spark, 20, 30), store)
+        assert self._roundtrip(spark, store)["id"] == list(range(30))
+
+    def test_append_sharded_store(self, spark, tmp_path):
+        from zarr_datafusion_search_spark.sources.zarr_sink import (
+            append_zarr_distributed,
+            write_zarr_distributed,
+        )
+
+        store = str(tmp_path / "c.zarr")
+        write_zarr_distributed(
+            self._df(spark, 0, 13), store, chunk_rows=8, inner_rows=4
+        )
+        append_zarr_distributed(self._df(spark, 13, 29), store)
+        data = self._roundtrip(spark, store)
+        assert data["id"] == list(range(29))
+        assert data["name"][12:15] == ["s12", "s13", "s14"]
+
+    def test_append_schema_mismatch_rejected(self, spark, tmp_path):
+        from zarr_datafusion_search_spark.sources.zarr_sink import (
+            append_zarr_distributed,
+            write_zarr_distributed,
+        )
+
+        store = str(tmp_path / "d.zarr")
+        write_zarr_distributed(self._df(spark, 0, 5), store, chunk_rows=10)
+        bad_cols = spark.createDataFrame([(1, "x")], "id long, name string")
+        with pytest.raises(ValueError, match="schema mismatch"):
+            append_zarr_distributed(bad_cols, store)
+        bad_type = spark.createDataFrame(
+            [(1, "x", 2)], "id long, name string, score long"
+        )
+        with pytest.raises(ValueError, match="dtype mismatch"):
+            append_zarr_distributed(bad_type, store)
+
+    def test_empty_append_is_noop(self, spark, tmp_path):
+        from zarr_datafusion_search_spark.sources.zarr_sink import (
+            append_zarr_distributed,
+            write_zarr_distributed,
+        )
+
+        store = str(tmp_path / "e.zarr")
+        write_zarr_distributed(self._df(spark, 0, 7), store, chunk_rows=10)
+        assert append_zarr_distributed(self._df(spark, 0, 0), store) == 7
+        assert self._roundtrip(spark, store)["id"] == list(range(7))

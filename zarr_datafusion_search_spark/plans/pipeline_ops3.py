@@ -373,3 +373,42 @@ def frequent_itemset_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return frequent_itemset_pairs(
         table(spark, sf, "documents"), min_support=50, max_items_per_doc=64
     )
+
+
+@register(
+    "sink_zarr_append_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Row append to an existing zarr store: write the first half of "
+    "documents through the distributed sink, APPEND the second half "
+    "(only the boundary chunk is merged+rewritten; earlier chunk bytes "
+    "untouched; metadata-only commit extends shape and per-chunk stats), "
+    "read the store back through the chunk-partitioned source, aggregate. "
+    "Oracle: the same aggregate over all documents — a lost, duplicated, "
+    "or mangled row anywhere in the append path mismatches.",
+)
+def sink_zarr_append_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from zarr_datafusion_search_spark import ZarrTable
+    from zarr_datafusion_search_spark.sources.zarr_sink import (
+        append_zarr_distributed,
+        write_zarr_distributed,
+    )
+
+    docs = table(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    store = tempfile.mkdtemp(prefix="zdss_append_") + "/docs.zarr"
+    # the even-id half is deliberately not a multiple of chunk_rows=256,
+    # so the append exercises the boundary-chunk merge
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    write_zarr_distributed(first, store, chunk_rows=256)
+    append_zarr_distributed(second, store)
+    back = ZarrTable(store).to_df(spark)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

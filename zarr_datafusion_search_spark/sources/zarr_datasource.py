@@ -435,13 +435,14 @@ class ZarrWriter(DataSourceArrowWriter):
         for field in schema.fields:
             self._col_spec(field)  # validate types eagerly (driver-side)
         # Spark's Python data sources expose only Append/Overwrite save
-        # modes. Zarr's regular chunk grid has no cheap row-append (the last
-        # chunk would need rewriting), so "append" means create-new-store and
-        # errors when one exists; "overwrite" replaces it.
+        # modes. This writer treats "append" as create-new-store and errors
+        # when one exists; true row append (boundary-chunk merge) lives in
+        # zarr_sink.append_zarr_distributed, which the DSv2 writer protocol
+        # can't express (it would need the store's row count at planning).
         if os.path.exists(os.path.join(path, "zarr.json")) and not overwrite:
             raise ValueError(
                 f"zarr store already exists at {path}; use mode('overwrite') "
-                "(zarr's regular chunk grid does not support row append)"
+                "to replace it, or append_zarr_distributed() to add rows"
             )
 
     @staticmethod

@@ -39,6 +39,37 @@ from pyspark.sql import DataFrame
 _MONO_PART_SHIFT = 33
 
 
+def _series_to_vals(s, spec: dict, name: str, cid: int, null_fill: dict):
+    """Convert one chunk's pandas column to the dense values the codec
+    stack encodes (str list / numeric ndarray / us-tick int64), enforcing
+    the non-nullable zarr table model (floats pass NaN through — a legal
+    zarr float value)."""
+    import pandas as pd
+
+    is_float = (
+        not spec["is_string"]
+        and not spec.get("datetime_unit")
+        and spec["np_dtype"].kind == "f"
+    )
+    if not is_float and s.isna().any():
+        if name in null_fill:
+            s = s.fillna(null_fill[name])
+        else:
+            raise ValueError(
+                f"column {name!r} has {int(s.isna().sum())} nulls in "
+                f"chunk {cid}: the zarr table model is non-nullable — "
+                "drop/fill nulls first or pass null_fill={...}"
+            )
+    if spec["is_string"]:
+        return s.astype(str).tolist()
+    if spec.get("datetime_unit"):
+        s = pd.to_datetime(s)
+        if getattr(s.dt, "tz", None) is not None:
+            s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+        return s.to_numpy().astype("datetime64[us]").astype("<i8")
+    return s.to_numpy().astype(spec["np_dtype"])
+
+
 def write_zarr_distributed(
     df: DataFrame,
     path: str,
@@ -76,7 +107,7 @@ def write_zarr_distributed(
         if not overwrite:
             raise ValueError(
                 f"zarr store already exists at {path}; pass overwrite=True "
-                "(zarr's regular chunk grid does not support row append)"
+                "to replace it, or use append_zarr_distributed() to add rows"
             )
         import shutil
 
@@ -142,34 +173,7 @@ def write_zarr_distributed(
             stats = {}
             for name in names:
                 spec = specs[name]
-                s = pdf[name]
-                is_float = (
-                    not spec["is_string"]
-                    and not spec.get("datetime_unit")
-                    and spec["np_dtype"].kind == "f"
-                )
-                # float nulls arrive as NaN (Arrow->pandas) and NaN is a
-                # legal zarr float value, so floats pass through; every
-                # other type must be dense or explicitly filled.
-                if not is_float and s.isna().any():
-                    if name in null_fill:
-                        s = s.fillna(null_fill[name])
-                    else:
-                        raise ValueError(
-                            f"column {name!r} has {int(s.isna().sum())} nulls "
-                            f"in chunk {cid}: the zarr table model is "
-                            "non-nullable — drop/fill nulls first or pass "
-                            "null_fill={...}"
-                        )
-                if spec["is_string"]:
-                    vals = s.astype(str).tolist()
-                elif spec.get("datetime_unit"):
-                    s = pd.to_datetime(s)
-                    if getattr(s.dt, "tz", None) is not None:
-                        s = s.dt.tz_convert("UTC").dt.tz_localize(None)
-                    vals = s.to_numpy().astype("datetime64[us]").astype("<i8")
-                else:
-                    vals = s.to_numpy().astype(spec["np_dtype"])
+                vals = _series_to_vals(pdf[name], spec, name, cid, null_fill)
                 lo, hi = zarrv3.chunk_stats(vals, spec["is_string"])
                 stats[name] = [lo, hi]
                 if inner_rows is not None:
@@ -264,3 +268,294 @@ def compact_zarr_stores(
         inner_rows=inner_rows,
         zstd_level=zstd_level,
     )
+
+
+def append_zarr_distributed(
+    df: DataFrame,
+    path: str,
+    group_path: str = "/",
+    zstd_level: int | None = None,
+    null_fill: dict | None = None,
+) -> int:
+    """Append rows to an existing Zarr store, task-side; returns the new
+    total row count.
+
+    Zarr's regular chunk grid has no native row append (the format writer
+    refuses and says so) — but append IS implementable with bounded extra
+    I/O, and a landing zone wants it: only the boundary chunk (the
+    existing store's final, possibly partial, chunk) must be rewritten;
+    every other existing chunk's bytes are untouched. The plan is the
+    distributed writer's (global row ids offset by the existing row
+    count, one shuffle on chunk id, executors write whole chunks,
+    metadata-only commit) with one twist: the task that owns the boundary
+    chunk reads the store's trailing partial rows through the chunk
+    reader, prepends them to its new rows, and writes the merged chunk.
+    The commit extends shape and per-chunk stats; a failed job leaves the
+    old ``zarr.json`` (and therefore the old logical table) fully intact,
+    because data files for chunks >= the boundary are not referenced
+    until the metadata flips.
+
+    Schema must match the store (same column names; Spark types mapping
+    to each array's exact zarr dtype). ``zstd_level``/shard layout are
+    inherited from the store (``zstd_level`` overrides if given).
+    """
+    import numpy as np
+
+    from zarr_datafusion_search_spark.sources import zarrv3
+    from zarr_datafusion_search_spark.sources.zarr_datasource import ZarrWriter
+
+    group = zarrv3.open_group(path, group_path)
+    if not group.arrays:
+        raise ValueError(f"no arrays in zarr group {path}{group_path}")
+    names = sorted(group.arrays)
+    if sorted(df.columns) != names:
+        raise ValueError(
+            f"append schema mismatch: store has {names}, DataFrame has "
+            f"{sorted(df.columns)}"
+        )
+    schema = df.schema
+    specs = {f.name: ZarrWriter._col_spec(f) for f in schema.fields}
+    null_fill = dict(null_fill or {})
+
+    # dtype compatibility: the spec must regenerate the array's data_type
+    for name in names:
+        meta = group.arrays[name]
+        spec = specs[name]
+        if spec["is_string"]:
+            expected = "string"
+        elif spec.get("datetime_unit"):
+            expected = zarrv3.dtype_to_json(
+                zarrv3.ZarrDType("datetime64", unit=spec["datetime_unit"])
+            )
+        else:
+            expected = zarrv3.dtype_to_json(
+                zarrv3._numpy_to_zarr_dtype(np.empty(0, spec["np_dtype"]))
+            )
+        actual = zarrv3.dtype_to_json(meta.dtype)
+        if expected != actual:
+            raise ValueError(
+                f"append dtype mismatch on {name!r}: store is {actual}, "
+                f"DataFrame maps to {expected}"
+            )
+
+    meta0 = group.arrays[names[0]]
+    chunk_rows = meta0.chunk_rows
+    old_total = meta0.n_rows
+    for name in names:
+        m = group.arrays[name]
+        if m.n_rows != old_total or m.chunk_rows != chunk_rows:
+            raise ValueError(
+                f"array {name!r} disagrees on shape/chunking "
+                f"({m.n_rows}x{m.chunk_rows} vs {old_total}x{chunk_rows})"
+            )
+    sharding = meta0.sharding
+    inner_rows = sharding["chunk_shape"][0] if sharding else None
+    index_crc32c = bool(sharding) and any(
+        c.get("name") == "crc32c" for c in (sharding.get("index_codecs") or [])
+    )
+    if zstd_level is None:
+        chain = (sharding or {}).get("codecs") or meta0.codecs
+        zstd_level = next(
+            (
+                (c.get("configuration") or {}).get("level", 0)
+                for c in chain
+                if c.get("name") == "zstd"
+            ),
+            0,
+        )
+
+    group_rel = group_path.strip("/")
+    group_dir = (
+        os.path.join(zarrv3.normalize_store_path(path), group_rel)
+        if group_rel
+        else zarrv3.normalize_store_path(path)
+    )
+    boundary = old_total // chunk_rows
+    partial = old_total % chunk_rows
+
+    # ---- phase 1: global row ids, offset by the existing row count ----
+    df = df.persist()
+    try:
+        mono = df.withColumn("_mono", F.monotonically_increasing_id())
+        with_pid = mono.withColumn(
+            "_pid", F.shiftright("_mono", _MONO_PART_SHIFT).cast("int")
+        ).withColumn(
+            "_local", F.col("_mono").bitwiseAND(F.lit((1 << _MONO_PART_SHIFT) - 1))
+        )
+        counts = {
+            r._pid: r.n
+            for r in with_pid.groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_new = sum(counts.values())
+        if n_new == 0:
+            return old_total
+        new_total = old_total + n_new
+        offsets, acc = {}, old_total
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        offset_expr = "CASE _pid " + " ".join(
+            f"WHEN {pid} THEN {off}L" for pid, off in offsets.items()
+        ) + " END"
+        rows = (
+            with_pid.withColumn("_row_id", F.expr(offset_expr) + F.col("_local"))
+            .withColumn(
+                "_chunk_id", (F.col("_row_id") / F.lit(chunk_rows)).cast("long")
+            )
+            .drop("_mono", "_pid", "_local")
+        )
+
+        n_chunks_new = -(-new_total // chunk_rows)
+        is_multi = n_chunks_new > 1
+        last_chunk = n_chunks_new - 1
+        store_path = path
+        _specs = specs
+        _names = names
+        _nf = null_fill
+        _gp = group_path
+
+        def write_chunk(pdf):
+            import pandas as pd
+
+            cid = int(pdf["_chunk_id"].iloc[0])
+            pdf = pdf.sort_values("_row_id")
+            row_ids = pdf["_row_id"].to_numpy()
+            start_new = max(cid * chunk_rows, old_total)
+            stop = min((cid + 1) * chunk_rows, new_total)
+            expect_new = stop - start_new
+            if len(pdf) != expect_new or row_ids[0] != start_new or (
+                len(row_ids) > 1 and (np.diff(row_ids) != 1).any()
+            ):
+                raise ValueError(
+                    f"append chunk {cid}: non-contiguous row ids "
+                    f"[{row_ids[0]}..{row_ids[-1]}], n={len(pdf)}, "
+                    f"expected {expect_new} from {start_new}"
+                )
+            n_vals = stop - cid * chunk_rows
+            pad = (
+                chunk_rows - n_vals
+                if (is_multi and n_vals < chunk_rows)
+                else 0
+            )
+            prev = None
+            if cid == boundary and partial:
+                # merge the store's trailing partial rows (bounded: < one
+                # chunk), read through the ordinary chunk reader
+                g = zarrv3.open_group(store_path, _gp)
+                prev = {
+                    n: g.arrays[n].read_range(cid * chunk_rows, old_total)
+                    for n in _names
+                }
+            stats = {}
+            for name in _names:
+                spec = _specs[name]
+                vals = _series_to_vals(pdf[name], spec, name, cid, _nf)
+                if prev is not None:
+                    old_vals = prev[name]
+                    if spec["is_string"]:
+                        vals = list(old_vals) + vals
+                    elif spec.get("datetime_unit"):
+                        vals = np.concatenate(
+                            [
+                                np.asarray(old_vals)
+                                .astype("datetime64[us]")
+                                .astype("<i8"),
+                                vals,
+                            ]
+                        )
+                    else:
+                        vals = np.concatenate(
+                            [np.asarray(old_vals).astype(spec["np_dtype"]), vals]
+                        )
+                if len(vals) != n_vals:
+                    raise ValueError(
+                        f"append chunk {cid} column {name!r}: merged "
+                        f"{len(vals)} values, expected {n_vals}"
+                    )
+                lo, hi = zarrv3.chunk_stats(vals, spec["is_string"])
+                stats[name] = [lo, hi]
+                if inner_rows is not None:
+                    payload = zarrv3.encode_shard_payload(
+                        vals,
+                        spec["is_string"],
+                        inner_rows,
+                        chunk_rows,
+                        zstd_level,
+                        index_crc32c=index_crc32c,
+                    )
+                else:
+                    payload = zarrv3.encode_chunk_payload(
+                        vals, spec["is_string"], pad, zstd_level
+                    )
+                with open(
+                    os.path.join(group_dir, name, "c", str(cid)), "wb"
+                ) as fh:
+                    fh.write(payload)
+            return pd.DataFrame(
+                {
+                    "chunk_id": [cid],
+                    "n": [n_vals],
+                    "stats": [json.dumps(stats)],
+                }
+            )
+
+        done = (
+            rows.groupBy("_chunk_id")
+            .applyInPandas(write_chunk, "chunk_id long, n long, stats string")
+            .collect()
+        )
+    finally:
+        df.unpersist()
+
+    # ---- metadata-only commit: extend shape + chunk stats -------------
+    got = {r.chunk_id: r for r in done}
+    expected_cids = list(range(boundary if partial else old_total // chunk_rows,
+                               n_chunks_new))
+    # chunks fully covered by old data are never touched
+    expected_cids = [c for c in expected_cids if (c + 1) * chunk_rows > old_total]
+    missing = [c for c in expected_cids if c not in got]
+    if missing or set(got) != set(expected_cids):
+        raise ValueError(
+            f"append chunk coverage mismatch: expected {expected_cids}, "
+            f"got {sorted(got)}"
+        )
+    written = sum(r.n for r in got.values())
+    expected_written = new_total - (boundary if partial else old_total // chunk_rows) * chunk_rows
+    if written != expected_written:
+        raise ValueError(
+            f"append row count mismatch: wrote {written}, expected "
+            f"{expected_written}"
+        )
+    for name in _names:
+        meta = group.arrays[name]
+        old_stats = meta.chunk_stats
+        keep = boundary  # chunks [0, boundary) keep their stats verbatim
+        if old_stats and len(old_stats.get("min", [])) >= keep:
+            stat_min = list(old_stats["min"][:keep])
+            stat_max = list(old_stats["max"][:keep])
+        elif keep == 0:
+            stat_min, stat_max = [], []
+        else:
+            stat_min = stat_max = None  # old store had no stats: drop them
+        if stat_min is not None:
+            for c in range(keep, n_chunks_new):
+                s = json.loads(got[c].stats)[name]
+                stat_min.append(s[0])
+                stat_max.append(s[1])
+        spec = specs[name]
+        zarrv3.write_array_metadata(
+            os.path.join(group_dir, name),
+            n_rows=new_total,
+            chunk_rows=chunk_rows,
+            is_string=spec["is_string"],
+            np_dtype=spec.get("np_dtype"),
+            datetime_unit=spec.get("datetime_unit"),
+            zstd_level=zstd_level,
+            stat_min=stat_min,
+            stat_max=stat_max,
+            inner_rows=inner_rows,
+            index_crc32c=index_crc32c,
+        )
+    return new_total
