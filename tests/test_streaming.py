@@ -319,3 +319,20 @@ def test_stateful_running_totals_tws(spark, event_dir):
     for uid, (n, v) in want.items():
         assert final[uid][0] == n
         assert abs(final[uid][1] - v) < 1e-6
+
+
+def test_append_stream_to_zarr_single_store(spark, event_dir, tmp_path):
+    """Each micro-batch appends into ONE growing store (first creates it);
+    the merged store holds every event exactly once."""
+    from zarr_datafusion_search_spark import ZarrTable
+
+    store = str(tmp_path / "growing.zarr")
+    stream = streaming_events.read_event_stream(spark, event_dir)
+    n = streaming_events.append_stream_to_zarr(stream, store, chunk_rows=256)
+    src = spark.read.format("json").schema(streaming_events.EVENTS_SCHEMA).load(event_dir)
+    assert n == src.count()
+    back = ZarrTable(store).to_df(spark)
+    assert back.count() == n
+    want = {(r.event_id, r.user_id): r.value for r in src.collect()}
+    got = {(r.event_id, r.user_id): r.value for r in back.collect()}
+    assert got == want

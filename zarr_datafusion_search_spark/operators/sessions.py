@@ -48,3 +48,48 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").alias("total_value"),
     )
+
+
+def dedup_with_cooldown(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    cooldown_minutes: int = 30,
+) -> DataFrame:
+    """Event-stream dedup with a cooldown window: keep an event only if
+    the last KEPT event with the same key is more than ``cooldown``
+    older — the batch form of notification throttling / retry collapsing
+    (the batch twin of ``dropDuplicatesWithinWatermark``'s state expiry).
+
+    "Since last KEPT" is a genuinely sequential decision — it is NOT
+    gap-sessionization (events at t=0,20,40 with cooldown 30: gaps are
+    both 20 so one session, but 40 is >30 past the kept 0 and must
+    survive) and no window expression computes it, because each verdict
+    depends on the previous verdict. Survivors are computed as an
+    ordered per-key fold in ``applyInPandas`` (the same shape as exact
+    greedy packing): one shuffle on the key, one linear pass per key,
+    vectorized timestamp math inside the fold. Per-key state is one
+    timestamp, so skew only costs time, not memory.
+    """
+    import pandas as pd
+
+    key_cols = key_cols or ["user_id", "event_type"]
+    # integer microseconds: exact on both engines (DuckDB epoch_us), no
+    # float boundary drift
+    gap_us = cooldown_minutes * 60 * 1_000_000
+    out_schema = events.schema
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col])
+        ts = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+        keep = []
+        last_kept = None
+        for t in ts:
+            ok = last_kept is None or (t - last_kept) > gap_us
+            keep.append(ok)
+            if ok:
+                last_kept = t
+        return pdf[pd.Series(keep, index=pdf.index)]
+
+    return events.groupBy(*key_cols).applyInPandas(fold, out_schema)

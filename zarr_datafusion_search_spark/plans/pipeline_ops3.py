@@ -412,3 +412,47 @@ def sink_zarr_append_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "dedup_event_cooldown",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT user_id, event_type, event_id, ts, epoch_us(ts) AS tus,
+             row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ),
+    walk AS (
+      SELECT user_id, event_type, event_id, ts, tus, rn,
+             TRUE AS kept, tus AS last_kept
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.event_type, b.event_id, b.ts, b.tus, b.rn,
+             b.tus - w.last_kept > 1800000000 AS kept,
+             CASE WHEN b.tus - w.last_kept > 1800000000
+                  THEN b.tus ELSE w.last_kept END
+      FROM e b JOIN walk w
+        ON b.user_id = w.user_id AND b.event_type = w.event_type
+       AND b.rn = w.rn + 1
+    )
+    SELECT event_id, user_id, event_type, ts FROM walk WHERE kept
+    """,
+    doc="Cooldown dedup (throttling/retry collapsing): keep an event only "
+    "if the last KEPT event with the same (user, type) is more than 30 "
+    "minutes older. Sequential per-key decision (not sessionization, not "
+    "a window expression — each verdict depends on the previous verdict); "
+    "ordered per-key applyInPandas fold in exact integer microseconds, "
+    "one key shuffle. Oracle: recursive-CTE replay of the identical fold.",
+)
+def dedup_event_cooldown(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.sessions import (
+        dedup_with_cooldown,
+    )
+
+    e = table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    out = dedup_with_cooldown(e, cooldown_minutes=30)
+    return out.select("event_id", "user_id", "event_type", "ts")

@@ -342,3 +342,51 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def append_stream_to_zarr(
+    stream: DataFrame, store_path: str, chunk_rows: int = 65536
+) -> int:
+    """Streaming Zarr ingest into ONE growing store via row append.
+
+    The original landing-zone layout (:func:`write_stream_to_zarr`) wrote
+    one immutable store per micro-batch and relied on compaction to keep
+    object counts sane. With distributed row append
+    (``zarr_sink.append_zarr_distributed``) the stream can instead grow a
+    single store: the first non-empty batch creates it, every later batch
+    appends — only each batch's boundary chunk is rewritten, and the
+    metadata-only commit keeps the store readable at the previous row
+    count if a batch dies mid-write. foreachBatch runs batches
+    sequentially, which is exactly the serialization append needs.
+
+    Trade-off vs per-batch stores: no compaction debt and a single store
+    path for readers, but ingest is serialized per micro-batch (fine — so
+    is foreachBatch) and the store must not be written by anyone else.
+    Returns the final row count.
+    """
+    import os
+
+    from zarr_datafusion_search_spark.sources.zarr_sink import (
+        append_zarr_distributed,
+        write_zarr_distributed,
+    )
+
+    total = [0]
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not os.path.exists(os.path.join(store_path, "zarr.json")):
+            total[0] = write_zarr_distributed(
+                batch_df, store_path, chunk_rows=chunk_rows
+            )
+        else:
+            total[0] = append_zarr_distributed(batch_df, store_path)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return total[0]
