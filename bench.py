@@ -64,6 +64,14 @@ EXTENDED_R3 = [
     "dedup_minhash_cross_corpus",
     "multimodal_image_channel_stats",
     "snapshot_diff_user_state",
+    # round-3 second batch (sink roundtrips stay out of bench sections —
+    # their oracles aggregate parquet, not a comparable workload)
+    "frequent_terms_heavy_hitters",
+    "bpe_merge_candidates",
+    "frequent_itemset_pairs",
+    "dedup_event_cooldown",
+    "embedding_centroid_drift",
+    "outliers_mad_value",
 ]
 
 #: round-2 additions, timed and reported separately so the headline total
