@@ -348,3 +348,33 @@ class TestZarrAppend:
         write_zarr_distributed(self._df(spark, 0, 7), store, chunk_rows=10)
         assert append_zarr_distributed(self._df(spark, 0, 0), store) == 7
         assert self._roundtrip(spark, store)["id"] == list(range(7))
+
+
+class TestTopkTwoPhase:
+    def test_equals_one_phase_window(self, spark):
+        from pyspark.sql import Window
+
+        from zarr_datafusion_search_spark.operators.topk import topk_per_key
+
+        rows = [(i, f"k{i % 5}", (i * 37) % 100) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, key string, score long")
+        two = topk_per_key(
+            df.repartition(16), "key", "score", k=7, id_col="doc_id"
+        )
+        w = Window.partitionBy("key").orderBy(F.col("score").desc(), "doc_id")
+        one = (
+            df.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 7)
+        )
+        assert sorted(map(tuple, two.collect())) == sorted(
+            map(tuple, one.collect())
+        )
+
+    def test_partitioning_independent(self, spark):
+        from zarr_datafusion_search_spark.operators.topk import topk_per_key
+
+        rows = [(i, f"k{i % 3}", i % 11) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, key string, score long")
+        a = topk_per_key(df.coalesce(1), "key", "score", k=4)
+        b = topk_per_key(df.repartition(13), "key", "score", k=4)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -1,7 +1,9 @@
 """Round-3 pipeline-operator queries (second batch): heavy hitters,
 deterministic per-key sampling, SCD2 point-in-time lookup, robust outlier
-detection, BPE merge statistics, incremental aggregate maintenance, and
-hashed-feature quality classification.
+detection, BPE merge statistics, incremental aggregate maintenance,
+hashed-feature quality classification, per-domain quantile calibration,
+embedding centroid drift, A-priori itemset pairs, cooldown dedup, and the
+zarr row-append roundtrip.
 
 Same contract as ``pipeline_ops``: every entry is a Spark DataFrame plan
 plus a DuckDB oracle computing the identical result (column names aliased
@@ -456,3 +458,113 @@ def dedup_event_cooldown(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = dedup_with_cooldown(e, cooldown_minutes=30)
     return out.select("event_id", "user_id", "event_type", "ts")
+
+
+@register(
+    "topk_per_source_twophase",
+    oracle="""
+    SELECT doc_id, source, n_chars, rank FROM (
+      SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS INT) AS rank
+      FROM documents)
+    WHERE rank <= 5
+    """,
+    doc="Per-key top-k with map-side pruning: each task prunes its "
+    "partition to <= k rows per key before the shuffle, so the window "
+    "sees a k x keys x partitions superset instead of the corpus — the "
+    "per-key generalization of TakeOrderedAndProject. Result is "
+    "partitioning-independent and equals the one-phase window, which is "
+    "the oracle.",
+)
+def topk_per_source_twophase(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.topk import topk_per_key
+
+    docs = table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return topk_per_key(
+        docs, key_col="source", order_col="n_chars", k=5, id_col="doc_id"
+    )
+
+
+def _cluster_histogram_oracle() -> str:
+    from zarr_datafusion_search_spark.plans.pipeline_ops import (
+        _MH_CTES,
+        _MH_SELECT,
+    )
+
+    return f"""
+    WITH RECURSIVE {_MH_CTES},
+    pairs AS ({_MH_SELECT}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS component
+      FROM reach GROUP BY a
+    ),
+    csizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1),
+    chist AS (SELECT cluster_size, count(*) AS n_clusters FROM csizes GROUP BY 1),
+    singles AS (
+      SELECT count(*) AS n1 FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM comp c WHERE c.doc_id = d.doc_id)
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size, n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+    FROM chist
+    UNION ALL
+    SELECT 1, n1, n1 FROM singles WHERE n1 > 0
+    """
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=_cluster_histogram_oracle(),
+    doc="Dedup audit report: the distribution of near-dup cluster sizes "
+    "(including size-1 singletons via an anti-join against the clustered "
+    "node set) — the yield/retention summary a curation run publishes "
+    "before anyone deletes data. Composition: minhash-LSH pairs -> "
+    "min-label components -> two tiny aggregations; the corpus appears "
+    "once, in the pair generation.",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators import components, dedup
+
+    docs = table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, rows_per_band=4, jaccard_threshold=0.5
+    )
+    comp = components.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    clustered = hist.select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+    )
+    singles = (
+        docs.join(
+            F.broadcast(comp.select(F.col("node").alias("doc_id"))),
+            "doc_id",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n1"))
+        .filter(F.col("n1") > 0)
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("n1").alias("n_clusters"),
+            F.col("n1").alias("n_docs"),
+        )
+    )
+    return clustered.unionByName(singles)
