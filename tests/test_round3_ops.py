@@ -378,3 +378,63 @@ class TestTopkTwoPhase:
         a = topk_per_key(df.coalesce(1), "key", "score", k=4)
         b = topk_per_key(df.repartition(13), "key", "score", k=4)
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestLabelPropagation:
+    def test_spread_and_clamped_seeds(self, spark):
+        from zarr_datafusion_search_spark.operators.graph import label_propagation
+
+        # chain 1-2-3-4; seed 1='a', seed 4='b'; heavier edge wins at 2/3
+        edges = spark.createDataFrame(
+            [(1, 2, 0.9), (2, 3, 0.5), (3, 4, 0.8)],
+            "doc_a long, doc_b long, jaccard double",
+        )
+        seeds = spark.createDataFrame(
+            [(1, "a"), (4, "b")], "node long, label string"
+        )
+        out = {
+            r["node"]: r["label"]
+            for r in label_propagation(edges, seeds, n_rounds=3).collect()
+        }
+        assert out[1] == "a" and out[4] == "b"  # seeds clamped
+        assert out[2] == "a"   # 0.9 from 'a' side beats 0.5 path
+        assert out[3] == "b"   # 0.8 from the seed 4 side
+
+    def test_tie_breaks_by_label(self, spark):
+        from zarr_datafusion_search_spark.operators.graph import label_propagation
+
+        edges = spark.createDataFrame(
+            [(1, 3, 0.5), (2, 3, 0.5)], "doc_a long, doc_b long, jaccard double"
+        )
+        seeds = spark.createDataFrame(
+            [(1, "zeta"), (2, "alpha")], "node long, label string"
+        )
+        out = {
+            r["node"]: r["label"]
+            for r in label_propagation(edges, seeds, n_rounds=1).collect()
+        }
+        assert out[3] == "alpha"
+
+
+class TestTimeDecayedSum:
+    def test_decay_math(self, spark):
+        from zarr_datafusion_search_spark.operators.timeseries import (
+            time_decayed_sum,
+        )
+
+        rows = [
+            (1, 1, "2024-01-01 00:00:00", 1.0),
+            (2, 1, "2024-01-08 00:00:00", 1.0),  # one half-life later
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, value double"
+        ).select(
+            "event_id", "user_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"), "value",
+        )
+        out = {
+            r["event_id"]: r["decayed_sum"]
+            for r in time_decayed_sum(df, half_life_days=7.0).collect()
+        }
+        assert out[1] == 1.0
+        assert abs(out[2] - 1.5) < 1e-6  # 1 + 1 * 2^-1

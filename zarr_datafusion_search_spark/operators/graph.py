@@ -26,7 +26,7 @@ shape the classic MapReduce/Pregel formulations use.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 #: per-round grid for rank values: coarse enough to absorb summation-order
 #: drift between engines (~1e-16 relative), fine enough that 5 iterations
@@ -185,3 +185,70 @@ r{i} AS (
 )"""
     sql += f"\nSELECT node, round(rank, 6) AS rank FROM r{n_iter}"
     return sql
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 3,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    weight_col: str = "jaccard",
+) -> DataFrame:
+    """Semi-supervised label propagation over a weighted undirected graph.
+
+    ``seeds`` is a ``(node, label)`` relation of trusted assignments;
+    each synchronous round every node with at least one labeled neighbor
+    takes the label with the highest incident weight sum (ties by label
+    text, so the argmax is total), seeds stay clamped, and labeled nodes
+    without labeled neighbors keep their label. After ``n_rounds`` the
+    labeled set is returned — the cheap way to extend a small trusted
+    labeling (human-reviewed sources, licensed subsets) across a
+    near-duplicate graph.
+
+    Per round: one equi-join of the edge list against the current label
+    relation (shuffle bounded by labeled-incident edges), one (node,
+    label) aggregation, one per-node argmax window. The label relation is
+    ``localCheckpoint``-ed per round — same lineage discipline as
+    :func:`pagerank` — so the plan stays flat at any round count. Weight
+    sums are rounded to 6dp before the argmax so the winner is identical
+    cross-engine regardless of float summation order.
+    """
+    und = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).alias("w"),
+    ).unionByName(
+        edges.select(
+            F.col(dst_col).alias("src"),
+            F.col(src_col).alias("dst"),
+            F.col(weight_col).alias("w"),
+        )
+    )
+    seeds = seeds.select("node", "label")
+    labels = seeds
+    for _ in range(n_rounds):
+        contrib = (
+            und.join(labels, und["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.round(F.sum("w"), 6).alias("wsum"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("wsum").desc(), F.col("label")
+        )
+        best = (
+            contrib.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        keep_prev = labels.join(
+            contrib.select("node").distinct(), "node", "left_anti"
+        ).join(seeds.select("node"), "node", "left_anti")
+        labels = (
+            seeds.unionByName(
+                best.join(seeds.select("node"), "node", "left_anti")
+            )
+            .unionByName(keep_prev)
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -252,3 +252,60 @@ def merge_aggregates(
             F.round(F.col("total") / F.col("n"), 6).alias("avg_value"),
         )
     )
+
+
+def time_decayed_sum(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    half_life_days: float = 7.0,
+) -> DataFrame:
+    """Exponentially time-decayed running sum per key: at each event,
+    ``sum_i v_i * 2^(-(t_n - t_i) / half_life)`` over all of the key's
+    events so far — the recency-weighted engagement/feature score that
+    replaces "count in the last N days" with a smooth decay.
+
+    The naive formulation is a per-key self-join over all earlier events
+    (O(n^2) per key). But the decayed sum factorizes:
+    ``S(t_n) = e^(-a(t_n - t0)) * cumsum(v_i * e^(a(t_i - t0)))`` with
+    ``a = ln2 / half_life`` — a plain cumulative window after a narrow
+    rescaling map, one shuffle on the key, linear work. ``t0`` is the
+    key's first event (a same-key window min; Catalyst reuses the one
+    exchange for both windows).
+
+    Numerics: the rescaled terms span ``2^(key_span / half_life)``, so
+    the key's active time span must stay under ~1000 half-lives or the
+    intermediate overflows double range (span 60 d at half-life 7 d is
+    2^8.6 — nowhere close). For pathological spans, segment per epoch
+    (e.g. re-base t0 per quarter and carry the decayed total across
+    segments with one multiply) — same plan shape, applied per segment.
+    Timestamp math is exact integer microseconds; both engines' libm
+    exp() agree to the last ulp relative error, absorbed by the 6dp
+    rounding.
+    """
+    a_per_us = F.lit(0.6931471805599453 / (half_life_days * 86400.0 * 1e6))
+    # unix_micros needs TIMESTAMP; NTZ casts through the session zone,
+    # which the engine pins to UTC, so naive wall-clock == epoch micros
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w_key = Window.partitionBy(key)
+    w_cum = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t0 = F.min(t_us).over(w_key)
+    based = events.select(
+        id_col,
+        key,
+        ts_col,
+        value_col,
+        ((t_us - t0).cast("double") * a_per_us).alias("_x"),
+    )
+    decayed = F.sum(F.col(value_col) * F.exp(F.col("_x"))).over(w_cum) * F.exp(
+        -F.col("_x")
+    )
+    return based.select(
+        id_col, key, ts_col, F.round(decayed, 6).alias("decayed_sum")
+    )

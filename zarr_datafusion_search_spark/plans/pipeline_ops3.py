@@ -568,3 +568,109 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return clustered.unionByName(singles)
+
+
+@register(
+    "time_decayed_engagement",
+    oracle="""
+    SELECT event_id, user_id, ts, round(
+             s * exp(-x) , 6) AS decayed_sum
+    FROM (
+      SELECT event_id, user_id, ts, x,
+             sum(value * exp(x)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS s
+      FROM (
+        SELECT event_id, user_id, ts, value,
+               (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+                 * (0.6931471805599453 / (7.0 * 86400.0 * 1e6)) AS x
+        FROM events)
+    )
+    """,
+    doc="Exponentially time-decayed running sum per user (recency-weighted "
+    "engagement): the O(n^2)-per-key self-join factorizes into a narrow "
+    "rescale + ONE cumulative window (S = e^-ax * cumsum(v * e^ax)), one "
+    "key shuffle, linear work. Exact integer-microsecond time base; both "
+    "engines replay the identical algebra.",
+)
+def time_decayed_engagement(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.timeseries import (
+        time_decayed_sum,
+    )
+
+    return time_decayed_sum(table(spark, sf, "events"), half_life_days=7.0)
+
+
+def _label_propagation_oracle(n_rounds: int = 3) -> str:
+    from zarr_datafusion_search_spark.plans.pipeline_ops import (
+        _MH_CTES,
+        _MH_SELECT,
+    )
+
+    rounds = []
+    prev = "seeds"
+    for r in range(1, n_rounds + 1):
+        rounds.append(f"""
+    c{r} AS (
+      SELECT e.dst AS node, l.label, round(sum(e.w), 6) AS wsum
+      FROM und e JOIN {prev} l ON l.node = e.src
+      GROUP BY 1, 2
+    ),
+    b{r} AS (
+      SELECT node, label FROM (
+        SELECT node, label, row_number() OVER (
+          PARTITION BY node ORDER BY wsum DESC, label) AS rn
+        FROM c{r}) WHERE rn = 1
+    ),
+    l{r} AS (
+      SELECT node, label FROM seeds
+      UNION ALL
+      SELECT b.node, b.label FROM b{r} b
+      WHERE b.node NOT IN (SELECT node FROM seeds)
+      UNION ALL
+      SELECT p.node, p.label FROM {prev} p
+      WHERE p.node NOT IN (SELECT node FROM seeds)
+        AND p.node NOT IN (SELECT node FROM c{r})
+    )""")
+        prev = f"l{r}"
+    return f"""
+    WITH {_MH_CTES},
+    pairs AS ({_MH_SELECT}),
+    und AS (
+      SELECT doc_a AS src, doc_b AS dst, jaccard AS w FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a, jaccard FROM pairs
+    ),
+    seeds AS (
+      SELECT doc_id AS node, source AS label FROM documents
+      WHERE doc_id % 5 = 0
+    ),{','.join(rounds)}
+    SELECT node AS doc_id, label FROM {prev}
+    """
+
+
+@register(
+    "label_propagation_sources",
+    oracle=_label_propagation_oracle(),
+    doc="Semi-supervised label propagation: a 20% trusted source labeling "
+    "(doc_id % 5 = 0) spreads over the minhash near-dup graph for 3 "
+    "synchronous rounds — weighted-majority argmax per node, seeds "
+    "clamped, 6dp-rounded weight sums so the argmax is identical "
+    "cross-engine. Per round: one labeled-edge join + one (node, label) "
+    "agg + one argmax window, label relation localCheckpoint-ed (flat "
+    "plan at any round count). Oracle: the identical 3 rounds unrolled "
+    "as CTEs.",
+)
+def label_propagation_sources(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators import dedup
+    from zarr_datafusion_search_spark.operators.graph import label_propagation
+
+    docs = table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, rows_per_band=4, jaccard_threshold=0.5
+    )
+    seeds = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("node"), F.col("source").alias("label")
+    )
+    out = label_propagation(pairs, seeds, n_rounds=3)
+    return out.select(F.col("node").alias("doc_id"), "label")
