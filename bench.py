@@ -72,6 +72,10 @@ EXTENDED_R3 = [
     "dedup_event_cooldown",
     "embedding_centroid_drift",
     "outliers_mad_value",
+    "topk_per_source_twophase",
+    "dedup_cluster_size_histogram",
+    "time_decayed_engagement",
+    "label_propagation_sources",
 ]
 
 #: round-2 additions, timed and reported separately so the headline total
