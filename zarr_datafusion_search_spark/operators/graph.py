@@ -214,18 +214,27 @@ def label_propagation(
     sums are rounded to 6dp before the argmax so the winner is identical
     cross-engine regardless of float summation order.
     """
-    und = edges.select(
-        F.col(src_col).alias("src"),
-        F.col(dst_col).alias("dst"),
-        F.col(weight_col).alias("w"),
-    ).unionByName(
+    from zarr_datafusion_search_spark.operators.cache import tracked_persist
+
+    # the symmetrized edge list is joined every round AND references the
+    # (possibly expensive — minhash!) pair plan twice; persist it once or
+    # every round's checkpoint re-runs the whole upstream pipeline.
+    # Tracked: released via release_operator_caches(). Seeds likewise feed
+    # three anti-joins per round.
+    und = tracked_persist(
         edges.select(
-            F.col(dst_col).alias("src"),
-            F.col(src_col).alias("dst"),
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
             F.col(weight_col).alias("w"),
+        ).unionByName(
+            edges.select(
+                F.col(dst_col).alias("src"),
+                F.col(src_col).alias("dst"),
+                F.col(weight_col).alias("w"),
+            )
         )
     )
-    seeds = seeds.select("node", "label")
+    seeds = tracked_persist(seeds.select("node", "label"))
     labels = seeds
     for _ in range(n_rounds):
         contrib = (
