@@ -438,3 +438,89 @@ class TestTimeDecayedSum:
         }
         assert out[1] == 1.0
         assert abs(out[2] - 1.5) < 1e-6  # 1 + 1 * 2^-1
+
+
+class TestZarrAppendAtomicity:
+    def test_old_metadata_survives_boundary_rewrite(self, spark, tmp_path):
+        """A crashed append may have already rewritten the boundary chunk
+        file — but until zarr.json flips, readers of the OLD metadata get
+        exactly the old rows: the merge PREPENDS the store's trailing rows
+        in order, and the chunk decoder trims the payload to the metadata
+        row count. Simulated by appending and then restoring the old
+        zarr.json files (= the crash point after data writes, before the
+        metadata commit)."""
+        import json as _json
+        import os
+
+        from zarr_datafusion_search_spark.sources import zarrv3
+        from zarr_datafusion_search_spark.sources.zarr_sink import (
+            append_zarr_distributed,
+            write_zarr_distributed,
+        )
+
+        store = str(tmp_path / "atomic.zarr")
+        df1 = spark.createDataFrame(
+            [(i, f"s{i}") for i in range(23)], "id long, name string"
+        )
+        write_zarr_distributed(df1, store, chunk_rows=10)
+        old_meta = {}
+        for col in ("id", "name"):
+            p = os.path.join(store, col, "zarr.json")
+            old_meta[col] = open(p).read()
+        df2 = spark.createDataFrame(
+            [(i, f"s{i}") for i in range(23, 40)], "id long, name string"
+        )
+        append_zarr_distributed(df2, store)
+        # crash simulation: metadata never flipped
+        for col, doc in old_meta.items():
+            with open(os.path.join(store, col, "zarr.json"), "w") as fh:
+                fh.write(doc)
+        g = zarrv3.open_group(store)
+        assert g.n_rows == 23
+        assert list(g.arrays["id"].read_range(0, 23)) == list(range(23))
+        assert list(g.arrays["name"].read_range(20, 23)) == ["s20", "s21", "s22"]
+        # sanity: the flipped (new) metadata would have exposed 40 rows
+        _json.loads(old_meta["id"])
+
+
+def test_append_equals_full_write_property(spark, tmp_path):
+    """Property: for random row counts and split points, write(a) +
+    append(b) reads back identically to write(a+b)."""
+    from hypothesis import given, settings, strategies as st
+
+    from zarr_datafusion_search_spark.sources import zarrv3
+    from zarr_datafusion_search_spark.sources.zarr_sink import (
+        append_zarr_distributed,
+        write_zarr_distributed,
+    )
+
+    counter = [0]
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        total=st.integers(min_value=1, max_value=60),
+        split=st.floats(min_value=0.0, max_value=1.0),
+        chunk_rows=st.sampled_from([7, 16]),
+    )
+    def prop(total, split, chunk_rows):
+        counter[0] += 1
+        cut = int(total * split)
+        rows = [(i, f"v{i}", float(i) * 0.5) for i in range(total)]
+        schema = "id long, name string, x double"
+        counter_dir = str(tmp_path / f"p{counter[0]}")
+        store_a = counter_dir + "/split.zarr"
+        store_f = counter_dir + "/full.zarr"
+        df_all = spark.createDataFrame(rows, schema)
+        write_zarr_distributed(
+            df_all.filter(F.col("id") < cut), store_a, chunk_rows=chunk_rows
+        )
+        append_zarr_distributed(df_all.filter(F.col("id") >= cut), store_a)
+        write_zarr_distributed(df_all, store_f, chunk_rows=chunk_rows)
+        ga, gf = zarrv3.open_group(store_a), zarrv3.open_group(store_f)
+        assert ga.n_rows == gf.n_rows == total
+        for col in ("id", "name", "x"):
+            assert list(ga.arrays[col].read_range(0, total)) == list(
+                gf.arrays[col].read_range(0, total)
+            )
+
+    prop()

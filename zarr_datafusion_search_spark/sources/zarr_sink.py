@@ -133,9 +133,15 @@ def write_zarr_distributed(
             acc += counts[pid]
         n_chunks = max(1, -(-total // chunk_rows))
 
-        offset_expr = "CASE _pid " + " ".join(
-            f"WHEN {pid} THEN {off}L" for pid, off in offsets.items()
-        ) + " END"
+        # an empty input has no partitions with rows: CASE with zero WHEN
+        # branches does not parse, and no row will read the expression
+        offset_expr = (
+            "CASE _pid "
+            + " ".join(f"WHEN {pid} THEN {off}L" for pid, off in offsets.items())
+            + " END"
+            if offsets
+            else "CAST(0 AS BIGINT)"
+        )
         rows = with_pid.withColumn(
             "_row_id", F.expr(offset_expr) + F.col("_local")
         ).withColumn(
