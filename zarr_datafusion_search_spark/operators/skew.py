@@ -87,3 +87,34 @@ def salted_join(
     )
     out = b.join(s, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Pre-join skew diagnostic: per-key row counts for the ``top_n``
+    heaviest keys plus each key's share of the relation and its skew
+    factor (count / mean-count-per-key) — the numbers that decide
+    between a plain shuffle join, a broadcast, or salting BEFORE the
+    join runs at 100 TB and stragglers appear.
+
+    One map-side-combinable count aggregation; the global count/NDV ride
+    along as a broadcast 1-row aggregate; top-N via orderBy+limit
+    (TakeOrderedAndProject). Rounded to 6dp for cross-engine equality.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    top = counts.orderBy(F.col("n_rows").desc(), key_col).limit(top_n)
+    return top.crossJoin(F.broadcast(totals)).select(
+        key_col,
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+        F.round(
+            F.col("n_rows") * F.col("_n_keys") / F.col("_total"), 6
+        ).alias("skew_factor"),
+    )

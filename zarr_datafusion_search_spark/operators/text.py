@@ -860,3 +860,33 @@ def frequent_itemset_pairs(
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= min_support)
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conservative text normalization (the first transform of every
+    ingest pipeline): lowercase, strip ASCII control characters, collapse
+    whitespace runs to single spaces, trim. Deliberately restricted to
+    regex constructs Java regex and RE2 interpret identically (character
+    classes and ``\\s+``), so the DuckDB oracle is the same three
+    substitutions. Narrow per-row map — no shuffle, scales linearly.
+
+    Returns the id, normalized text, and how many characters were
+    removed (a cheap corruption signal: high removal ratio = binary
+    junk in a text field).
+    """
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[\\x00-\\x1f\\x7f]", " "),
+            "\\s+",
+            " ",
+        )
+    )
+    return df.select(
+        id_col,
+        cleaned.alias("norm_text"),
+        (F.length(text_col) - F.length(cleaned)).cast("int").alias("chars_removed"),
+    )

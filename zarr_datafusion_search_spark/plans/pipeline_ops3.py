@@ -674,3 +674,49 @@ def label_propagation_sources(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = label_propagation(pairs, seeds, n_rounds=3)
     return out.select(F.col("node").alias("doc_id"), "label")
+
+
+@register(
+    "join_key_skew_report",
+    oracle="""
+    WITH c AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+    t AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM c)
+    SELECT user_id, n_rows,
+           round(n_rows / total, 6) AS share,
+           round(n_rows * n_keys / total, 6) AS skew_factor
+    FROM (SELECT * FROM c ORDER BY n_rows DESC, user_id LIMIT 10)
+    CROSS JOIN t
+    """,
+    doc="Pre-join skew diagnostic: the top-10 heaviest join keys with "
+    "their share and skew factor (count / mean per key) — the decision "
+    "input for broadcast vs salt vs plain shuffle before stragglers "
+    "appear. One map-side-combinable count agg + TakeOrderedAndProject.",
+)
+def join_key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.skew import key_skew_report
+
+    return key_skew_report(table(spark, sf, "events"), key_col="user_id")
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+             '\\s+', ' ', 'g')) AS norm_text,
+           CAST(length(text) - length(trim(regexp_replace(
+             regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+             '\\s+', ' ', 'g'))) AS INT) AS chars_removed
+    FROM documents
+    """,
+    doc="Conservative ingest-time text normalization: lowercase, strip "
+    "control characters, collapse whitespace, trim — restricted to regex "
+    "constructs Java regex and RE2 interpret identically. Narrow per-row "
+    "map, no shuffle; chars_removed doubles as a cheap corruption "
+    "signal.",
+)
+def text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.text import normalize_text
+
+    return normalize_text(table(spark, sf, "documents"))
