@@ -309,3 +309,50 @@ def time_decayed_sum(
     return based.select(
         id_col, key, ts_col, F.round(decayed, 6).alias("decayed_sum")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention table: users grouped by their first-activity
+    period (the cohort), tracked by how many return in each later period
+    — the standard activation/retention report, and the shape engagement
+    dashboards page through.
+
+    Two aggregations: first-activity per key (one key shuffle, min), then
+    distinct (cohort, offset, key) activity rolled up to counts. The
+    cohort dimension relation is key-sized but slim (2 columns); it joins
+    back to the activity stream on the key — at 100 TB that's the one
+    join, and AQE broadcasts the cohort side when the key space fits.
+    ``retention`` is the cohort-relative fraction, rounded to 6dp.
+    """
+    p = F.date_trunc(period, F.col(ts_col))
+    if period == "week":
+        offset = F.floor(F.datediff(F.col("_p"), F.col("cohort")) / 7)
+    elif period == "day":
+        offset = F.datediff(F.col("_p"), F.col("cohort"))
+    elif period == "month":
+        offset = F.months_between(F.col("_p"), F.col("cohort"))
+    else:
+        raise ValueError(f"unsupported period {period!r} (day/week/month)")
+    first = events.groupBy(key).agg(F.min(p).alias("cohort"))
+    activity = (
+        events.select(key, p.alias("_p"))
+        .join(first, key)
+        .select(key, "cohort", offset.cast("int").alias("period_offset"))
+        .distinct()
+    )
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    ret = activity.groupBy("cohort", "period_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return ret.join(sizes, "cohort").select(
+        F.col("cohort").cast("date").alias("cohort"),
+        "period_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )

@@ -720,3 +720,83 @@ def text_normalize(spark: SparkSession, sf: str) -> DataFrame:
     from zarr_datafusion_search_spark.operators.text import normalize_text
 
     return normalize_text(table(spark, sf, "documents"))
+
+
+@register(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH p AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+    f AS (SELECT user_id, min(w) AS cohort FROM p GROUP BY 1),
+    act AS (
+      SELECT DISTINCT p.user_id, f.cohort,
+             CAST(floor(date_diff('day', f.cohort, p.w) / 7) AS INT)
+               AS period_offset
+      FROM p JOIN f USING (user_id)
+    ),
+    sizes AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1),
+    r AS (
+      SELECT cohort, period_offset, count(*) AS n_active
+      FROM act GROUP BY 1, 2
+    )
+    SELECT CAST(r.cohort AS DATE) AS cohort, period_offset, n_active,
+           cohort_size, round(n_active / cohort_size, 6) AS retention
+    FROM r JOIN sizes USING (cohort)
+    """,
+    doc="Weekly cohort retention: users bucketed by first-activity week, "
+    "tracked by the fraction returning in each later week — the standard "
+    "activation report. Two aggregations plus one key join (AQE "
+    "broadcasts the slim cohort dimension when it fits).",
+)
+def cohort_retention_weekly(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.timeseries import (
+        cohort_retention,
+    )
+
+    return cohort_retention(table(spark, sf, "events"), period="week")
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'view') AS first_view,
+             min(ts) FILTER (event_type = 'purchase') AS first_purchase
+      FROM events GROUP BY 1
+    ),
+    lat AS (
+      SELECT (epoch_us(first_purchase) - epoch_us(first_view)) / 1e6
+               AS latency_s
+      FROM f
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+    )
+    SELECT count(*) AS n_converted,
+           round(quantile_cont(latency_s, 0.5), 4) AS p50_s,
+           round(quantile_cont(latency_s, 0.9), 4) AS p90_s,
+           round(max(latency_s), 4) AS max_s
+    FROM lat
+    """,
+    doc="Conversion-latency percentiles: per user, time from first view "
+    "to first purchase (converted users only), summarized as p50/p90/max "
+    "— the funnel's time dimension. One conditional-min aggregation per "
+    "user (single shuffle) + one scalar percentile aggregate; exact "
+    "integer-microsecond latency base so both engines agree bit-for-bit "
+    "before the percentile interpolation.",
+)
+def funnel_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    f = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", t_us)).alias("_v"),
+        F.min(F.when(F.col("event_type") == "purchase", t_us)).alias("_p"),
+    )
+    lat = f.filter(
+        F.col("_v").isNotNull() & F.col("_p").isNotNull() & (F.col("_p") >= F.col("_v"))
+    ).select(((F.col("_p") - F.col("_v")) / 1e6).alias("latency_s"))
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("latency_s", F.lit(0.5)), 4).alias("p50_s"),
+        F.round(F.percentile("latency_s", F.lit(0.9)), 4).alias("p90_s"),
+        F.round(F.max("latency_s"), 4).alias("max_s"),
+    )
