@@ -336,3 +336,73 @@ def test_append_stream_to_zarr_single_store(spark, event_dir, tmp_path):
     want = {(r.event_id, r.user_id): r.value for r in src.collect()}
     got = {(r.event_id, r.user_id): r.value for r in back.collect()}
     assert got == want
+
+
+def test_zarr_stream_tail(spark, tmp_path):
+    """readStream.format('zarr') tails a growing store: the first run
+    reads everything, a checkpointed second run after an append reads
+    ONLY the appended rows (offsets = committed row counts)."""
+    from zarr_datafusion_search_spark.sources.zarr_datasource import (
+        ZarrDataSource,
+    )
+    from zarr_datafusion_search_spark.sources.zarr_sink import (
+        append_zarr_distributed,
+        write_zarr_distributed,
+    )
+
+    spark.dataSource.register(ZarrDataSource)
+    store = str(tmp_path / "tail.zarr")
+    ck = str(tmp_path / "ck")
+    write_zarr_distributed(
+        spark.createDataFrame(
+            [(i, f"s{i}") for i in range(25)], "id long, name string"
+        ),
+        store,
+        chunk_rows=10,
+    )
+
+    def run_once():
+        got = []
+        q = (
+            spark.readStream.format("zarr")
+            .load(store)
+            .writeStream.foreachBatch(
+                lambda b, _i: got.append([tuple(r) for r in b.collect()])
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r[0] for batch in got for r in batch)
+
+    assert run_once() == list(range(25))
+    append_zarr_distributed(
+        spark.createDataFrame(
+            [(i, f"s{i}") for i in range(25, 42)], "id long, name string"
+        ),
+        store,
+    )
+    # second checkpointed run sees only the appended tail
+    assert run_once() == list(range(25, 42))
+    # third run with nothing new: no rows
+    assert run_once() == []
+
+
+def test_zarr_stream_rejects_shrunk_store(spark, tmp_path):
+    from zarr_datafusion_search_spark.sources.zarr_datasource import (
+        ZarrStreamReader,
+    )
+    from zarr_datafusion_search_spark.sources.zarr_sink import (
+        write_zarr_distributed,
+    )
+
+    store = str(tmp_path / "shrink.zarr")
+    write_zarr_distributed(
+        spark.createDataFrame([(1,)], "id long"), store, chunk_rows=10
+    )
+    reader = ZarrStreamReader(
+        store, "/", spark.read.format("zarr").load(store).schema, 1 << 21
+    )
+    with pytest.raises(ValueError, match="offset went backwards"):
+        reader.partitions({"rows": 5}, {"rows": 2})

@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -71,6 +72,33 @@ _TARGET_PARTS = 64  # default-mode fan-out floor for small stores
 class RowRange(InputPartition):
     start: int
     stop: int
+
+
+def _range_batch(group, columns, arrow_types, lo, hi):
+    """Decode one chunk-local row range of the group into an Arrow batch
+    (shared by the batch reader and the stream reader)."""
+    import pyarrow as pa
+
+    cols = []
+    for c in columns:
+        meta = group.arrays[c]
+        vals = meta.read_range(lo, hi)
+        if meta.dtype.kind == "datetime64":
+            # int64 ticks in the array's unit -> reinterpret, then
+            # rescale to Spark's microsecond timestamps
+            arr = pa.array(vals).cast(pa.timestamp(meta.dtype.unit))
+            arr = arr.cast(arrow_types[c])
+        elif meta.dtype.kind == "raw":
+            # numpy void arrays aren't Arrow-convertible directly
+            arr = pa.array([bytes(v) for v in vals], type=pa.binary())
+        elif meta.dtype.kind == "bytes":
+            arr = pa.array(list(vals), type=pa.binary())
+        else:
+            arr = pa.array(vals)
+            if arr.type != arrow_types[c]:
+                arr = arr.cast(arrow_types[c])
+        cols.append(arr)
+    return pa.record_batch(cols, names=columns)
 
 
 class ZarrDataSource(DataSource):
@@ -109,6 +137,16 @@ class ZarrDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "ZarrReader":
         return ZarrReader(
+            path=self._path_option(),
+            group_path=self.options.get("group", "/"),
+            schema=schema,
+            partition_rows=int(
+                self.options.get("partition_rows", DEFAULT_PARTITION_ROWS)
+            ),
+        )
+
+    def streamReader(self, schema: StructType) -> "ZarrStreamReader":
+        return ZarrStreamReader(
             path=self._path_option(),
             group_path=self.options.get("group", "/"),
             schema=schema,
@@ -311,8 +349,6 @@ class ZarrReader(DataSourceReader):
         return v
 
     def read(self, partition: RowRange) -> Iterator["pa.RecordBatch"]:  # noqa: F821
-        import pyarrow as pa
-
         group = zarrv3.open_group(self._path, self._group_path)
         arrow_types = {
             c: zarr_to_arrow_type(group.arrays[c].dtype) for c in self._columns
@@ -321,26 +357,7 @@ class ZarrReader(DataSourceReader):
         step = self._chunk_rows
         for lo in range(partition.start, partition.stop, step):
             hi = min(lo + step, partition.stop)
-            cols = []
-            for c in self._columns:
-                meta = group.arrays[c]
-                vals = meta.read_range(lo, hi)
-                if meta.dtype.kind == "datetime64":
-                    # int64 ticks in the array's unit -> reinterpret, then
-                    # rescale to Spark's microsecond timestamps
-                    arr = pa.array(vals).cast(pa.timestamp(meta.dtype.unit))
-                    arr = arr.cast(arrow_types[c])
-                elif meta.dtype.kind == "raw":
-                    # numpy void arrays aren't Arrow-convertible directly
-                    arr = pa.array([bytes(v) for v in vals], type=pa.binary())
-                elif meta.dtype.kind == "bytes":
-                    arr = pa.array(list(vals), type=pa.binary())
-                else:
-                    arr = pa.array(vals)
-                    if arr.type != arrow_types[c]:
-                        arr = arr.cast(arrow_types[c])
-                cols.append(arr)
-            batch = pa.record_batch(cols, names=self._columns)
+            batch = _range_batch(group, self._columns, arrow_types, lo, hi)
             if self._filters:
                 mask = self._eval_filters(batch)
                 if mask is not None:
@@ -557,3 +574,95 @@ class ZarrWriter(DataSourceArrowWriter):
         import shutil
 
         shutil.rmtree(self._staging, ignore_errors=True)
+
+
+class ZarrStreamReader(DataSourceStreamReader):
+    """Streaming source that TAILS a growing Zarr store: offsets are
+    committed row counts, each micro-batch reads the chunk-aligned row
+    ranges appended since the last batch (``spark.readStream
+    .format("zarr").load(store)``).
+
+    Visibility is the append sink's metadata commit: chunk files written
+    by an in-flight ``append_zarr_distributed`` are invisible until its
+    ``zarr.json`` flips the shape, so ``latestOffset`` (the current
+    ``n_rows``) only ever exposes fully committed rows — the stream can
+    never observe a torn append. Offsets are monotone because append only
+    grows the shape; a store REPLACED with fewer rows is a contract
+    violation and fails loudly rather than silently re-reading.
+
+    Partitions between two offsets are chunk-aligned row ranges (same
+    fan-out policy as the batch reader), decoded executor-side with the
+    identical Arrow path; the boundary chunk of a prior batch is re-read
+    only for its newly appended tail rows.
+    """
+
+    def __init__(
+        self, path: str, group_path: str, schema: StructType, partition_rows: int
+    ):
+        self._path = path
+        self._group_path = group_path
+        self._schema = schema
+        self._columns = [f.name for f in schema.fields]
+        group = zarrv3.open_group(path, group_path)
+        missing = [c for c in self._columns if c not in group.arrays]
+        if missing:
+            raise ValueError(f"zarr group has no arrays named {missing}")
+        lead = max(group.arrays[c].chunk_rows for c in self._columns)
+        if partition_rows == DEFAULT_PARTITION_ROWS:
+            partition_rows = min(partition_rows, max(1, group.n_rows or 1))
+        self._rows_per_part = max(lead, (partition_rows // lead) * lead or lead)
+        self._chunk_rows = lead
+
+    def initialOffset(self) -> dict:
+        # new streams start at the beginning of the store
+        return {"rows": 0}
+
+    def latestOffset(self) -> dict:
+        return {"rows": zarrv3.open_group(self._path, self._group_path).n_rows}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[RowRange]:
+        lo, hi = int(start["rows"]), int(end["rows"])
+        if hi < lo:
+            raise ValueError(
+                f"zarr stream offset went backwards ({lo} -> {hi}): the "
+                "store was replaced with fewer rows; streams may only tail "
+                "appends"
+            )
+        if hi == lo:
+            return [RowRange(lo, lo)]
+        step = self._rows_per_part
+        # align splits to chunk boundaries ABOVE lo so no chunk is decoded
+        # by two tasks of the same batch
+        first_split = -(-lo // self._chunk_rows) * self._chunk_rows
+        bounds = [lo]
+        b = max(first_split, self._chunk_rows)
+        while b < hi:
+            if b > bounds[-1] and (b - bounds[-1]) >= step:
+                bounds.append(b)
+            b += self._chunk_rows
+        bounds.append(hi)
+        return [
+            RowRange(bounds[i], bounds[i + 1])
+            for i in range(len(bounds) - 1)
+            if bounds[i + 1] > bounds[i]
+        ]
+
+    def read(self, partition: RowRange) -> Iterator["pa.RecordBatch"]:  # noqa: F821
+        group = zarrv3.open_group(self._path, self._group_path)
+        arrow_types = {
+            c: zarr_to_arrow_type(group.arrays[c].dtype) for c in self._columns
+        }
+        step = self._chunk_rows
+        lo = partition.start
+        while lo < partition.stop:
+            # chunk-local slices, starting mid-chunk when the previous
+            # batch ended inside a chunk
+            hi = min((lo // step + 1) * step, partition.stop)
+            batch = _range_batch(group, self._columns, arrow_types, lo, hi)
+            if batch.num_rows:
+                yield batch
+            lo = hi
+
+    def commit(self, end: dict) -> None:
+        # offsets are externally durable (the store itself); nothing to do
+        pass
