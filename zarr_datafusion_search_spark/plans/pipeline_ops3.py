@@ -800,3 +800,51 @@ def funnel_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.percentile("latency_s", F.lit(0.9)), 4).alias("p90_s"),
         F.round(F.max("latency_s"), 4).alias("max_s"),
     )
+
+
+_ZTAIL_RUN = [0]
+
+
+@register(
+    "streaming_zarr_tail_counts",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Streaming zarr SOURCE end-to-end: half of documents written to a "
+    "store, the other half appended, then ONE availableNow stream tails "
+    "the store through the ZarrStreamReader (offsets = committed row "
+    "counts, chunk-aligned batch partitions) into a memory sink and the "
+    "result is aggregated. Oracle: the same aggregate over the parquet "
+    "original — any row lost/duplicated by offset tracking mismatches.",
+)
+def streaming_zarr_tail_counts(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from zarr_datafusion_search_spark.sources.zarr_datasource import (
+        ZarrDataSource,
+    )
+    from zarr_datafusion_search_spark.sources.zarr_sink import (
+        append_zarr_distributed,
+        write_zarr_distributed,
+    )
+    from zarr_datafusion_search_spark.streaming.events import run_to_memory_sink
+
+    try:
+        spark.dataSource.register(ZarrDataSource)
+    except Exception:
+        pass  # already registered in this session
+    docs = table(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    store = tempfile.mkdtemp(prefix="zdss_tail_") + "/docs.zarr"
+    write_zarr_distributed(
+        docs.filter(F.col("doc_id") % 2 == 0), store, chunk_rows=256
+    )
+    append_zarr_distributed(docs.filter(F.col("doc_id") % 2 == 1), store)
+    _ZTAIL_RUN[0] += 1
+    name = f"zdss_ztail_{_ZTAIL_RUN[0]}"
+    run_to_memory_sink(spark.readStream.format("zarr").load(store), name)
+    return spark.table(name).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
