@@ -2,10 +2,12 @@
 """End-to-end training-data preparation: the composition the individual
 operators exist for. Raw corpus in, training-ready shards out:
 
-  profile -> validate -> quality/language filter -> exact dedup ->
-  near-dup dedup (MinHash-LSH -> connected components -> survivors) ->
-  benchmark decontamination -> sequence packing -> deterministic
-  training-order shuffle -> sharded Zarr store
+  profile -> normalize -> quality score + per-domain calibration ->
+  exact dedup -> near-dup dedup (MinHash-LSH -> connected components ->
+  survivors, with a cluster-size audit) -> benchmark decontamination ->
+  sequence packing -> deterministic training-order shuffle -> sharded
+  Zarr store, then an INCREMENTAL batch appended in place and picked up
+  by the streaming zarr source
 
 Every step is a DataFrame transformation — one lazy plan per stage, no
 driver materialization until the final write. Run from the repo root:
@@ -49,19 +51,36 @@ def main() -> None:
     print("== profile ==")
     text.profile_columns(docs, ["doc_id", "lang", "source", "n_chars"]).show()
 
-    # 1. quality + language gate (keep scored >= 0.3, drop unknown langs)
-    scored = text.quality_score(docs).select("doc_id", "quality")
-    kept = (
-        docs.join(scored, "doc_id")
-        .filter((F.col("quality") >= 0.3) & F.col("lang").isNotNull())
+    # 0.5 normalize text before anything downstream tokenizes it
+    docs = (
+        docs.join(text.normalize_text(docs), "doc_id")
+        .drop("text")
+        .withColumnRenamed("norm_text", "text")
     )
+
+    # 1. quality gate, CALIBRATED per source: raw scores are not
+    #    comparable across domains, so rank-normalize within each source
+    #    and apply ONE global threshold to the calibrated score
+    scored = text.quality_score(docs).select("doc_id", "quality")
+    calibrated = text.quantile_calibrate(
+        docs.join(scored, "doc_id"), group_col="source", value_col="quality"
+    )
+    kept = calibrated.filter(
+        (F.col("calibrated") >= 0.1) & F.col("lang").isNotNull()
+    ).drop("calibrated", "chars_removed")
 
     # 2. exact dedup: lowest-id survivor per text fingerprint
     survivors_exact = dedup.exact_dedup(kept).select("doc_id")
     kept = kept.join(survivors_exact, "doc_id")
 
-    # 3. near-dup dedup: LSH pairs -> components -> keep cluster minima
+    # 3. near-dup dedup: LSH pairs -> components -> keep cluster minima;
+    #    publish the cluster-size audit before deleting anything
     pairs = dedup.minhash_lsh_pairs(kept)
+    comp = components.connected_components(pairs)
+    print("== near-dup cluster sizes ==")
+    comp.groupBy("component").count().groupBy("count").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    ).orderBy("count").show()
     kept = components.dedup_survivors(kept, pairs)
 
     # 4. benchmark decontamination: drop anything sharing an 8-gram with
@@ -95,6 +114,48 @@ def main() -> None:
     print(f"  packs:           {packed.select('pack_id').distinct().count()}")
     print(f"  store:           {out}")
     print("read-back check:", ZarrTable(out).to_df(spark).count() == n_final)
+
+    # 7. tomorrow's crawl: the next increment appends IN PLACE (only the
+    #    boundary chunk rewrites; metadata commit = visibility barrier),
+    #    and a checkpointed stream tails the growth incrementally
+    from zarr_datafusion_search_spark.sources.zarr_datasource import (
+        ZarrDataSource,
+    )
+    from zarr_datafusion_search_spark.sources.zarr_sink import (
+        append_zarr_distributed,
+    )
+
+    spark.dataSource.register(ZarrDataSource)
+    ck = f"{work}/tail_ck"
+    seen = []
+
+    def run_tail():
+        q = (
+            spark.readStream.format("zarr")
+            .load(out)
+            .writeStream.foreachBatch(
+                lambda b, _i: seen.append(b.count())
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_tail()  # initial catch-up over the landed store
+    # next increment, derived from the landed store (clean lineage — the
+    # full pipeline plan does not re-execute inside the append)
+    increment = (
+        ZarrTable(out)
+        .to_df(spark)
+        .limit(500)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    n_after = append_zarr_distributed(increment, out)
+    run_tail()  # picks up ONLY the appended rows
+    print("== incremental ==")
+    print(f"  appended:        {n_after - n_final} rows in place")
+    print(f"  stream batches:  {seen} (initial catch-up, then the delta)")
 
 
 if __name__ == "__main__":
