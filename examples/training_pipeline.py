@@ -81,7 +81,12 @@ def main() -> None:
     comp.groupBy("component").count().groupBy("count").agg(
         F.count(F.lit(1)).alias("n_clusters")
     ).orderBy("count").show()
-    kept = components.dedup_survivors(kept, pairs)
+    # survivors from the SAME component labels (dedup_survivors would
+    # re-run the whole pair + iteration pipeline a second time)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = kept.join(losers, "doc_id", "left_anti")
 
     # 4. benchmark decontamination: drop anything sharing an 8-gram with
     #    the held-out eval slice (source 'src0' stands in for the benchmark)

@@ -524,3 +524,23 @@ def test_append_equals_full_write_property(spark, tmp_path):
             )
 
     prop()
+
+
+def test_topk_keeps_null_keys(spark):
+    """NULL keys form their own partition in the one-phase window; the
+    map-side prune must not drop them (pandas groupby dropna default)."""
+    from pyspark.sql import Window
+
+    from zarr_datafusion_search_spark.operators.topk import topk_per_key
+
+    rows = [(1, None, 10), (2, None, 9), (3, None, 8), (4, "a", 5)]
+    df = spark.createDataFrame(rows, "doc_id long, key string, score long")
+    two = topk_per_key(df.repartition(4), "key", "score", k=2)
+    w = Window.partitionBy("key").orderBy(F.col("score").desc(), "doc_id")
+    one = (
+        df.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 2)
+    )
+    assert sorted(map(tuple, two.collect()), key=str) == sorted(
+        map(tuple, one.collect()), key=str
+    )

@@ -49,7 +49,10 @@ def topk_per_key(
                 merged.sort_values(
                     [order_col, id_col], ascending=[False, True]
                 )
-                .groupby(key_col, sort=False)
+                # dropna=False: the one-phase window ranks NULL keys as
+                # their own partition; pandas' default would silently drop
+                # NaN-key rows map-side and break the equivalence
+                .groupby(key_col, sort=False, dropna=False)
                 .head(k)
             )
         if state is not None and len(state):

@@ -618,7 +618,23 @@ class ZarrStreamReader(DataSourceStreamReader):
         return {"rows": 0}
 
     def latestOffset(self) -> dict:
-        return {"rows": zarrv3.open_group(self._path, self._group_path).n_rows}
+        # the append commit flips per-array zarr.json files with bare
+        # renames; a read landing inside that microseconds-wide window can
+        # see arrays with disagreeing shapes — retry briefly before failing
+        import time
+
+        last_err: Exception | None = None
+        for _ in range(5):
+            try:
+                return {
+                    "rows": zarrv3.open_group(
+                        self._path, self._group_path
+                    ).n_rows
+                }
+            except zarrv3.ZarrError as ex:
+                last_err = ex
+                time.sleep(0.05)
+        raise last_err
 
     def partitions(self, start: dict, end: dict) -> Sequence[RowRange]:
         lo, hi = int(start["rows"]), int(end["rows"])

@@ -70,6 +70,60 @@ def _series_to_vals(s, spec: dict, name: str, cid: int, null_fill: dict):
     return s.to_numpy().astype(spec["np_dtype"])
 
 
+def _assign_row_ids(df: DataFrame, chunk_rows: int, start: int):
+    """Phase 1 of both distributed writers: global contiguous row ids
+    from ``start`` via monotonically_increasing_id decomposition + a
+    broadcast per-partition offset map. Returns ``(rows, n_new)`` where
+    ``rows`` carries ``_row_id``/``_chunk_id``. The caller must have the
+    input persisted so the offset-count action and the write action see
+    the same partition layout."""
+    mono = df.withColumn("_mono", F.monotonically_increasing_id())
+    with_pid = mono.withColumn(
+        "_pid", F.shiftright("_mono", _MONO_PART_SHIFT).cast("int")
+    ).withColumn(
+        "_local", F.col("_mono").bitwiseAND(F.lit((1 << _MONO_PART_SHIFT) - 1))
+    )
+    counts = {
+        r._pid: r.n
+        for r in with_pid.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_new = sum(counts.values())
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    # an empty input has no partitions with rows: CASE with zero WHEN
+    # branches does not parse, and no row will read the expression
+    offset_expr = (
+        "CASE _pid "
+        + " ".join(f"WHEN {pid} THEN {off}L" for pid, off in offsets.items())
+        + " END"
+        if offsets
+        else "CAST(0 AS BIGINT)"
+    )
+    rows = (
+        with_pid.withColumn("_row_id", F.expr(offset_expr) + F.col("_local"))
+        .withColumn(
+            "_chunk_id", (F.col("_row_id") / F.lit(chunk_rows)).cast("long")
+        )
+        .drop("_mono", "_pid", "_local")
+    )
+    return rows, n_new
+
+
+def _write_chunk_file(group_dir: str, name: str, cid: int, payload: bytes) -> None:
+    """Atomic chunk write: the append path rewrites the boundary chunk the
+    CURRENT metadata references, so a crashed or torn write must never be
+    visible — stage to a temp file and os.replace onto the chunk key."""
+    final = os.path.join(group_dir, name, "c", str(cid))
+    tmp = f"{final}.tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(payload)
+    os.replace(tmp, final)
+
+
 def write_zarr_distributed(
     df: DataFrame,
     path: str,
@@ -116,37 +170,8 @@ def write_zarr_distributed(
     # ---- phase 1: global row ids -------------------------------------
     df = df.persist()
     try:
-        mono = df.withColumn("_mono", F.monotonically_increasing_id())
-        with_pid = mono.withColumn(
-            "_pid", F.shiftright("_mono", _MONO_PART_SHIFT).cast("int")
-        ).withColumn(
-            "_local", F.col("_mono").bitwiseAND(F.lit((1 << _MONO_PART_SHIFT) - 1))
-        )
-        counts = {
-            r._pid: r.n
-            for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        total = sum(counts.values())
-        offsets, acc = {}, 0
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
+        rows, total = _assign_row_ids(df, chunk_rows, start=0)
         n_chunks = max(1, -(-total // chunk_rows))
-
-        # an empty input has no partitions with rows: CASE with zero WHEN
-        # branches does not parse, and no row will read the expression
-        offset_expr = (
-            "CASE _pid "
-            + " ".join(f"WHEN {pid} THEN {off}L" for pid, off in offsets.items())
-            + " END"
-            if offsets
-            else "CAST(0 AS BIGINT)"
-        )
-        rows = with_pid.withColumn(
-            "_row_id", F.expr(offset_expr) + F.col("_local")
-        ).withColumn(
-            "_chunk_id", (F.col("_row_id") / F.lit(chunk_rows)).cast("long")
-        ).drop("_mono", "_pid", "_local")
 
         # ---- driver: store/group skeleton (metadata only) ------------
         group_dir = zarrv3.init_group(path, group_path)
@@ -195,8 +220,7 @@ def write_zarr_distributed(
                     payload = zarrv3.encode_chunk_payload(
                         vals, spec["is_string"], pad, zstd_level
                     )
-                with open(os.path.join(group_dir, name, "c", str(cid)), "wb") as fh:
-                    fh.write(payload)
+                _write_chunk_file(group_dir, name, cid, payload)
             return pd.DataFrame(
                 {"chunk_id": [cid], "n": [expect], "stats": [json.dumps(stats)]}
             )
@@ -239,6 +263,12 @@ def write_zarr_distributed(
             stat_max=stat_max,
             inner_rows=inner_rows,
             index_crc32c=inner_rows is not None,
+            # this writer's physical layout keeps the requested chunk grid
+            # (one unpadded partial chunk when total < chunk_rows), so the
+            # metadata must NOT clamp chunk_shape to the row count — a store
+            # created from a small first batch keeps its intended chunking
+            # for later appends
+            clamp_chunk=False,
         )
     return total
 
@@ -382,37 +412,10 @@ def append_zarr_distributed(
     # ---- phase 1: global row ids, offset by the existing row count ----
     df = df.persist()
     try:
-        mono = df.withColumn("_mono", F.monotonically_increasing_id())
-        with_pid = mono.withColumn(
-            "_pid", F.shiftright("_mono", _MONO_PART_SHIFT).cast("int")
-        ).withColumn(
-            "_local", F.col("_mono").bitwiseAND(F.lit((1 << _MONO_PART_SHIFT) - 1))
-        )
-        counts = {
-            r._pid: r.n
-            for r in with_pid.groupBy("_pid")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        n_new = sum(counts.values())
+        rows, n_new = _assign_row_ids(df, chunk_rows, start=old_total)
         if n_new == 0:
             return old_total
         new_total = old_total + n_new
-        offsets, acc = {}, old_total
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
-        offset_expr = "CASE _pid " + " ".join(
-            f"WHEN {pid} THEN {off}L" for pid, off in offsets.items()
-        ) + " END"
-        rows = (
-            with_pid.withColumn("_row_id", F.expr(offset_expr) + F.col("_local"))
-            .withColumn(
-                "_chunk_id", (F.col("_row_id") / F.lit(chunk_rows)).cast("long")
-            )
-            .drop("_mono", "_pid", "_local")
-        )
-
         n_chunks_new = -(-new_total // chunk_rows)
         is_multi = n_chunks_new > 1
         last_chunk = n_chunks_new - 1
@@ -495,10 +498,7 @@ def append_zarr_distributed(
                     payload = zarrv3.encode_chunk_payload(
                         vals, spec["is_string"], pad, zstd_level
                     )
-                with open(
-                    os.path.join(group_dir, name, "c", str(cid)), "wb"
-                ) as fh:
-                    fh.write(payload)
+                _write_chunk_file(group_dir, name, cid, payload)
             return pd.DataFrame(
                 {
                     "chunk_id": [cid],
@@ -551,6 +551,11 @@ def append_zarr_distributed(
                 stat_min.append(s[0])
                 stat_max.append(s[1])
         spec = specs[name]
+        # stage: all arrays' new metadata lands as .pending first, then a
+        # bare-rename loop flips them — shrinking the multi-array commit
+        # window from N encode+write cycles to N atomic renames, so a
+        # concurrent open_group (the stream reader's latestOffset) has the
+        # smallest possible chance of seeing disagreeing shapes
         zarrv3.write_array_metadata(
             os.path.join(group_dir, name),
             n_rows=new_total,
@@ -563,5 +568,13 @@ def append_zarr_distributed(
             stat_max=stat_max,
             inner_rows=inner_rows,
             index_crc32c=index_crc32c,
+            clamp_chunk=False,
+            filename="zarr.json.pending",
+        )
+    for name in _names:
+        arr_dir = os.path.join(group_dir, name)
+        os.replace(
+            os.path.join(arr_dir, "zarr.json.pending"),
+            os.path.join(arr_dir, "zarr.json"),
         )
     return new_total

@@ -657,10 +657,21 @@ def write_array_metadata(
     stat_max: "list | None" = None,
     inner_rows: int | None = None,
     index_crc32c: bool = False,
+    clamp_chunk: bool = True,
+    filename: str = "zarr.json",
 ) -> None:
     """Write one array's ``zarr.json`` (shape/dtype/codecs/chunk stats).
     With ``inner_rows`` the array is ``sharding_indexed``: ``chunk_rows``
-    becomes the shard size and the codec chain wraps the inner chunks."""
+    becomes the shard size and the codec chain wraps the inner chunks.
+
+    ``clamp_chunk`` shrinks ``chunk_shape`` to ``n_rows`` for small
+    arrays — correct for :class:`ChunkedArrayWriter`, whose PHYSICAL
+    chunks are clamped the same way, but writers whose layout keeps the
+    requested chunk grid (the distributed sink: one unpadded partial
+    chunk) pass ``clamp_chunk=False`` so a store created from a small
+    first batch keeps its intended chunk size for later appends.
+    ``filename`` lets a multi-array commit stage every array's metadata
+    first (``zarr.json.pending``) and flip them with bare renames."""
     if is_string:
         dt: Any = "string"
         codecs = [
@@ -688,7 +699,7 @@ def write_array_metadata(
     if stat_min and any(v is not None for v in stat_min):
         attributes["zdss:chunk_stats"] = {"min": stat_min, "max": stat_max}
     _write_json(
-        os.path.join(arr_dir, "zarr.json"),
+        os.path.join(arr_dir, filename),
         {
             "shape": [n_rows],
             "data_type": dt,
@@ -699,7 +710,7 @@ def write_array_metadata(
                     # multiple of inner_rows even when the array is smaller)
                     "chunk_shape": [
                         chunk_rows
-                        if inner_rows is not None
+                        if (inner_rows is not None or not clamp_chunk)
                         else max(1, min(chunk_rows, max(n_rows, 1)))
                     ]
                 },
@@ -819,8 +830,12 @@ def init_group(store_path: str, group_path: str) -> str:
 
 
 def _write_json(path: str, doc: dict) -> None:
-    with open(path, "w", encoding="utf-8") as f:
+    # atomic: a crash mid-dump must never leave a truncated zarr.json —
+    # metadata IS the commit record, so it flips all-or-nothing
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
         json.dump(doc, f, indent=2)
+    os.replace(tmp, path)
 
 
 def _numpy_to_zarr_dtype(arr: np.ndarray) -> ZarrDType:
