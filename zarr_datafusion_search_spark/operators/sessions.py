@@ -103,3 +103,43 @@ def dedup_with_cooldown(
         .sortWithinPartitions(*key_cols, ts_col, id_col)
         .mapInPandas(fold, out_schema)
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event sequences:
+    for each (from_state, to_state), the transition count and the
+    row-normalized probability — the behavior model behind funnel
+    anomaly detection and synthetic-session generation.
+
+    One window pass per key (lag over the same (key, ts) ordering the
+    other sequence operators use, so Catalyst shares the exchange when
+    composed), then a states^2-sized aggregation — tiny regardless of
+    corpus size. Probabilities are rounded to 6dp for cross-engine
+    equality.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    steps = (
+        events.select(
+            F.lag(state_col).over(w).alias("from_state"),
+            F.col(state_col).alias("to_state"),
+        )
+        .filter(F.col("from_state").isNotNull())
+    )
+    counts = steps.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_from = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(w_from), 6
+        ).alias("probability"),
+    )

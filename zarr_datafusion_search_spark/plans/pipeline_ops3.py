@@ -848,3 +848,34 @@ def streaming_zarr_tail_counts(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS from_state,
+             event_type AS to_state
+      FROM events
+    ),
+    c AS (
+      SELECT from_state, to_state, count(*) AS n_transitions
+      FROM s WHERE from_state IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, n_transitions,
+           round(n_transitions / sum(n_transitions)
+                   OVER (PARTITION BY from_state), 6) AS probability
+    FROM c
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (counts + row-normalized probabilities): one lag window "
+    "per key, then a states^2-sized aggregation — the behavior model "
+    "behind funnel anomaly detection.",
+)
+def event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.sessions import (
+        transition_matrix,
+    )
+
+    return transition_matrix(table(spark, sf, "events"))
