@@ -1018,3 +1018,45 @@ def centroid_drift_matrix(
             F.round(cosine_similarity("_ca", "_cb"), 6).alias("cosine"),
         )
     )
+
+
+def standardize_embeddings(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension robust standardization (median/IQR scaling) of an
+    embedding column — the feature-normalization pass run before
+    distance-based ops when dimensions carry wildly different scales
+    (concatenated multi-encoder features, raw sensor channels).
+
+    Same distribution shape as :func:`group_centroids`: ``posexplode``
+    into (id, dim, value), per-dim stats as a dims-sized aggregate
+    (broadcast back), a narrow rescale map, and an ``array_sort`` over
+    (pos, value) structs to reassemble deterministic arrays. Vectors
+    cross the shuffle only twice ((id,pos) explode + id regroup); the
+    stats relation is dims-sized. Constant dimensions (IQR 0) map to
+    NULL rather than dividing by zero; exact percentiles match the
+    oracle, swap approx_percentile at 100 TB.
+    """
+    exploded = emb.select(
+        F.col(id_col), F.posexplode(vec_col).alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    stats = exploded.groupBy("pos").agg(
+        F.percentile("v", F.lit(0.5)).alias("med"),
+        F.nullif(
+            F.percentile("v", F.lit(0.75)) - F.percentile("v", F.lit(0.25)),
+            F.lit(0.0),
+        ).alias("iqr"),
+    )
+    z = exploded.join(F.broadcast(stats), "pos").select(
+        id_col,
+        "pos",
+        F.round(F.try_divide(F.col("v") - F.col("med"), F.col("iqr")), 6).alias("z"),
+    )
+    return z.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "z"))),
+            lambda s: s["z"],
+        ).alias("standardized")
+    )

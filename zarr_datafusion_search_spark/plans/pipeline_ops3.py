@@ -879,3 +879,34 @@ def event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return transition_matrix(table(spark, sf, "events"))
+
+
+@register(
+    "embedding_standardize_robust",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, i, embedding[i]::DOUBLE AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)
+    ),
+    st AS (
+      SELECT i, quantile_cont(v, 0.5) AS med,
+             nullif(quantile_cont(v, 0.75) - quantile_cont(v, 0.25), 0) AS iqr
+      FROM x GROUP BY 1
+    ),
+    z AS (
+      SELECT vec_id, x.i, round((v - med) / iqr, 6) AS z
+      FROM x JOIN st USING (i)
+    )
+    SELECT vec_id, list(z ORDER BY i) AS standardized FROM z GROUP BY 1
+    """,
+    doc="Per-dimension robust standardization (median/IQR) of embeddings: "
+    "posexplode -> dims-sized stats broadcast -> narrow rescale -> "
+    "deterministic array reassembly. Constant dims map to NULL instead "
+    "of dividing by zero.",
+)
+def embedding_standardize_robust(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    return standardize_embeddings(table(spark, sf, "embeddings"))
