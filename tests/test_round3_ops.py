@@ -544,3 +544,52 @@ def test_topk_keeps_null_keys(spark):
     assert sorted(map(tuple, two.collect()), key=str) == sorted(
         map(tuple, one.collect()), key=str
     )
+
+
+class TestPlanShapes:
+    """Physical-plan assertions for the scale claims the docstrings make."""
+
+    @staticmethod
+    def _plan(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_mg_candidate_pass_adds_no_shuffle(self, spark):
+        """Pass 1 of frequent_terms is map-side only: the summaries plan
+        contains exactly the Exchanges of its INPUT, none of its own."""
+        from zarr_datafusion_search_spark.operators.frequent import (
+            misra_gries_summaries,
+        )
+
+        terms = spark.createDataFrame(
+            [("t",)] * 10, "term string"
+        ).repartition(4)
+        base_exchanges = self._plan(terms).count("Exchange")
+        summ_exchanges = self._plan(misra_gries_summaries(terms)).count(
+            "Exchange"
+        )
+        assert summ_exchanges == base_exchanges
+
+    def test_frequent_terms_broadcasts_candidates(self, spark):
+        """Pass 2 verifies via a broadcast LEFT SEMI join — the vocabulary
+        tail must never shuffle."""
+        from zarr_datafusion_search_spark.operators.frequent import (
+            frequent_terms,
+        )
+
+        terms = spark.createDataFrame([("t",)] * 10, "term string")
+        plan = self._plan(frequent_terms(terms, min_count=2, capacity=64))
+        assert "BroadcastExchange" in plan
+        assert "LeftSemi" in plan
+
+    def test_centroid_drift_broadcasts_pairwise_side(self, spark):
+        from zarr_datafusion_search_spark.operators.similarity import (
+            centroid_drift_matrix,
+        )
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "label long, embedding array<double>",
+        )
+        assert "BroadcastNestedLoopJoin" in self._plan(
+            centroid_drift_matrix(emb)
+        )
