@@ -910,3 +910,41 @@ def embedding_standardize_robust(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return standardize_embeddings(table(spark, sf, "embeddings"))
+
+
+@register(
+    "equi_depth_bins",
+    oracle="""
+    SELECT event_type, bin, count(*) AS n,
+           round(min(value), 6) AS lo, round(max(value), 6) AS hi
+    FROM (
+      SELECT event_type, value,
+             CAST(ntile(10) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS INT) AS bin
+      FROM events)
+    GROUP BY 1, 2
+    """,
+    doc="Equi-depth (quantile) binning: ntile(10) per event type over a "
+    "total order (value, id) gives equal-count bins with their value "
+    "ranges — the feature-bucketing complement to the equi-width "
+    "histogram; one key-shuffle window plus a bins-sized aggregation.",
+)
+def equi_depth_bins(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.select(
+            "event_type",
+            "value",
+            F.ntile(10).over(w).cast("int").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
