@@ -890,3 +890,44 @@ def normalize_text(
         cleaned.alias("norm_text"),
         (F.length(text_col) - F.length(cleaned)).cast("int").alias("chars_removed"),
     )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    window: int = 2,
+    min_count: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Skip-gram (center, context) pair counts within a +-``window`` token
+    neighborhood — the pair-generation pass of word2vec-style embedding
+    training, and the windowed generalization of adjacent-bigram
+    statistics.
+
+    Pair lists are built per document with ``slice``+``zip_with`` (one
+    offset-d alignment per distance, both directions), so the expansion
+    is a narrow expression-level map: raw text never shuffles, only
+    (pair, 1) partial counts do (map-side combined, vocabulary^2-bounded
+    key space further cut by ``min_count``).
+    """
+    from zarr_datafusion_search_spark.operators.dedup import tokens_col
+
+    t = tokens_col(text_col)
+    pair_lists = []
+    for d in range(1, window + 1):
+        n_d = F.greatest(F.size(t) - d, F.lit(0))
+        a = F.slice(t, 1, n_d)
+        b = F.slice(t, 1 + d, n_d)
+        pair_lists.append(
+            F.zip_with(a, b, lambda x, y: F.struct(x.alias("c"), y.alias("o")))
+        )
+        pair_lists.append(
+            F.zip_with(b, a, lambda x, y: F.struct(x.alias("c"), y.alias("o")))
+        )
+    pairs = df.select(
+        F.explode(F.concat(*pair_lists)).alias("_p")
+    ).select(F.col("_p.c").alias("center"), F.col("_p.o").alias("context"))
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

@@ -948,3 +948,32 @@ def equi_depth_bins(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("hi"),
         )
     )
+
+
+@register(
+    "skipgram_cooccurrence",
+    oracle=f"""
+    WITH {_TOKS},
+    p AS (
+      SELECT t[i] AS center, t[i + d] AS context
+      FROM toks, unnest(range(1, len(t))) r(i),
+           (SELECT unnest([1, 2]) AS d) dd
+      WHERE i + d <= len(t)
+      UNION ALL
+      SELECT t[i + d], t[i]
+      FROM toks, unnest(range(1, len(t))) r(i),
+           (SELECT unnest([1, 2]) AS d) dd
+      WHERE i + d <= len(t)
+    )
+    SELECT center, context, count(*) AS n
+    FROM p GROUP BY 1, 2 HAVING count(*) >= 20
+    """,
+    doc="Skip-gram co-occurrence counts (+-2 token window, both "
+    "directions) — word2vec's pair-generation pass. Expression-level "
+    "slice+zip_with expansion per document; only map-side-combined pair "
+    "counts shuffle, never raw text.",
+)
+def skipgram_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.text import skipgram_pairs
+
+    return skipgram_pairs(table(spark, sf, "documents"), window=2, min_count=20)
