@@ -412,6 +412,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT:
+    ``|A n B| / min(|A|, |B|)`` — the measure that catches a short
+    document embedded inside a long one (quote farms, syndicated
+    excerpts, doc+boilerplate wrappers), which symmetric Jaccard
+    structurally misses: a 100-shingle doc fully contained in a
+    10,000-shingle doc has Jaccard ~0.01 but containment 1.0.
+
+    Same plan shape and hot-shingle ``max_df`` guard as
+    :func:`ngram_jaccard_pairs` (the inverted-index self-join finds
+    every pair sharing ANY informative shingle, so recall does not
+    depend on the measure — unlike MinHash bands, whose collision
+    probability tracks Jaccard and would under-sample exactly these
+    asymmetric pairs). The measure is a ratio of integers, bit-identical
+    cross-engine.
+    """
+    sh = hashed_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("_df"))
+        sh = _tracked_persist(
+            sh.join(dfreq.filter(F.col("_df") <= max_df), "sh_h").select(
+                id_col, "sh_h"
+            )
+        )
+    s1 = sh.alias("s1")
+    s2 = sh.alias("s2")
+    cand = (
+        s1.join(
+            s2,
+            (F.col("s1.sh_h") == F.col("s2.sh_h"))
+            & (F.col(f"s1.{id_col}") < F.col(f"s2.{id_col}")),
+        )
+        .select(
+            F.col(f"s1.{id_col}").alias("doc_a"),
+            F.col(f"s2.{id_col}").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    containment = F.col("n_inter").cast("double") / F.least(
+        F.col("sa.n"), F.col("sb.n")
+    )
+    return (
+        cand.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select("doc_a", "doc_b", containment.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

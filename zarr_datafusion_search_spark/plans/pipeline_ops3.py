@@ -977,3 +977,54 @@ def skipgram_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     from zarr_datafusion_search_spark.operators.text import skipgram_pairs
 
     return skipgram_pairs(table(spark, sf, "documents"), window=2, min_count=20)
+
+
+def _containment_oracle() -> str:
+    from zarr_datafusion_search_spark.functions.hashing import duckdb_h64
+    from zarr_datafusion_search_spark.plans.pipeline_ops import (
+        _NGRAM_MAX_DF,
+        _SHINGLES,
+    )
+
+    return f"""
+    WITH {_SHINGLES},
+    shh0 AS (SELECT doc_id, {duckdb_h64('shingle')} AS sh_h FROM sh),
+    dfreq AS (SELECT sh_h, count(*) AS df FROM shh0 GROUP BY sh_h),
+    shh AS (
+      SELECT s.doc_id, s.sh_h FROM shh0 s
+      JOIN dfreq d ON d.sh_h = s.sh_h AND d.df <= {_NGRAM_MAX_DF}
+    ),
+    ssz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+    inter AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS n_inter
+      FROM shh s1 JOIN shh s2
+        ON s1.sh_h = s2.sh_h AND s1.doc_id < s2.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           i.n_inter::DOUBLE / least(sa.n, sb.n) AS containment
+    FROM inter i
+    JOIN ssz sa ON sa.doc_id = i.doc_a
+    JOIN ssz sb ON sb.doc_id = i.doc_b
+    WHERE i.n_inter::DOUBLE / least(sa.n, sb.n) >= 0.6
+    """
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=_containment_oracle(),
+    doc="Asymmetric near-dup pairs by n-gram containment "
+    "(|A n B| / min(|A|,|B|) >= 0.6): catches a short document embedded "
+    "in a long one, which symmetric Jaccard structurally misses. Same "
+    "df-guarded inverted-index self-join as the Jaccard query — recall "
+    "is measure-independent there, unlike MinHash bands whose collision "
+    "rate tracks Jaccard.",
+)
+def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators import dedup
+
+    from zarr_datafusion_search_spark.plans.pipeline_ops import _NGRAM_MAX_DF
+
+    return dedup.ngram_containment_pairs(
+        table(spark, sf, "documents"), n=3, threshold=0.6, max_df=_NGRAM_MAX_DF
+    )
