@@ -1,12 +1,36 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
-local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS].
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Output contract (VERDICT r03 §1 — the r03 record was driver-unparseable
+because the single JSON line outgrew the driver's stdout-tail capture):
 
-Protocol (BASELINE.md): per query, 1 warmup + median of 3 timed runs;
-results are fully materialized with a driver-side count-ish action so the
-measured time includes the whole plan, not just job launch.
+* FULL per-query detail (every section, every engine, slowest-3, zarr
+  microbench, protocol notes) is written to ``BENCH_DETAIL.json`` next to
+  this file.
+* The LAST stdout line is ONE COMPACT summary JSON (section totals +
+  DuckDB ratios + headline per-query floats), kept under ~1800 chars so
+  the driver's tail capture always holds the complete line.
+* ``spark.ui.showConsoleProgress`` is forced off so progress bars can
+  never pollute the tail.
+
+Protocol (BASELINE.md): per query, 1 warmup + median of 3 timed runs for
+the fixed cross-round sections; the catch-all ``coverage`` section (every
+remaining registered query — VERDICT r03 §3) uses 1 warmup + 1 timed run
+to bound total wall-clock. Results are materialized with a count() action
+so the measured time includes the whole plan. DuckDB pairing: identical
+oracle SQL over the same parquet, same warmup+median, timed after all
+Spark work.
+
+Fixed-cost note (VERDICT r03 §8): Spark pays a per-query fixed job cost
+(driver planning + scheduling + task launch) that DuckDB does not; at
+sf0.1 many pipeline queries are sub-second, so section ratios conflate
+that constant with engine throughput. The bench measures the fixed cost
+directly (median of trivial `spark.range(8).count()` jobs) and reports,
+per section, BOTH the raw ratio and `ratio_net` =
+(spark_total - n_queries * fixed_cost_s) / duckdb_total. The raw ratio is
+what a user sees at this scale; the net ratio is what survives a 100x
+scale-up where per-query work dominates the constant.
 """
 
 from __future__ import annotations
@@ -23,8 +47,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+DETAIL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+)
 
-#: headline queries: one per operator family, heaviest variants
+#: headline queries: one per operator family, heaviest variants.
+#: FIXED membership across rounds (BASELINE.md) for comparability.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -52,34 +80,7 @@ HEADLINE = [
     "sessionization",
 ]
 
-#: round-3 additions — separate section, same reasoning as EXTENDED
-EXTENDED_R3 = [
-    "text_tfidf_search",
-    "text_bigram_perplexity",
-    "pagerank_event_types",
-    "multimodal_real_image_features",
-    "multimodal_real_wav_features",
-    "multimodal_real_frame_features",
-    "multimodal_real_resize",
-    "dedup_minhash_cross_corpus",
-    "multimodal_image_channel_stats",
-    "snapshot_diff_user_state",
-    # round-3 second batch (sink roundtrips stay out of bench sections —
-    # their oracles aggregate parquet, not a comparable workload)
-    "frequent_terms_heavy_hitters",
-    "bpe_merge_candidates",
-    "frequent_itemset_pairs",
-    "dedup_event_cooldown",
-    "embedding_centroid_drift",
-    "outliers_mad_value",
-    "topk_per_source_twophase",
-    "dedup_cluster_size_histogram",
-    "time_decayed_engagement",
-    "label_propagation_sources",
-]
-
-#: round-2 additions, timed and reported separately so the headline total
-#: stays comparable across rounds (same 23-query membership as BASELINE.md)
+#: round-2 additions, fixed membership
 EXTENDED = [
     "text_bm25_search",
     "decontaminate_against_eval",
@@ -100,27 +101,70 @@ EXTENDED = [
     "embedding_random_projection",
 ]
 
+#: round-3 additions, fixed membership
+EXTENDED_R3 = [
+    "text_tfidf_search",
+    "text_bigram_perplexity",
+    "pagerank_event_types",
+    "multimodal_real_image_features",
+    "multimodal_real_wav_features",
+    "multimodal_real_frame_features",
+    "multimodal_real_resize",
+    "dedup_minhash_cross_corpus",
+    "multimodal_image_channel_stats",
+    "snapshot_diff_user_state",
+    "frequent_terms_heavy_hitters",
+    "bpe_merge_candidates",
+    "frequent_itemset_pairs",
+    "dedup_event_cooldown",
+    "embedding_centroid_drift",
+    "outliers_mad_value",
+    "topk_per_source_twophase",
+    "dedup_cluster_size_histogram",
+    "time_decayed_engagement",
+    "label_propagation_sources",
+]
+
+#: round-4 section: the operators registered after r3's final bench run
+#: (VERDICT r03 "What's missing" §3) plus round-4 additions.
+EXTENDED_R4 = [
+    "streaming_zarr_tail_counts",
+    "dedup_ngram_containment",
+    "skipgram_cooccurrence",
+    "equi_depth_bins",
+    "event_transition_matrix",
+    "cohort_retention_weekly",
+    "funnel_time_to_convert",
+    "embedding_standardize_robust",
+    "join_key_skew_report",
+    "text_normalize",
+]
+
+#: registered queries deliberately NOT timed, with the reason the judge
+#: reads. Everything registered and not listed here lands in a section.
+EXCLUDED = {
+    "sink_zarr_roundtrip": "sink benchmark would measure store-write I/O; "
+    "its oracle aggregates the parquet input, not a comparable workload",
+    "sink_zarr_distributed_roundtrip": "same: distributed sink write, "
+    "no comparable DuckDB-side workload",
+    "sink_zarr_append_roundtrip": "same: append sink write path",
+}
+
 
 def _sf_from_dir(d: str) -> float:
     m = re.search(r"sf([0-9.]+)", d)
     return float(m.group(1)) if m else -1.0
 
 
-#: per-run wall-clock cap for a DuckDB oracle during the paired measurement;
-#: a query that can't finish one run inside this is recorded as skipped
-#: (e.g. the recursive-CTE replays that are verification-only by design)
+#: per-run wall-clock cap for a DuckDB oracle during the paired measurement
 DUCK_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_DUCK_TIMEOUT", "30"))
 
 
-def _duckdb_times(registry, names: list[str]) -> tuple[dict, list]:
-    """Median DuckDB wall-clock per oracle (same protocol as the Spark side:
-    1 warmup + median of RUNS) over views on the SAME parquet files.
-
-    Each oracle is timed as ``SELECT count(*) FROM (<oracle>)`` — the exact
-    symmetric of the Spark side's ``.count()`` action: both engines fully
-    execute joins/aggregations/windows (they define the cardinality), both
-    get the same chance to prune unused final projections, and neither pays
-    client-side row conversion. Returns (times, skipped)."""
+def _duckdb_times(registry, names: list[str], runs: int) -> tuple[dict, list]:
+    """Median DuckDB wall-clock per oracle (1 warmup + median of ``runs``)
+    over views on the SAME parquet files. Each oracle is timed as
+    ``SELECT count(*) FROM (<oracle>)`` — the exact symmetric of the Spark
+    side's ``.count()`` action. Returns (times, skipped)."""
     import threading
 
     import duckdb
@@ -140,7 +184,7 @@ def _duckdb_times(registry, names: list[str]) -> tuple[dict, list]:
         counted = f"SELECT count(*) FROM ({sql}) AS _q"
         times = []
         ok = True
-        for i in range(RUNS + 1):
+        for i in range(runs + 1):
             fired = []
 
             def _interrupt():
@@ -157,9 +201,8 @@ def _duckdb_times(registry, names: list[str]) -> tuple[dict, list]:
             finally:
                 watchdog.cancel()
             if fired and ok:
-                # timer fired in the window after the query finished but
-                # before cancel(): the interrupt flag would abort the NEXT
-                # statement — drain it on a throwaway query
+                # timer fired after the query finished but before cancel():
+                # drain the pending interrupt on a throwaway statement
                 try:
                     con.execute("SELECT 1").fetchall()
                 except Exception:
@@ -184,8 +227,6 @@ def _zarr_scan_bench(spark) -> dict:
     """Zarr-scan microbench (BASELINE.md): ~1M-row store produced by the
     same recipe as the reference's generator, scanned chunk-partitioned.
     Dates are written sorted so the filtered scan exercises chunk pruning."""
-    import statistics as st
-
     import numpy as np
 
     from zarr_datafusion_search_spark import ZarrTable
@@ -231,12 +272,49 @@ def _zarr_scan_bench(spark) -> dict:
             fn()
             if i > 0:
                 times.append(time.perf_counter() - t0)
-        out[name] = round(st.median(times), 4)
+        out[name] = round(statistics.median(times), 4)
     return out
+
+
+def _measure_fixed_cost(spark) -> float:
+    """Median wall-clock of a trivial Spark job — the per-query constant
+    (planning + job scheduling + task launch) every bench query pays on
+    top of its actual work."""
+    times = []
+    for i in range(6):
+        t0 = time.perf_counter()
+        spark.range(8).count()
+        if i > 0:
+            times.append(time.perf_counter() - t0)
+    return round(statistics.median(times), 4)
+
+
+def _time_section(spark, registry, section_names, runs: int) -> dict:
+    out: dict[str, float] = {}
+    for name in (n for n in section_names if n in registry):
+        spec = registry[name]
+        times = []
+        for i in range(runs + 1):
+            t0 = time.perf_counter()
+            spec.spark(spark, SF_DIR).count()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                times.append(dt)
+        out[name] = round(statistics.median(times), 4)
+    return out
+
+
+def _worst(times: dict, k: int = 3) -> list:
+    return [
+        [n, t] for n, t in sorted(times.items(), key=lambda kv: -kv[1])[:k]
+    ]
 
 
 def main() -> None:
     from zarr_datafusion_search_spark.engine import build_session
+    from zarr_datafusion_search_spark.operators.cache import (
+        release_operator_caches,
+    )
     from zarr_datafusion_search_spark.plans.registry import load_all
 
     registry = load_all()
@@ -244,125 +322,130 @@ def main() -> None:
         app_name="zdss-bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=int(CPUS),
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "16g",
+            # progress bars on stdout would corrupt the driver's tail parse
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = [n for n in HEADLINE if n in registry]
-    per_query: dict[str, float] = {}
-    for name in names:
-        spec = registry[name]
-        times = []
-        for i in range(RUNS + 1):
-            t0 = time.perf_counter()
-            df = spec.spark(spark, SF_DIR)
-            n = df.count()  # full materialization of the plan
-            dt = time.perf_counter() - t0
-            if i > 0:  # first run is warmup
-                times.append(dt)
-        per_query[name] = round(statistics.median(times), 4)
-
-    def _time_section(section_names: list[str]) -> dict[str, float]:
-        out: dict[str, float] = {}
-        for name in (n for n in section_names if n in registry):
-            spec = registry[name]
-            times = []
-            for i in range(RUNS + 1):
-                t0 = time.perf_counter()
-                spec.spark(spark, SF_DIR).count()
-                dt = time.perf_counter() - t0
-                if i > 0:
-                    times.append(dt)
-            out[name] = round(statistics.median(times), 4)
-        return out
-
-    from zarr_datafusion_search_spark.operators.cache import (
-        release_operator_caches,
+    fixed = set(HEADLINE) | set(EXTENDED) | set(EXTENDED_R3) | set(EXTENDED_R4)
+    # catch-all: EVERY registered query is timed in exactly one section or
+    # excluded with a reason (VERDICT r03 §3)
+    coverage_names = sorted(
+        n for n in registry if n not in fixed and n not in EXCLUDED
     )
 
-    release_operator_caches()  # drop headline-section pipeline caches
-    extended = _time_section(EXTENDED)
-    release_operator_caches()
-    extended_r3 = _time_section(EXTENDED_R3)
-    # release before the in-process DuckDB timing so its measurements don't
-    # run under pinned-cache memory pressure
-    release_operator_caches()
+    sections = {
+        "headline": (HEADLINE, RUNS),
+        "extended": (EXTENDED, RUNS),
+        "extended_r3": (EXTENDED_R3, RUNS),
+        "extended_r4": (EXTENDED_R4, RUNS),
+        "coverage": (coverage_names, 1),
+    }
+
+    fixed_cost_s = _measure_fixed_cost(spark)
+
+    spark_times: dict[str, dict] = {}
+    for sec, (names, runs) in sections.items():
+        spark_times[sec] = _time_section(spark, registry, names, runs)
+        release_operator_caches()
 
     zarr_micro = _zarr_scan_bench(spark)
 
-    # paired DuckDB measurement (VERDICT r02 §6): identical SQL over the
-    # same parquet, same warmup+median protocol, one comparable ratio per
-    # section instead of prose ranges. Runs AFTER all Spark timing so the
-    # DuckDB process-side work never contends with Spark executors.
-    duck_headline, duck_skipped_h = _duckdb_times(registry, names)
-    duck_extended, duck_skipped_e = _duckdb_times(
-        registry, [n for n in EXTENDED if n in registry]
-    )
-    duck_r3, duck_skipped_r3 = _duckdb_times(
-        registry, [n for n in EXTENDED_R3 if n in registry]
-    )
-
-    total = round(sum(per_query.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite median wall-clock (sum over queries)",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                # zarr scan microbench (BASELINE.md) — no DuckDB counterpart,
-                # reported separately and EXCLUDED from the headline total
-                # round-2 operators — reported separately, EXCLUDED from the
-                # headline total (fixed 23-query membership per BASELINE.md)
-                "extended": extended,
-                "extended_total": round(sum(extended.values()), 4),
-                "extended_r3": extended_r3,
-                "extended_r3_total": round(sum(extended_r3.values()), 4),
-                # paired DuckDB (same SQL, same parquet, same protocol);
-                # ratio = spark_total / duckdb_total over the queries BOTH
-                # engines completed — the <=2x gate from BASELINE.md
-                "duckdb": {
-                    "headline_queries": duck_headline,
-                    "headline_total": round(sum(duck_headline.values()), 4),
-                    "ratio_headline": round(
-                        sum(v for k, v in per_query.items() if k in duck_headline)
-                        / max(sum(duck_headline.values()), 1e-9),
-                        4,
-                    ),
-                    "extended_queries": duck_extended,
-                    "extended_total": round(sum(duck_extended.values()), 4),
-                    "ratio_extended": round(
-                        sum(v for k, v in extended.items() if k in duck_extended)
-                        / max(sum(duck_extended.values()), 1e-9),
-                        4,
-                    ),
-                    "extended_r3_queries": duck_r3,
-                    "extended_r3_total": round(sum(duck_r3.values()), 4),
-                    "ratio_extended_r3": round(
-                        sum(v for k, v in extended_r3.items() if k in duck_r3)
-                        / max(sum(duck_r3.values()), 1e-9),
-                        4,
-                    ),
-                    "skipped": duck_skipped_h + duck_skipped_e + duck_skipped_r3,
-                    "timeout_s": DUCK_TIMEOUT_S,
-                    "protocol": "1 warmup + median of runs_per_query; both "
-                    "engines timed via count(*) over the full query (same "
-                    "pruning opportunities, no client row conversion), "
-                    "DuckDB run after all Spark timing in the same process; "
-                    "fresh-session numbers in BASELINE.md",
-                },
-                "zarr_microbench": zarr_micro,
-                "zarr_microbench_total": round(sum(zarr_micro.values()), 4),
-                "sf": _sf_from_dir(SF_DIR),
-                "config": {
-                    "master": f"local[{CPUS}]",
-                    "runs_per_query": RUNS,
-                    "aqe": True,
-                },
-            }
+    # paired DuckDB measurement: identical SQL over the same parquet, same
+    # warmup+median protocol, run AFTER all Spark timing so DuckDB never
+    # contends with executors
+    duck_times: dict[str, dict] = {}
+    duck_skipped: list[str] = []
+    for sec, (names, runs) in sections.items():
+        dt, sk = _duckdb_times(
+            registry, [n for n in names if n in registry], runs
         )
-    )
+        duck_times[sec] = dt
+        duck_skipped.extend(sk)
+
+    summary_sections = {}
+    detail_sections = {}
+    for sec in sections:
+        st, dtm = spark_times[sec], duck_times[sec]
+        paired = [n for n in st if n in dtm]
+        s_tot = round(sum(st[n] for n in paired), 4)
+        d_tot = round(sum(dtm[n] for n in paired), 4)
+        ratio = round(s_tot / max(d_tot, 1e-9), 2)
+        net = round(
+            max(s_tot - len(paired) * fixed_cost_s, 0.0) / max(d_tot, 1e-9), 2
+        )
+        summary_sections[sec] = {
+            "n": len(paired),
+            "spark_s": s_tot,
+            "duck_s": d_tot,
+            "ratio": ratio,
+            "ratio_net": net,
+        }
+        detail_sections[sec] = {
+            "spark_queries": st,
+            "duckdb_queries": dtm,
+            "spark_total": s_tot,
+            "duckdb_total": d_tot,
+            "ratio": ratio,
+            "ratio_net_of_fixed_cost": net,
+            "slowest3_spark": _worst(st),
+            "runs_per_query": sections[sec][1],
+        }
+
+    headline_total = round(sum(spark_times["headline"].values()), 4)
+
+    detail = {
+        "sections": detail_sections,
+        "fixed_cost_s": fixed_cost_s,
+        "fixed_cost_note": "median trivial-job wall-clock; ratio_net = "
+        "(spark_total - n*fixed_cost_s)/duck_total — the constant "
+        "amortizes at scale, the raw ratio is what sf0.1 users see",
+        "zarr_microbench": zarr_micro,
+        "zarr_microbench_total": round(sum(zarr_micro.values()), 4),
+        "duckdb_skipped": sorted(set(duck_skipped)),
+        "excluded": EXCLUDED,
+        "duck_timeout_s": DUCK_TIMEOUT_S,
+        "sf": _sf_from_dir(SF_DIR),
+        "config": {
+            "master": f"local[{CPUS}]",
+            "runs_per_query": RUNS,
+            "runs_per_query_coverage": 1,
+            "aqe": True,
+        },
+        "protocol": "1 warmup + median of runs_per_query; both engines "
+        "timed via count(*) over the full query (same pruning "
+        "opportunities, no client row conversion); DuckDB run after all "
+        "Spark timing in the same process; fresh-session numbers in "
+        "BASELINE.md",
+    }
+    with open(DETAIL_PATH, "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    summary = {
+        "metric": "headline-suite median wall-clock (sum over queries)",
+        "value": headline_total,
+        "unit": "sec",
+        "queries": spark_times["headline"],
+        "sections": summary_sections,
+        "fixed_cost_s": fixed_cost_s,
+        "duckdb_skipped": sorted(set(duck_skipped)),
+        "n_excluded": len(EXCLUDED),
+        "detail_file": "BENCH_DETAIL.json",
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1800:
+        # keep the last line inside the driver's tail capture: shed the
+        # per-query floats first (they live in the detail file anyway)
+        summary["queries"] = {"see": "BENCH_DETAIL.json"}
+        line = json.dumps(summary, separators=(",", ":"))
     spark.stop()
+    sys.stdout.flush()
+    print(line)
 
 
 if __name__ == "__main__":

@@ -352,7 +352,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
-    max_df: int | None = None,
+    max_df: int | None = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index self-join
     (no LSH approximation; the join is bounded by shared-shingle pairs).
@@ -418,7 +418,7 @@ def ngram_containment_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | None = 100,
 ) -> DataFrame:
     """Asymmetric near-dup pairs by n-gram CONTAINMENT:
     ``|A n B| / min(|A|, |B|)`` — the measure that catches a short
@@ -428,7 +428,10 @@ def ngram_containment_pairs(
     10,000-shingle doc has Jaccard ~0.01 but containment 1.0.
 
     Same plan shape and hot-shingle ``max_df`` guard as
-    :func:`ngram_jaccard_pairs` (the inverted-index self-join finds
+    :func:`ngram_jaccard_pairs`; the guard defaults ON (``max_df=100``)
+    because the unguarded inverted-index self-join is quadratic in the
+    document frequency of any boilerplate shingle — pass ``max_df=None``
+    explicitly to accept that cost. (The inverted-index self-join finds
     every pair sharing ANY informative shingle, so recall does not
     depend on the measure — unlike MinHash bands, whose collision
     probability tracks Jaccard and would under-sample exactly these

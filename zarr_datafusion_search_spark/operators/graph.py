@@ -150,17 +150,26 @@ def duckdb_pagerank_sql(
     UNROLLED into one CTE chain per round (the fixed iteration count is what
     makes the operator oraclable at all), with the same per-round
     :data:`RANK_ROUND` grid pinning. ``edges_sql`` must produce
-    (src, dst, w)."""
+    (src, dst, w).
+
+    Every round-invariant CTE is declared ``MATERIALIZED``: DuckDB's
+    optimizer may otherwise inline a CTE into each of its references, and
+    the edge relation (potentially a window pass over the full event
+    stream) is referenced by all ``n_iter`` rounds — measured 42 s -> 0.6 s
+    at sf0.1 with the hint. Semantics are unchanged (it is purely a
+    materialization hint)."""
     sql = f"""
-WITH edges0 AS ({edges_sql}),
-edges AS (
+WITH edges0 AS MATERIALIZED ({edges_sql}),
+edges AS MATERIALIZED (
   SELECT src AS _src, dst AS _dst, CAST(sum(w) AS DOUBLE) AS _w
   FROM edges0 GROUP BY src, dst HAVING CAST(sum(w) AS DOUBLE) > 0
 ),
-nodes AS (SELECT _src AS node FROM edges UNION SELECT _dst FROM edges),
-nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-outw AS (SELECT _src, sum(_w) AS _ow FROM edges GROUP BY _src),
-enorm AS (
+nodes AS MATERIALIZED (
+  SELECT _src AS node FROM edges UNION SELECT _dst FROM edges
+),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outw AS MATERIALIZED (SELECT _src, sum(_w) AS _ow FROM edges GROUP BY _src),
+enorm AS MATERIALIZED (
   SELECT _src, _dst, _w / _ow AS _frac FROM edges JOIN outw USING (_src)
 ),
 r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
@@ -216,22 +225,22 @@ def label_propagation(
     """
     from zarr_datafusion_search_spark.operators.cache import tracked_persist
 
-    # the symmetrized edge list is joined every round AND references the
-    # (possibly expensive — minhash!) pair plan twice; persist it once or
-    # every round's checkpoint re-runs the whole upstream pipeline.
-    # Tracked: released via release_operator_caches(). Seeds likewise feed
-    # three anti-joins per round.
-    und = tracked_persist(
-        edges.select(
-            F.col(src_col).alias("src"),
-            F.col(dst_col).alias("dst"),
-            F.col(weight_col).alias("w"),
-        ).unionByName(
-            edges.select(
-                F.col(dst_col).alias("src"),
-                F.col(src_col).alias("dst"),
-                F.col(weight_col).alias("w"),
-            )
+    # The (possibly expensive — minhash!) pair plan is referenced TWICE by
+    # the symmetrize union and then joined every round. An eager
+    # localCheckpoint materializes it exactly once, up front, and truncates
+    # lineage — unlike a lazy persist, whose first materialization happens
+    # inside round 1's job where the two union branches race to compute the
+    # same uncached plan (the source of the 9.5 s-driver vs 2.1 s-fresh
+    # bench spread on label_propagation_sources). The symmetrize union off
+    # the checkpointed blocks is a cheap column swap, re-run per round.
+    pair3 = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).alias("w"),
+    ).localCheckpoint(eager=True)
+    und = pair3.unionByName(
+        pair3.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     )
     seeds = tracked_persist(seeds.select("node", "label"))

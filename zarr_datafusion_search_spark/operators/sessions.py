@@ -85,11 +85,22 @@ def dedup_with_cooldown(
     gap_us = cooldown_minutes * 60 * 1_000_000
     out_schema = events.schema
 
+    # NULL keys: numpy NaN objects break dict identity (NaN != NaN), so a
+    # null-keyed row would never match prior state and every one would be
+    # kept — diverging from SQL NULL-grouping (one group per key tuple,
+    # NULLs equal) that the recursive-CTE oracle uses. Normalize NA values
+    # to a shared sentinel before the fold-dict lookup.
+    _NULL_KEY = object()
+
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         last: dict = {}
         for pdf in batches:
             ts = (pd.to_datetime(pdf[ts_col]).astype("int64") // 1000).to_numpy()
-            keys = list(zip(*[pdf[k].to_numpy() for k in key_cols]))
+            key_arrays = [
+                [(_NULL_KEY if pd.isna(v) else v) for v in pdf[k].to_numpy()]
+                for k in key_cols
+            ]
+            keys = list(zip(*key_arrays))
             keep = [False] * len(ts)
             for i, (k, t) in enumerate(zip(keys, ts)):
                 lk = last.get(k)

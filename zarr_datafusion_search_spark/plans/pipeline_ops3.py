@@ -553,9 +553,13 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
         "n_clusters",
         (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
     )
+    # NO broadcast hint on the clustered-node set: `comp` has one row per
+    # document appearing in ANY near-dup pair — corpus-proportional at
+    # 100 TB. Let the anti-join shuffle; AQE still converts it to a
+    # broadcast join at runtime when the side is actually small.
     singles = (
         docs.join(
-            F.broadcast(comp.select(F.col("node").alias("doc_id"))),
+            comp.select(F.col("node").alias("doc_id")),
             "doc_id",
             "left_anti",
         )

@@ -116,9 +116,17 @@ def _assign_row_ids(df: DataFrame, chunk_rows: int, start: int):
 def _write_chunk_file(group_dir: str, name: str, cid: int, payload: bytes) -> None:
     """Atomic chunk write: the append path rewrites the boundary chunk the
     CURRENT metadata references, so a crashed or torn write must never be
-    visible — stage to a temp file and os.replace onto the chunk key."""
+    visible — stage to a temp file and os.replace onto the chunk key.
+
+    Temp names carry a per-attempt unique suffix: speculative or zombie
+    task attempts of the SAME chunk must not interleave writes into one
+    shared staging file (a truncated buffer renamed into place). Each
+    attempt stages privately; os.replace is atomic, last writer wins with
+    a complete payload either way."""
+    import uuid
+
     final = os.path.join(group_dir, name, "c", str(cid))
-    tmp = f"{final}.tmp"
+    tmp = f"{final}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     with open(tmp, "wb") as fh:
         fh.write(payload)
     os.replace(tmp, final)
@@ -181,7 +189,6 @@ def write_zarr_distributed(
         # ---- phase 2+3: shuffle on chunk id, task-side chunk writes --
         names = [f.name for f in schema.fields]
         specs = col_specs
-        is_multi = n_chunks > 1
         last_chunk = n_chunks - 1
         last_rows = total - last_chunk * chunk_rows
 
@@ -200,7 +207,12 @@ def write_zarr_distributed(
                     f"[{row_ids[0]}..{row_ids[-1]}], n={len(pdf)}, "
                     f"expected {expect} from {cid * chunk_rows}"
                 )
-            pad = chunk_rows - expect if (is_multi and expect < chunk_rows) else 0
+            # pad EVERY partial chunk to the full chunk_shape, including a
+            # single-chunk store: with clamp_chunk=False the metadata says
+            # chunk_shape=chunk_rows, and zarr v3 requires edge chunks to
+            # be full-size fill-padded — strict readers (e.g. the zarrs
+            # crate the reference builds on) fail decode on short buffers
+            pad = chunk_rows - expect if expect < chunk_rows else 0
             stats = {}
             for name in names:
                 spec = specs[name]
@@ -417,7 +429,6 @@ def append_zarr_distributed(
             return old_total
         new_total = old_total + n_new
         n_chunks_new = -(-new_total // chunk_rows)
-        is_multi = n_chunks_new > 1
         last_chunk = n_chunks_new - 1
         store_path = path
         _specs = specs
@@ -443,11 +454,9 @@ def append_zarr_distributed(
                     f"expected {expect_new} from {start_new}"
                 )
             n_vals = stop - cid * chunk_rows
-            pad = (
-                chunk_rows - n_vals
-                if (is_multi and n_vals < chunk_rows)
-                else 0
-            )
+            # full-size fill-padding for ANY partial chunk (see the batch
+            # writer): zarr v3 interop requires it even for 1-chunk stores
+            pad = chunk_rows - n_vals if n_vals < chunk_rows else 0
             prev = None
             if cid == boundary and partial:
                 # merge the store's trailing partial rows (bounded: < one

@@ -345,7 +345,10 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
 
 
 def append_stream_to_zarr(
-    stream: DataFrame, store_path: str, chunk_rows: int = 65536
+    stream: DataFrame,
+    store_path: str,
+    chunk_rows: int = 65536,
+    checkpoint_dir: str | None = None,
 ) -> int:
     """Streaming Zarr ingest into ONE growing store via row append.
 
@@ -363,7 +366,23 @@ def append_stream_to_zarr(
     path for readers, but ingest is serialized per micro-batch (fine — so
     is foreachBatch) and the store must not be written by anyone else.
     Returns the final row count.
+
+    Restart safety: per-batch append commits are atomic, but across RUNS a
+    checkpoint-less source replays from offset zero and re-appends rows the
+    previous run already committed. Pass ``checkpoint_dir`` (forwarded as
+    ``checkpointLocation``) for restart-safe ingest: Structured Streaming
+    resumes from committed offsets, and a batch-id high-water mark
+    persisted next to the store's metadata (``_zdss_hwm.json``, tmp+rename
+    like chunk files) makes the one remaining window idempotent — the
+    crash AFTER the append commit but BEFORE the offset commit, where the
+    restarted query re-delivers the same batch id. The mark is consulted
+    only WITH a checkpoint, because batch ids are stable only within one
+    checkpoint lineage; a checkpoint-less rerun renumbers from 0, so
+    skipping by id would drop genuinely new data there. Checkpoint-less
+    runs therefore keep the documented duplicate-on-rerun hazard: use them
+    only for one-shot ingest of a source that is never replayed.
     """
+    import json
     import os
 
     from zarr_datafusion_search_spark.sources.zarr_sink import (
@@ -372,21 +391,42 @@ def append_stream_to_zarr(
     )
 
     total = [0]
+    hwm_path = os.path.join(store_path, "_zdss_hwm.json")
+
+    def _read_hwm() -> int:
+        # the mark is valid only for the SAME checkpoint lineage: a new
+        # checkpoint renumbers batches from 0, so an old mark would
+        # silently drop fresh data
+        if os.path.exists(hwm_path):
+            with open(hwm_path) as fh:
+                doc = json.load(fh)
+            if doc.get("checkpoint_dir") == checkpoint_dir:
+                return int(doc["batch_id"])
+        return -1
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if checkpoint_dir is not None and batch_id <= _read_hwm():
+            return  # re-delivered batch: already appended by a prior run
         if not os.path.exists(os.path.join(store_path, "zarr.json")):
             total[0] = write_zarr_distributed(
                 batch_df, store_path, chunk_rows=chunk_rows
             )
         else:
             total[0] = append_zarr_distributed(batch_df, store_path)
+        if checkpoint_dir is not None:
+            tmp = f"{hwm_path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {"batch_id": batch_id, "checkpoint_dir": checkpoint_dir},
+                    fh,
+                )
+            os.replace(tmp, hwm_path)
 
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = stream.writeStream.foreachBatch(handle)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return total[0]
