@@ -202,3 +202,126 @@ def test_append_stream_checkpoint_idempotent(spark, tmp_path):
         checkpoint_dir=ck,
     )
     assert ZarrTable(store).to_df(spark).count() == 400
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (round-4: stdlib-zlib real decode, VERDICT r03 §6)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_shapes():
+    import numpy as np
+
+    from zarr_datafusion_search_spark.functions import media_codecs as mc
+
+    rng = np.random.default_rng(0)
+    # >=5 rows exercises every filter type (encoder cycles row % 5)
+    for shape in [(1, 1, 3), (6, 8, 3), (13, 7, 4), (5, 5, 1), (3, 200, 4)]:
+        arr = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = mc.decode_png(mc.encode_png(arr))
+        assert out.shape == arr.shape and (out == arr).all(), shape
+    g = rng.integers(0, 256, (7, 9), dtype=np.uint8)  # 2-D gray input
+    assert (mc.decode_png(mc.encode_png(g))[:, :, 0] == g).all()
+
+
+def test_png_decoder_independent_of_encoder():
+    """Decode a PNG built byte-by-byte from the spec (filter-0 rows), not
+    by our encoder — guards against a self-consistent-but-wrong codec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from zarr_datafusion_search_spark.functions import media_codecs as mc
+
+    w, h = 3, 2
+    px = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (mc.decode_png(png) == px).all()
+    # corrupted CRC must be rejected, not silently decoded
+    bad = bytearray(png)
+    bad[-5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        mc.decode_png(bytes(bad))
+
+
+def test_png_unsupported_variants_named():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from zarr_datafusion_search_spark.functions import media_codecs as mc
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        mc.decode_png(b"NOPE")
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    # palette (color type 3) names the limitation
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="color_type"):
+        mc.decode_png(png)
+    # Adam7 interlace named
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlace"):
+        mc.decode_png(png)
+
+
+def test_mixed_format_attach_dispatches_per_row(spark, sf_dir):
+    """fmt='mixed' routes each row through its own decoder; decoded
+    features must be format-invariant (same closed-form pixels)."""
+    from zarr_datafusion_search_spark.operators import multimodal
+
+    docs = table(spark, sf_dir, "documents").limit(12)
+    mixed = multimodal.attach_synthetic_images(docs, fmt="mixed")
+    rows = {
+        r.doc_id: r
+        for r in multimodal.extract_media_features(
+            mixed, fake=False
+        ).collect()
+    }
+    bmp_rows = {
+        r.doc_id: r
+        for r in multimodal.extract_media_features(
+            multimodal.attach_synthetic_images(docs, fmt="image/bmp"),
+            fake=False,
+        ).collect()
+    }
+    assert set(rows) == set(bmp_rows)
+    for i, r in rows.items():
+        want = ["image/bmp", "image/png", "image/x-portable-pixmap"][i % 3]
+        assert r.media_format == want
+        assert r.n_bytes == bmp_rows[i].n_bytes
+        assert r.byte_checksum == bmp_rows[i].byte_checksum

@@ -6,12 +6,16 @@ libraries (VERDICT r02 §2):
 - **BMP** (24-bit uncompressed ``BI_RGB``) — ``struct`` header parse,
   bottom-up BGR rows, 4-byte row padding;
 - **PPM** (binary ``P6``) — trivial self-describing header + raw RGB;
+- **PNG** (8-bit gray/RGB/RGBA, non-interlaced) — stdlib ``zlib`` inflate
+  + full per-row unfiltering (all five filter types: None/Sub/Up/Average/
+  Paeth), CRC-checked chunk walk. PNG is the format a real image corpus
+  actually carries, and it needs no codec library (VERDICT r03 §6);
 - **WAV** (PCM) — stdlib ``wave`` over ``io.BytesIO``;
 - **PPM stream** (``video/ppm-stream``) — a video stand-in that is still a
   *real* self-describing byte format: concatenated P6 frames, each parsed
   from its own header (frame boundaries are derived from the headers, not
-  assumed). Container formats that genuinely need ffmpeg/PIL (mp4, png,
-  jpeg) remain gated with a clear error listing the supported formats.
+  assumed). Container formats that genuinely need ffmpeg/PIL (mp4, jpeg)
+  remain gated with a clear error listing the supported formats.
 
 All functions are pure bytes/numpy — safe to call inside Arrow-batched
 ``mapInPandas`` workers with zero extra imports shipped.
@@ -26,7 +30,11 @@ import wave
 import numpy as np
 
 #: formats the real decode paths accept, per media kind
-SUPPORTED_IMAGE_FORMATS = ("image/bmp", "image/x-portable-pixmap")
+SUPPORTED_IMAGE_FORMATS = (
+    "image/bmp",
+    "image/x-portable-pixmap",
+    "image/png",
+)
 SUPPORTED_AUDIO_FORMATS = ("audio/wav",)
 SUPPORTED_VIDEO_FORMATS = ("video/ppm-stream",)
 
@@ -120,11 +128,184 @@ def decode_bmp(b: bytes) -> np.ndarray:
     return np.ascontiguousarray(bgr[:, :, ::-1])
 
 
+# ---------------------------------------------------------------------------
+# PNG (8-bit gray / RGB / RGBA, non-interlaced; stdlib zlib)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: color type -> channel count (8-bit depth only; palette/16-bit rejected)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §9, filter type 4) vectorized over a row:
+    pick whichever of left/up/up-left is closest to a + b - c."""
+    a16 = a.astype(np.int16)
+    b16 = b.astype(np.int16)
+    c16 = c.astype(np.int16)
+    p = a16 + b16 - c16
+    pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    out = np.where((pa <= pb) & (pa <= pc), a16, np.where(pb <= pc, b16, c16))
+    return out.astype(np.uint8)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w) / (h, w, 1|3|4) uint8 -> PNG bytes. The row filter cycles
+    through all five types (row % 5) so any decoder reading this output —
+    including :func:`decode_png`'s own unfilter paths — exercises every
+    filter, not just type 0."""
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}.get(c)
+    if color_type is None:
+        raise ValueError(f"PNG encoder needs 1/3/4 channels, got {c}")
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    bpp = c
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for y in range(h):
+        cur = a[y].reshape(-1)
+        left = np.concatenate([np.zeros(bpp, np.uint8), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+        ft = y % 5
+        if ft == 0:
+            filt = cur
+        elif ft == 1:  # Sub
+            filt = cur - left
+        elif ft == 2:  # Up
+            filt = cur - prev
+        elif ft == 3:  # Average
+            filt = cur - (
+                (left.astype(np.uint16) + prev.astype(np.uint16)) // 2
+            ).astype(np.uint8)
+        else:  # Paeth
+            filt = cur - _paeth(left, prev, upleft)
+        raw.append(ft)
+        raw.extend(filt.tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, channels) uint8 (gray kept as (h, w, 1)).
+
+    Full chunk walk with CRC verification, concatenated-IDAT inflate, and
+    per-row unfilter of all five filter types. 8-bit depth, color types
+    0/2/6, non-interlaced only — palette, 16-bit, and Adam7 raise with the
+    limitation named (a real corpus's RGB/RGBA PNGs are covered)."""
+    import zlib
+
+    if b[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if depth != 8 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"only 8-bit gray/RGB/RGBA PNG supported (depth={depth}, "
+            f"color_type={color_type}; palette/16-bit need a codec lib)"
+        )
+    if comp != 0 or filt_method != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG encoding (compression={comp}, "
+            f"filter_method={filt_method}, interlace={interlace}; "
+            "Adam7 interlacing not supported)"
+        )
+    c = _PNG_CHANNELS[color_type]
+    stride = w * c
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG pixel stream is {len(raw)} bytes, expected {h * (stride + 1)}"
+        )
+    bpp = c
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ft == 0:
+            cur = row
+        elif ft == 2:  # Up
+            cur = row + prev
+        elif ft in (1, 3, 4):
+            # left-dependent filters are inherently sequential in x;
+            # recon pixel-group-at-a-time (vectors of bpp bytes)
+            cur = row
+            upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+            for x in range(0, stride, bpp):
+                left = (
+                    cur[x - bpp : x]
+                    if x
+                    else np.zeros(bpp, np.uint8)
+                )
+                if ft == 1:  # Sub
+                    cur[x : x + bpp] += left
+                elif ft == 3:  # Average
+                    cur[x : x + bpp] += (
+                        (
+                            left.astype(np.uint16)
+                            + prev[x : x + bpp].astype(np.uint16)
+                        )
+                        // 2
+                    ).astype(np.uint8)
+                else:  # Paeth
+                    cur[x : x + bpp] += _paeth(
+                        left, prev[x : x + bpp], upleft[x : x + bpp]
+                    )
+        else:
+            raise ValueError(f"PNG row {y}: unknown filter type {ft}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, c)
+
+
 def decode_image(b: bytes, fmt: str) -> np.ndarray:
     if fmt == "image/bmp":
         return decode_bmp(b)
     if fmt == "image/x-portable-pixmap":
         return decode_ppm(b)
+    if fmt == "image/png":
+        return decode_png(b)
     raise NotImplementedError(
         f"real decode of {fmt!r} needs codec libraries not in this "
         f"environment; supported here: {SUPPORTED_IMAGE_FORMATS} "
@@ -137,6 +318,8 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         return encode_bmp(arr)
     if fmt == "image/x-portable-pixmap":
         return encode_ppm(arr)
+    if fmt == "image/png":
+        return encode_png(arr)
     raise NotImplementedError(f"no dependency-free encoder for {fmt!r}")
 
 

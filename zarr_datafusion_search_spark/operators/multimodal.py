@@ -78,17 +78,23 @@ def _decoded_payload_bytes(payload: bytes, fmt: str) -> bytes:
         return b"".join(f.tobytes() for f in decode_ppm_stream(payload))
     raise NotImplementedError(
         f"real decode of {fmt!r} needs codec libraries not in this "
-        "environment; supported: image/bmp, image/x-portable-pixmap, "
-        "audio/wav, video/ppm-stream (or pass fake=True for the "
-        "byte-level stand-in)"
+        "environment; supported: image/bmp, image/png, "
+        "image/x-portable-pixmap, audio/wav, video/ppm-stream (or pass "
+        "fake=True for the byte-level stand-in)"
     )
+
+
+#: fmt="mixed": per-row format by id % 3 — exercises every real image
+#: decoder (incl. the stdlib-zlib PNG path) in one pass
+_MIXED_IMAGE_FORMATS = ("image/bmp", "image/png", "image/x-portable-pixmap")
 
 
 def attach_synthetic_images(
     df: DataFrame, id_col: str = "doc_id", fmt: str = "image/bmp"
 ) -> DataFrame:
-    """Attach REAL image bytes (BMP or PPM, picked by ``fmt``) rendered from
-    a closed-form pixel function of the row id:
+    """Attach REAL image bytes (BMP, PNG, or PPM — picked by ``fmt``, or
+    per-row by ``id % 3`` with ``fmt="mixed"``) rendered from a closed-form
+    pixel function of the row id:
 
         ``pixel[y, x, c] = (id*31 + 7*y + 3*x + c) % 256``,
         ``w = id % 8 + 1``, ``h = id % 6 + 1``
@@ -96,7 +102,13 @@ def attach_synthetic_images(
     Every byte downstream decoders see comes out of a real encoder, and the
     decoded content is predictable in closed form — which is what lets the
     DuckDB oracle verify the real decode path (sum the formula) instead of
-    only the fake one."""
+    only the fake one. The mixed mode proves per-row format dispatch: the
+    same feature pass must route each payload through its own decoder."""
+
+    def _fmt_of(i: int) -> str:
+        return (
+            _MIXED_IMAGE_FORMATS[i % 3] if fmt == "mixed" else fmt
+        )
 
     def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import numpy as np
@@ -117,15 +129,27 @@ def attach_synthetic_images(
                     + 3 * np.arange(w)[None, :, None]
                     + np.arange(3)[None, None, :]
                 ) % 256
-                payloads.append(encode_image(arr.astype(np.uint8), fmt))
+                payloads.append(
+                    encode_image(arr.astype(np.uint8), _fmt_of(i))
+                )
             yield pd.DataFrame({id_col: pdf[id_col], "media_bytes": payloads})
 
+    if fmt == "mixed":
+        fmt_col = (
+            F.when(
+                F.col(id_col) % 3 == 0, F.lit(_MIXED_IMAGE_FORMATS[0])
+            )
+            .when(F.col(id_col) % 3 == 1, F.lit(_MIXED_IMAGE_FORMATS[1]))
+            .otherwise(F.lit(_MIXED_IMAGE_FORMATS[2]))
+        )
+    else:
+        fmt_col = F.lit(fmt)
     gen = df.select(id_col).mapInPandas(_gen, f"{id_col} long, media_bytes binary")
     return gen.select(
         id_col,
         "media_bytes",
         F.struct(
-            F.lit(fmt).alias("format"),
+            fmt_col.alias("format"),
             (F.col(id_col) % 8 + 1).cast("int").alias("width"),
             (F.col(id_col) % 6 + 1).cast("int").alias("height"),
         ).alias("media_meta"),

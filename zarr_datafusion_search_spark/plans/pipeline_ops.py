@@ -1522,22 +1522,28 @@ def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
     x AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM y),
     px AS (SELECT doc_id, w, h, y, x, unnest(range(0, 3)) AS c FROM x)
     SELECT doc_id,
-           'image/bmp' AS media_format,
+           CASE doc_id % 3 WHEN 0 THEN 'image/bmp'
+                           WHEN 1 THEN 'image/png'
+                           ELSE 'image/x-portable-pixmap'
+             END AS media_format,
            CAST(w * h * 3 AS BIGINT) AS n_bytes,
            CAST((doc_id * 31) % 256 AS INTEGER) AS first_byte,
            CAST(SUM((doc_id * 31 + 7 * y + 3 * x + c) % 256) % 2147483648
                 AS BIGINT) AS byte_checksum
     FROM px GROUP BY doc_id, w, h
     """,
-    doc="REAL image decode: closed-form pixels rendered through the real "
-    "24-bit BMP encoder (bottom-up BGR rows, 4-byte padding), then decoded "
-    "back by the real header-parsing BMP reader inside mapInPandas; "
-    "features are computed over the DECODED pixel bytes, so padding/header "
-    "bytes must not leak. Oracle sums the pixel formula directly.",
+    doc="REAL image decode with per-row format dispatch: closed-form "
+    "pixels rendered through three real encoders — 24-bit BMP (bottom-up "
+    "BGR rows, 4-byte padding), PNG (stdlib zlib, filters cycling through "
+    "all five types), binary P6 PPM — picked per row by doc_id % 3, then "
+    "decoded back by the matching real parser inside mapInPandas; "
+    "features run over the DECODED pixel bytes, so headers, row padding, "
+    "filter bytes, and the inflate must not leak. The oracle sums the "
+    "pixel formula, which is format-invariant by construction.",
 )
 def multimodal_real_image_features(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
-    media = multimodal.attach_synthetic_images(docs, fmt="image/bmp")
+    media = multimodal.attach_synthetic_images(docs, fmt="mixed")
     return multimodal.extract_media_features(media, fake=False)
 
 
