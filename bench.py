@@ -138,6 +138,13 @@ EXTENDED_R4 = [
     "embedding_standardize_robust",
     "join_key_skew_report",
     "text_normalize",
+    # round-4 additions
+    "graph_clustering_coefficient",
+    "neighbor_chars_2hop",
+    "source_term_kl_drift",
+    "vocab_growth_curve",
+    "event_value_anomalies",
+    "embedding_covariance_top_pairs",
 ]
 
 #: registered queries deliberately NOT timed, with the reason the judge

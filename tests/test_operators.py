@@ -217,12 +217,21 @@ def test_multimodal_fake_features(spark, sf_dir):
         assert r.media_format == "image/png"
 
 
-def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
+def test_multimodal_real_decode_gates(spark, sf_dir):
+    # fake media is labeled image/png but carries text bytes: the REAL
+    # decoder must reject it loudly (signature check), never mis-decode
     docs = table(spark, sf_dir, "documents").limit(2)
     media = multimodal.attach_fake_media(docs)
     feats = multimodal.extract_media_features(media, fake=False)
-    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+    with pytest.raises(Exception, match="not a PNG"):
         feats.collect()
+    # formats that genuinely need codec libs stay gated with a clear error
+    gated = media.withColumn(
+        "media_meta",
+        F.struct(F.lit("image/jpeg").alias("format")),
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.extract_media_features(gated, fake=False).collect()
 
 
 def test_asof_join_tolerance(spark):
@@ -495,7 +504,9 @@ def test_resize_media_shape_and_gating(spark, sf_dir):
     for r in out:
         assert len(r.media_bytes) == 32
         assert r.media_meta.width == 8 and r.media_meta.height == 4
-    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+    # fake media is LABELED image/png but carries text bytes: the now-real
+    # PNG decoder must reject it at the signature check
+    with pytest.raises(Exception, match="not a PNG"):
         multimodal.resize_media(media, fake=False).collect()
 
 

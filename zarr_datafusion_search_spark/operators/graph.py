@@ -270,3 +270,169 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def triangle_clustering(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over an
+    undirected simple graph — the community-density signal a near-dup
+    graph audit reads (high clustering = template families, low = chains
+    of borderline matches).
+
+    Scale shape: triangle enumeration is the classic ORIENTED wedge join.
+    Edges are oriented from the lower-(degree, id) endpoint to the higher
+    one, wedges are built by joining oriented out-edges on their middle
+    vertex, and each wedge is closed against the oriented edge set with
+    one more equi-join. Orientation bounds every vertex's out-degree by
+    O(sqrt(m)) on any graph (the arboricity argument behind the standard
+    triangle-counting MapReduce), so the wedge join is Sum(outdeg^2) <=
+    m^1.5 instead of Sum(deg^2), which a power-law hub would blow up.
+    Triangles are orientation-invariant, so a plain id-ordered oracle
+    enumerates the identical set.
+
+    Returns (node, degree, triangles, clustering) with
+    ``clustering = 2*T / (deg*(deg-1))`` (0 when deg < 2), rounded 6dp.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        # materialized once: degrees, orientation, wedge join, and closure
+        # all read this relation — without the snapshot the (possibly
+        # minhash-expensive) pair plan runs four times
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orient by (degree, node): lower rank -> higher rank
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
+    ranked = canon.join(da, "a").join(db, "b")
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint(eager=True)
+    # wedges u->v, u->w (v < w by the orientation's total order is NOT
+    # guaranteed, so dedupe by unordered pair via least/greatest)
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.v") < F.col("o2.v")),
+    ).select(
+        F.col("o1.u").alias("w_apex"),
+        F.col("o1.v").alias("w_x"),
+        F.col("o2.v").alias("w_y"),
+    )
+    # close each wedge: the third edge (w_x, w_y) exists in EITHER
+    # orientation; oriented edges are unique per unordered pair, so match
+    # on the unordered key
+    closing = oriented.select(
+        F.least("u", "v").alias("c_lo"), F.greatest("u", "v").alias("c_hi")
+    )
+    tris = wedges.join(
+        closing,
+        (F.least("w_x", "w_y") == F.col("c_lo"))
+        & (F.greatest("w_x", "w_y") == F.col("c_hi")),
+    ).select("w_apex", "w_x", "w_y")
+    per_node = (
+        tris.select(F.col("w_apex").alias("node"))
+        .unionAll(tris.select(F.col("w_x").alias("node")))
+        .unionAll(tris.select(F.col("w_y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+
+
+def neighborhood_mean_2hop(
+    edges: DataFrame,
+    attrs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    node_col: str = "doc_id",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """GNN-style 2-hop neighborhood aggregation without a GNN: for every
+    node in the edge set, the mean of a numeric attribute over its
+    distinct 1-hop neighbors and over its distinct <=2-hop neighborhood
+    (nodes reachable via some middle vertex, self excluded) — the
+    message-passing feature a graph-aware quality model consumes,
+    expressed as two equi-joins + distinct + one attribute join.
+
+    Scale: the 2-hop expansion is bounded by Sum(deg^2) wedges before the
+    distinct; partial aggregation needs the DISTINCT neighbor set, so the
+    shuffle key is (node, neighbor) — the same bound every 2-hop GNN
+    sampler pays exactly.
+    """
+    sym = (
+        edges.select(
+            F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+        )
+        .unionAll(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = attrs.select(
+        F.col(node_col).alias("d"), F.col(value_col).cast("double").alias("val")
+    )
+    hop1 = sym  # (s, d) distinct
+    m1 = hop1.join(a, "d").groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_1hop"),
+        F.round(F.avg("val"), 6).alias("mean_1hop"),
+    )
+    s1 = sym.alias("s1")
+    s2 = sym.alias("s2")
+    hop2 = (
+        s1.join(s2, F.col("s1.d") == F.col("s2.s"))
+        .filter(F.col("s1.s") != F.col("s2.d"))
+        .select(F.col("s1.s").alias("s"), F.col("s2.d").alias("d"))
+        .distinct()
+    )
+    m2 = hop2.join(a, "d").groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_2hop"),
+        F.round(F.avg("val"), 6).alias("mean_2hop"),
+    )
+    return (
+        m1.join(m2, "s", "left")
+        .select(
+            F.col("s").alias(node_col),
+            "n_1hop",
+            "mean_1hop",
+            F.coalesce("n_2hop", F.lit(0)).alias("n_2hop"),
+            "mean_2hop",
+        )
+    )

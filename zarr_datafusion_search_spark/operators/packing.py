@@ -172,3 +172,69 @@ def shard_by_token_budget(
             .alias("shard_id"),
         )
     )
+
+
+def global_cumsum(
+    df: DataFrame, order_col: str, value_cols: list[str]
+) -> DataFrame:
+    """Distributed prefix sums: ``cum_<col>`` = inclusive cumulative sum of
+    each value column in global ``order_col`` order.
+
+    Same two-phase shape as :func:`shard_by_token_budget` (its cumsum,
+    generalized to N columns): range-repartition on the order key, local
+    cumsum per sorted partition in one Arrow pass, per-partition totals to
+    the driver (one tiny row each), exclusive prefix offsets broadcast
+    back. Never the single-task global-window cumsum.
+    """
+    cum_names = [f"cum_{c}" for c in value_cols]
+    prepared = (
+        df.repartitionByRange(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(order_col)
+        ).sortWithinPartitions(order_col)
+    )
+    in_schema = df.schema
+
+    def local_cumsum(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        running = {c: 0 for c in value_cols}
+        for pdf in batches:
+            out = pdf.copy()
+            out["pid"] = pid
+            for c in value_cols:
+                s = pdf[c].cumsum() + running[c]
+                running[c] = int(s.iloc[-1]) if len(s) else running[c]
+                out[f"cum_{c}"] = s
+            yield out
+
+    out_fields = (
+        [f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields]
+        + ["pid int"]
+        + [f"cum_{c} long" for c in value_cols]
+    )
+    # eager snapshot: the totals job and the offset join read the same
+    # materialization (see shard_by_token_budget for the full rationale)
+    local = prepared.mapInPandas(
+        local_cumsum, ", ".join(out_fields)
+    ).localCheckpoint(eager=True)
+    totals = (
+        local.groupBy("pid")
+        .agg(*[F.max(f"cum_{c}").alias(f"t_{c}") for c in value_cols])
+        .collect()
+    )
+    offsets = []
+    acc = {c: 0 for c in value_cols}
+    for r in sorted(totals, key=lambda r: r["pid"]):
+        offsets.append((r["pid"], *[acc[c] for c in value_cols]))
+        for c in value_cols:
+            acc[c] += r[f"t_{c}"] or 0
+    spark = df.sparkSession
+    off_schema = "pid int, " + ", ".join(f"off_{c} long" for c in value_cols)
+    off_df = F.broadcast(spark.createDataFrame(offsets, off_schema))
+    joined = local.join(off_df, "pid")
+    exprs = [F.col(f.name) for f in in_schema.fields] + [
+        (F.col(f"cum_{c}") + F.col(f"off_{c}")).alias(f"cum_{c}")
+        for c in value_cols
+    ]
+    return joined.select(*exprs)

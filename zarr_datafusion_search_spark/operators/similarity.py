@@ -1060,3 +1060,89 @@ def standardize_embeddings(
             lambda s: s["z"],
         ).alias("standardized")
     )
+
+
+def covariance_top_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-``k`` most-correlated embedding dimension pairs by absolute
+    covariance — the redundancy diagnostic behind dimension pruning and
+    whitening decisions (two dimensions that covary strongly carry one
+    dimension of information).
+
+    Scale shape: the d x d Gram matrix is accumulated as PARTIAL SUMS per
+    Arrow batch inside one ``mapInPandas`` pass (a BLAS ``X^T X`` per
+    batch) — each task emits a single flattened d^2 row, so the shuffle
+    moves ``n_partitions * d^2`` doubles instead of ``n_rows * d`` vector
+    elements, and no vector ever crosses the network. The flattened
+    partials are exploded and summed per (i, j) index; covariance =
+    ``Sxy/n - mean_i * mean_j``; the final top-k ranks |cov| with (i, j)
+    tiebreak. Exactly the two-pass-free textbook streaming covariance.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if dim is None:
+        first = emb.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("empty embedding relation")
+        dim = int(first["d"])
+    d = dim
+
+    def partials(batches):
+        s = np.zeros((d, d), dtype=np.float64)
+        m = np.zeros(d, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if X.shape[1] != d:
+                raise ValueError(
+                    f"embedding dim {X.shape[1]} != expected {d}"
+                )
+            s += X.T @ X
+            m += X.sum(axis=0)
+            n += X.shape[0]
+        if n:
+            yield pd.DataFrame(
+                {"s": [s.reshape(-1)], "m": [m], "n": [n]}
+            )
+
+    part = emb.select(vec_col).mapInPandas(
+        partials, "s array<double>, m array<double>, n long"
+    )
+    summed = part.agg(
+        F.aggregate(
+            F.collect_list("s"),
+            F.array([F.lit(0.0)] * (d * d)),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("s"),
+        F.aggregate(
+            F.collect_list("m"),
+            F.array([F.lit(0.0)] * d),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("m"),
+        F.sum("n").alias("n"),
+    )
+    flat = summed.select(
+        F.posexplode("s").alias("idx", "sxy"), "m", "n"
+    ).select(
+        (F.col("idx") / d).cast("int").alias("i"),
+        (F.col("idx") % d).alias("j"),
+        "sxy",
+        "m",
+        "n",
+    )
+    cov = flat.filter(F.col("i") < F.col("j")).select(
+        "i",
+        "j",
+        F.round(
+            F.col("sxy") / F.col("n")
+            - (F.element_at("m", F.col("i") + 1) / F.col("n"))
+            * (F.element_at("m", F.col("j") + 1) / F.col("n")),
+            6,
+        ).alias("cov"),
+    )
+    return cov.orderBy(F.abs(F.col("cov")).desc(), "i", "j").limit(top_k)

@@ -931,3 +931,140 @@ def skipgram_pairs(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
+
+
+def source_term_kl(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Smoothed unigram KL divergence of each group's term distribution
+    from the corpus distribution — the drift score that flags a source
+    whose language shifted (new crawl snapshot, injected spam, template
+    takeover) before it contaminates a training mix.
+
+    Distributions use add-0.5 smoothing over the CORPUS vocabulary V:
+    ``q(t) = (c(t)+0.5)/(n+0.5V)``, ``p_g(t) = (c_g(t)+0.5)/(n_g+0.5V)``.
+    The sum over all V terms factorizes so absent terms never materialize:
+    for terms absent from group g, ``p_g`` is one constant ``p0_g``, so
+
+        KL_g = sum_{t in g}[p ln p - p ln q]
+             + p0_g * [(V - V_g) ln p0_g - (L - L_g)]
+
+    where ``L = sum_t ln q(t)`` (one corpus scalar) and ``L_g`` the same
+    sum over g's present terms. One shuffle on (group, term), one on term,
+    broadcast scalars — never a group x vocabulary cross join, which is
+    what makes this shape hold when V is 10^8.
+    """
+    from zarr_datafusion_search_spark.operators.dedup import tokens_col
+
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens_col(text_col)).alias("term"),
+    )
+    from zarr_datafusion_search_spark.operators.cache import tracked_persist
+
+    # vocabulary x groups sized (metadata scale, not corpus scale); feeds
+    # the corpus counts AND two per-group passes — persist or the token
+    # explode over the corpus runs three times
+    gcounts = tracked_persist(
+        toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("cg"))
+    )
+    # corpus counts derived from group counts: term stream aggregates once
+    ccounts = gcounts.groupBy("term").agg(F.sum("cg").alias("c"))
+    scal = ccounts.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("c").alias("n")
+    )
+    # q(t) needs the corpus scalars; fold them in via broadcast
+    q = ccounts.crossJoin(F.broadcast(scal)).select(
+        "term",
+        "v",
+        "n",
+        ((F.col("c") + 0.5) / (F.col("n") + 0.5 * F.col("v"))).alias("qt"),
+    )
+    lsum = q.agg(
+        F.sum(F.log("qt")).alias("l_all"), F.first("v").alias("v"),
+        F.first("n").alias("n"),
+    )
+    joined = gcounts.join(q.select("term", "qt"), "term")
+    per_group = joined.groupBy("grp").agg(
+        F.sum("cg").alias("ng"),
+        F.count(F.lit(1)).alias("vg"),
+        F.sum(F.log("qt")).alias("l_g"),
+    )
+    present = joined.join(
+        per_group.select("grp", "ng"), "grp"
+    ).crossJoin(F.broadcast(lsum.select("v", "n")))
+    present_term = present.select(
+        "grp",
+        (
+            ((F.col("cg") + 0.5) / (F.col("ng") + 0.5 * F.col("v")))
+            * (
+                F.log((F.col("cg") + 0.5) / (F.col("ng") + 0.5 * F.col("v")))
+                - F.log("qt")
+            )
+        ).alias("contrib"),
+    ).groupBy("grp").agg(F.sum("contrib").alias("kl_present"))
+    out = (
+        per_group.join(present_term, "grp")
+        .crossJoin(F.broadcast(lsum))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("ng").alias("n_tokens"),
+            F.col("vg").alias("n_terms"),
+            F.round(
+                F.col("kl_present")
+                + (F.lit(0.5) / (F.col("ng") + 0.5 * F.col("v")))
+                * (
+                    (F.col("v") - F.col("vg"))
+                    * F.log(F.lit(0.5) / (F.col("ng") + 0.5 * F.col("v")))
+                    - (F.col("l_all") - F.col("l_g"))
+                ),
+                6,
+            ).alias("kl_divergence"),
+        )
+    )
+    return out
+
+
+def vocab_growth_curve(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heaps'-law vocabulary growth: for each document (in ``id_col``
+    order), the cumulative token count and cumulative DISTINCT vocabulary
+    size after ingesting that document — the saturation curve a corpus
+    builder reads to decide whether more of a source still adds new
+    language.
+
+    No sequential scan: a term's contribution to the curve is fully
+    determined by its FIRST occurrence (min doc_id per term — one shuffle
+    on term), so the curve is a prefix sum over per-doc (n_tokens,
+    n_first_occurrences). The prefix sum itself uses the two-phase
+    range-partitioned cumsum (local cumsum + broadcast partition offsets)
+    from :mod:`..operators.packing` — never a single-task global window.
+    """
+    from zarr_datafusion_search_spark.operators.dedup import tokens_col
+    from zarr_datafusion_search_spark.operators.packing import global_cumsum
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("term")
+    )
+    per_doc_tokens = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    first_seen = toks.groupBy("term").agg(F.min(id_col).alias(id_col))
+    new_terms = first_seen.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_new_terms")
+    )
+    per_doc = per_doc_tokens.join(new_terms, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_new_terms", F.lit(0)).alias("n_new_terms"),
+    )
+    cum = global_cumsum(per_doc, id_col, ["n_tokens", "n_new_terms"])
+    return cum.select(
+        id_col,
+        F.col("cum_n_tokens").alias("cum_tokens"),
+        F.col("cum_n_new_terms").alias("cum_vocab"),
+    )

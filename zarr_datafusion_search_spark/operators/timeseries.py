@@ -356,3 +356,60 @@ def cohort_retention(
         "cohort_size",
         F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
     )
+
+
+def rolling_zscore_anomalies(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window_rows: int = 20,
+    min_history: int = 5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly detection: each event's value is
+    scored against the mean/stddev of its own TRAILING window (the
+    ``window_rows`` events strictly before it), and events with
+    ``|z| > threshold`` are flagged — the streaming-shaped outlier pass a
+    metrics pipeline runs before aggregation, in batch form.
+
+    One shuffle on the key; mean and sample stddev come from a single
+    ROWS-frame window pass (two aggregates over one frame, computed
+    together by Spark's window exec). The frame EXCLUDES the current row
+    (``window_rows PRECEDING .. 1 PRECEDING``) so an outlier never masks
+    itself. Keys need ``min_history`` prior events and a nonzero spread;
+    z is rounded to 6dp BEFORE thresholding so the flag set is identical
+    cross-engine at the boundary.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-window_rows, -1)
+    )
+    scored = events.select(
+        id_col,
+        key_col,
+        ts_col,
+        value_col,
+        F.count(value_col).over(w).alias("n_hist"),
+        F.avg(value_col).over(w).alias("mu"),
+        F.stddev_samp(value_col).over(w).alias("sigma"),
+    )
+    return (
+        scored.filter(
+            (F.col("n_hist") >= min_history) & (F.col("sigma") > 0)
+        )
+        .select(
+            id_col,
+            key_col,
+            ts_col,
+            value_col,
+            F.round(
+                (F.col(value_col) - F.col("mu")) / F.col("sigma"), 6
+            ).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > threshold)
+    )

@@ -1,0 +1,295 @@
+"""Round-4 pipeline-operator queries: graph structure diagnostics
+(triangles / clustering coefficient, 2-hop neighborhood aggregation),
+distribution drift (per-source smoothed unigram KL), Heaps'-law vocabulary
+growth via the distributed prefix sum, rolling z-score anomaly detection,
+and the embedding covariance redundancy diagnostic.
+
+Same contract as ``pipeline_ops``: every entry is a Spark DataFrame plan
+plus a DuckDB oracle computing the identical result (column names aliased
+identically on both sides; floats pinned with both-side rounding).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from zarr_datafusion_search_spark.plans.pipeline_ops import (
+    _MH_CTES,
+    _MH_SELECT,
+)
+from zarr_datafusion_search_spark.plans.pipeline_ops3 import _TOKS
+from zarr_datafusion_search_spark.plans.registry import register, table
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_MH_CTES},
+    pairs AS ({_MH_SELECT}),
+    canon AS MATERIALIZED (
+      SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+      FROM pairs WHERE doc_a <> doc_b
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, count(*) AS degree FROM (
+        SELECT a AS node FROM canon UNION ALL SELECT b FROM canon
+      ) GROUP BY 1
+    ),
+    -- canonical a < b edges: e1=(a,b), e2=(b,c), e3=(a,c) enumerates each
+    -- triangle exactly once with a < b < c
+    tri AS MATERIALIZED (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM canon e1
+      JOIN canon e2 ON e2.a = e1.b
+      JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tcnt AS (
+      SELECT node, count(*) AS triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY 1
+    )
+    SELECT d.node, d.degree,
+           coalesce(t.triangles, 0) AS triangles,
+           CASE WHEN d.degree >= 2
+                THEN round(2.0 * coalesce(t.triangles, 0)
+                           / (d.degree * (d.degree - 1)), 6)
+                ELSE 0.0 END AS clustering
+    FROM deg d LEFT JOIN tcnt t USING (node)
+    """,
+    doc="Per-node triangle count + local clustering coefficient over the "
+    "minhash near-dup graph — template families read as dense clusters, "
+    "borderline-match chains as sparse ones. Spark side uses the "
+    "degree-ORIENTED wedge join (out-degree bounded by O(sqrt(m)) under "
+    "orientation), so the candidate join is m^1.5 instead of Sum(deg^2) "
+    "under power-law hubs; triangles are orientation-invariant, so the "
+    "id-ordered oracle enumerates the identical set.",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators import dedup
+    from zarr_datafusion_search_spark.operators.graph import (
+        triangle_clustering,
+    )
+
+    docs = table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, rows_per_band=4, jaccard_threshold=0.5
+    )
+    return triangle_clustering(pairs)
+
+
+@register(
+    "neighbor_chars_2hop",
+    oracle=f"""
+    WITH {_MH_CTES},
+    pairs AS ({_MH_SELECT}),
+    sym AS MATERIALIZED (
+      SELECT DISTINCT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    a AS (SELECT doc_id AS d, CAST(n_chars AS DOUBLE) AS val FROM documents),
+    m1 AS (
+      SELECT s, count(*) AS n_1hop, round(avg(val), 6) AS mean_1hop
+      FROM sym JOIN a USING (d) GROUP BY s
+    ),
+    h2 AS (
+      SELECT DISTINCT s1.s, s2.d
+      FROM sym s1 JOIN sym s2 ON s1.d = s2.s
+      WHERE s1.s <> s2.d
+    ),
+    m2 AS (
+      SELECT s, count(*) AS n_2hop, round(avg(val), 6) AS mean_2hop
+      FROM h2 JOIN a USING (d) GROUP BY s
+    )
+    SELECT m1.s AS doc_id, n_1hop, mean_1hop,
+           coalesce(n_2hop, 0) AS n_2hop, mean_2hop
+    FROM m1 LEFT JOIN m2 USING (s)
+    """,
+    doc="GNN-style 2-hop neighborhood aggregation without a GNN: per doc, "
+    "mean n_chars over distinct 1-hop and distinct <=2-hop near-dup "
+    "neighbors (self excluded) — two equi-joins + distinct on (node, "
+    "neighbor), the exact shuffle bound a 2-hop GNN sampler pays.",
+)
+def neighbor_chars_2hop(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators import dedup
+    from zarr_datafusion_search_spark.operators.graph import (
+        neighborhood_mean_2hop,
+    )
+
+    docs = table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, rows_per_band=4, jaccard_threshold=0.5
+    )
+    return neighborhood_mean_2hop(pairs, docs)
+
+
+@register(
+    "source_term_kl_drift",
+    oracle=f"""
+    WITH {_TOKS},
+    tstream AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    g AS MATERIALIZED (
+      SELECT d.source AS grp, s.term, count(*) AS cg
+      FROM tstream s JOIN documents d USING (doc_id) GROUP BY 1, 2
+    ),
+    c AS MATERIALIZED (SELECT term, sum(cg) AS c FROM g GROUP BY 1),
+    scal AS MATERIALIZED (
+      SELECT count(*)::DOUBLE AS v, sum(c)::DOUBLE AS n FROM c
+    ),
+    q AS MATERIALIZED (
+      SELECT term, (c + 0.5) / (n + 0.5 * v) AS qt FROM c CROSS JOIN scal
+    ),
+    lsum AS MATERIALIZED (SELECT sum(ln(qt)) AS l_all FROM q),
+    pg AS MATERIALIZED (
+      SELECT grp, sum(cg) AS ng, count(*) AS vg, sum(ln(qt)) AS l_g
+      FROM g JOIN q USING (term) GROUP BY grp
+    ),
+    pt AS (
+      SELECT g.grp,
+             sum(((cg + 0.5) / (ng + 0.5 * v))
+                 * (ln((cg + 0.5) / (ng + 0.5 * v)) - ln(qt))) AS kl_present
+      FROM g JOIN q USING (term) JOIN pg USING (grp) CROSS JOIN scal
+      GROUP BY g.grp
+    )
+    SELECT pg.grp AS source,
+           CAST(pg.ng AS BIGINT) AS n_tokens,
+           CAST(pg.vg AS BIGINT) AS n_terms,
+           round(kl_present
+                 + (0.5 / (ng + 0.5 * v))
+                   * ((v - vg) * ln(0.5 / (ng + 0.5 * v)) - (l_all - l_g)),
+                 6) AS kl_divergence
+    FROM pg JOIN pt USING (grp) CROSS JOIN scal CROSS JOIN lsum
+    """,
+    doc="Per-source smoothed unigram KL drift from the corpus "
+    "distribution — flags a source whose language shifted before it "
+    "contaminates a training mix. The sum over the full vocabulary "
+    "factorizes (absent terms contribute through two scalars), so the "
+    "plan is one (group, term) shuffle + one term shuffle + broadcast "
+    "scalars — never a group x vocabulary cross join.",
+)
+def source_term_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.text import source_term_kl
+
+    return source_term_kl(table(spark, sf, "documents"))
+
+
+@register(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH {_TOKS},
+    tstream AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    pdt AS (SELECT doc_id, count(*) AS n_tokens FROM tstream GROUP BY 1),
+    fs AS (SELECT term, min(doc_id) AS doc_id FROM tstream GROUP BY 1),
+    nt AS (SELECT doc_id, count(*) AS n_new FROM fs GROUP BY 1)
+    SELECT p.doc_id,
+           CAST(sum(p.n_tokens) OVER (ORDER BY p.doc_id) AS BIGINT)
+             AS cum_tokens,
+           CAST(sum(coalesce(nt.n_new, 0)) OVER (ORDER BY p.doc_id)
+                AS BIGINT) AS cum_vocab
+    FROM pdt p LEFT JOIN nt USING (doc_id)
+    """,
+    doc="Heaps'-law vocabulary growth curve: cumulative tokens and "
+    "cumulative distinct vocabulary per document in doc_id order. A "
+    "term's contribution is fixed by its FIRST occurrence (min doc_id "
+    "per term), reducing the curve to a prefix sum over per-doc counts; "
+    "the prefix sum is the two-phase range-partitioned cumsum (local "
+    "cumsum + broadcast partition offsets), never a single-task global "
+    "window.",
+)
+def vocab_growth_curve(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.text import (
+        vocab_growth_curve as vgc,
+    )
+
+    return vgc(table(spark, sf, "documents"))
+
+
+_Z_WINDOW = 20
+_Z_MIN_HIST = 5
+_Z_THRESHOLD = 2.5
+
+
+@register(
+    "event_value_anomalies",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, user_id, ts, value,
+             count(value) OVER w AS n_hist,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sigma
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_Z_WINDOW} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, value,
+           round((value - mu) / sigma, 6) AS zscore
+    FROM s
+    WHERE n_hist >= {_Z_MIN_HIST} AND sigma > 0
+      AND abs(round((value - mu) / sigma, 6)) > {_Z_THRESHOLD}
+    """,
+    doc="Per-user rolling z-score anomaly detection: each event scored "
+    "against the mean/sample-stddev of its own trailing 20-event window "
+    "(current row excluded so an outlier cannot mask itself), flagged at "
+    "|z| > 2.5 after both-side 6dp rounding. One key shuffle, one "
+    "ROWS-frame window pass computing both aggregates together.",
+)
+def event_value_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    return rolling_zscore_anomalies(
+        table(spark, sf, "events"),
+        window_rows=_Z_WINDOW,
+        min_history=_Z_MIN_HIST,
+        threshold=_Z_THRESHOLD,
+    )
+
+
+_EMB_DIM = 64
+
+
+@register(
+    "embedding_covariance_top_pairs",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(range(0, {_EMB_DIM})) AS i),
+    p AS (SELECT i.i AS i, j.i AS j FROM dims i JOIN dims j ON i.i < j.i),
+    nr AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+    sums AS MATERIALIZED (
+      SELECT i, j,
+             sum(CAST(embedding[i + 1] AS DOUBLE)
+                 * CAST(embedding[j + 1] AS DOUBLE)) AS sxy
+      FROM embeddings CROSS JOIN p GROUP BY i, j
+    ),
+    means AS MATERIALIZED (
+      SELECT i, avg(CAST(embedding[i + 1] AS DOUBLE)) AS m
+      FROM embeddings CROSS JOIN dims GROUP BY i
+    )
+    SELECT CAST(s.i AS INT) AS i, CAST(s.j AS INT) AS j,
+           round(sxy / nr.n - mi.m * mj.m, 6) AS cov
+    FROM sums s
+    JOIN means mi ON mi.i = s.i
+    JOIN means mj ON mj.i = s.j
+    CROSS JOIN nr
+    ORDER BY abs(round(sxy / nr.n - mi.m * mj.m, 6)) DESC, s.i, s.j
+    LIMIT 10
+    """,
+    doc="Top-10 most-correlated embedding dimension pairs by |covariance| "
+    "(population) — the redundancy diagnostic behind dimension pruning "
+    "and whitening. Spark accumulates the d x d Gram matrix as one "
+    "flattened partial per task inside mapInPandas (BLAS X^T X per Arrow "
+    "batch): the shuffle moves n_partitions * d^2 doubles, vectors never "
+    "cross the network. Oracle replays the algebra over DuckDB's "
+    "1-indexed lists; both sides rank by the 6dp-rounded value with "
+    "(i, j) tiebreak.",
+)
+def embedding_covariance_top_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.similarity import (
+        covariance_top_pairs,
+    )
+
+    return covariance_top_pairs(
+        table(spark, sf, "embeddings"), dim=_EMB_DIM, top_k=10
+    )
