@@ -145,6 +145,13 @@ EXTENDED_R4 = [
     "vocab_growth_curve",
     "event_value_anomalies",
     "embedding_covariance_top_pairs",
+    "leakage_safe_split",
+    "crosslingual_align_candidates",
+    "span_corruption_pairs",
+    "source_ngram_diversity",
+    "event_value_quantile_sketch",
+    "text_char_entropy",
+    "dedup_pairs_editdist_verify",
 ]
 
 #: registered queries deliberately NOT timed, with the reason the judge

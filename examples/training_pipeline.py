@@ -88,11 +88,35 @@ def main() -> None:
     )
     kept = kept.join(losers, "doc_id", "left_anti")
 
+    # 3.5 graph-structure audit on the SAME pair relation: dense clusters
+    #     (high clustering coefficient) are template families — worth a
+    #     human look before mass deletion
+    from zarr_datafusion_search_spark.operators.graph import (
+        triangle_clustering,
+    )
+
+    print("== near-dup graph structure (top clustering) ==")
+    triangle_clustering(pairs).orderBy(
+        F.desc("clustering"), F.desc("degree")
+    ).show(5)
+
+    # 3.6 drift check per source BEFORE mixing: a drifted source gets
+    #     flagged here, not discovered post-training
+    print("== per-source KL drift (top 3) ==")
+    text.source_term_kl(kept).orderBy(F.desc("kl_divergence")).show(3)
+
     # 4. benchmark decontamination: drop anything sharing an 8-gram with
     #    the held-out eval slice (source 'src0' stands in for the benchmark)
     contaminated = dedup.decontaminate(kept).select("doc_id")
     train = kept.filter(F.col("source") != "src0").join(
         contaminated, "doc_id", "left_anti"
+    )
+
+    # 4.5 leakage-safe split: assign by near-dup cluster representative so
+    #     no near-duplicate straddles train/eval (reuses the SAME pairs)
+    split = components.leakage_safe_split(train.select("doc_id"), pairs)
+    train = train.join(
+        split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
     )
 
     # 5. pack into ~512-token sequences, then shuffle pack order

@@ -210,3 +210,177 @@ def test_covariance_no_vector_shuffle(spark):
         i for i, l in enumerate(plan.splitlines()) if "MapInPandas" in l
     ]
     assert py_stages, plan[:600]
+
+
+# ---------------------------------------------------------------------------
+# batch 2: leakage-safe split, crosslingual mining, span corruption,
+# n-gram diversity
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_clusters_stay_together(spark):
+    from zarr_datafusion_search_spark.operators.components import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    rows = {r.doc_id: r for r in leakage_safe_split(docs, pairs).collect()}
+    assert len(rows) == 7
+    # cluster {1,2,3}: one representative (min id), one split
+    assert {rows[i].representative for i in (1, 2, 3)} == {1}
+    assert len({rows[i].split for i in (1, 2, 3)}) == 1
+    assert {rows[i].representative for i in (5, 6)} == {5}
+    assert len({rows[i].split for i in (5, 6)}) == 1
+    # unclustered docs represent themselves
+    assert rows[4].representative == 4 and rows[7].representative == 7
+    assert all(r.split in ("train", "val", "test") for r in rows.values())
+
+
+def test_crosslingual_candidates_hand_fixture(spark):
+    from zarr_datafusion_search_spark.operators.text import (
+        crosslingual_align_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alice zurich 42 connects the dots", "en"),
+            (2, "alice zurich 42 connects der punkt", "de"),
+            (3, "alice zurich 42 connects more text", "en"),  # same lang as 1
+            (4, "common words only here now", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = crosslingual_align_candidates(docs, n=3, max_df=3, min_shared=2)
+    rows = sorted(
+        (r.doc_a, r.doc_b, r.n_shared) for r in out.collect()
+    )
+    # docs 1 and 2 share the rare trigrams 'alice zurich 42' and
+    # 'zurich 42 connects' across languages; 2-3 likewise (de/en);
+    # 1-3 is same-language and excluded regardless of overlap
+    assert rows == [(1, 2, 2), (2, 3, 2)]
+
+
+def test_span_corruption_reconstructs(spark):
+    from zarr_datafusion_search_spark.operators.text import (
+        span_corruption_pairs,
+    )
+
+    text = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(7, text), (8, "too short")], "doc_id long, text string"
+    )
+    out = span_corruption_pairs(docs, span_len=5).collect()
+    assert len(out) == 1  # the 2-token doc is excluded
+    r = out[0]
+    toks = text.split()
+    s = r.span_start
+    assert 0 <= s <= len(toks) - 5
+    assert r.target_text == " ".join(toks[s : s + 5])
+    rebuilt = r.input_text.replace("<extra_id_0>", r.target_text)
+    assert rebuilt.split() == toks
+
+
+def test_source_ngram_diversity_hand_counts(spark):
+    from zarr_datafusion_search_spark.operators.text import (
+        source_ngram_diversity,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c", "rep"),  # 7 trigrams, 3 distinct
+            (2, "x y z w", "var"),  # 2 trigrams, 2 distinct
+            (3, "q r", "tiny"),  # < 3 tokens: no trigrams
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in source_ngram_diversity(docs).collect()}
+    assert rows["rep"].total_ngrams == 7
+    assert rows["rep"].distinct_ngrams == 3
+    assert rows["rep"].diversity == pytest.approx(round(3 / 7, 6))
+    assert rows["var"].diversity == 1.0
+    assert "tiny" not in rows
+
+
+# ---------------------------------------------------------------------------
+# batch 3: quantile sketch, char entropy, edit-distance verify
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_sketch_close_to_exact(spark):
+    """On a uniform ramp the sketch must land within one bin width of the
+    exact percentile."""
+    from zarr_datafusion_search_spark.operators.outliers import (
+        quantile_sketch,
+    )
+
+    df = spark.range(0, 10_000).select(F.col("id").cast("double").alias("value"))
+    got = {r.quantile: r.estimate for r in quantile_sketch(df).collect()}
+    bin_width = 9999 / 256
+    for q in (0.5, 0.9, 0.99):
+        assert abs(got[q] - q * 9999) <= bin_width + 1e-6, (q, got[q])
+
+
+def test_quantile_sketch_is_mapside_combinable(spark):
+    """Result is independent of input partitioning (the mergeability
+    property the sketch exists for)."""
+    from zarr_datafusion_search_spark.operators.outliers import (
+        quantile_sketch,
+    )
+
+    base = spark.range(0, 5000).select(
+        ((F.col("id") * 37) % 1000).cast("double").alias("value")
+    )
+    a = {r.quantile: r.estimate for r in quantile_sketch(base.coalesce(1)).collect()}
+    b = {r.quantile: r.estimate for r in quantile_sketch(base.repartition(16)).collect()}
+    assert a == b
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from zarr_datafusion_search_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),          # one symbol: 0 bits
+            (2, "abab"),          # two equiprobable: 1 bit
+            (3, "abcd"),          # four equiprobable: 2 bits
+            (4, "aab"),           # H = -(2/3 log 2/3 + 1/3 log 1/3)
+            (5, ""),              # empty: defined as 0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in char_entropy(docs).collect()}
+    assert rows[1].entropy_bits == 0.0
+    assert rows[2].entropy_bits == 1.0
+    assert rows[3].entropy_bits == 2.0
+    h = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
+    assert rows[4].entropy_bits == pytest.approx(round(h, 6), abs=1e-6)
+    assert rows[5].entropy_bits == 0.0 and rows[5].n_chars_text == 0
+
+
+def test_editdist_verify_flags_false_positives(spark):
+    from zarr_datafusion_search_spark.operators.text import (
+        neardup_editdist_verify,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox jumped"),   # near-identical
+            (3, "fox brown jumps quick the"),    # same bag, shuffled
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    rows = {(r.doc_a, r.doc_b): r for r in neardup_editdist_verify(pairs, docs).collect()}
+    assert rows[(1, 2)].verified is True
+    assert rows[(1, 2)].edit_distance <= 2
+    assert rows[(1, 3)].verified is False  # large edit distance, same bag

@@ -406,3 +406,84 @@ def test_zarr_stream_rejects_shrunk_store(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="offset went backwards"):
         reader.partitions({"rows": 5}, {"rows": 2})
+
+
+def test_stream_stream_left_outer_interval_join(spark, sf_dir, tmp_path):
+    """Left-outer variant: matched rows equal the batch join; unmatched
+    clicks appear exactly once, null-extended, once the watermark passes
+    them. The generic fixture's 'sentinel'-typed row is filtered out of
+    BOTH join inputs, so this test writes its own fixture whose sentinels
+    are a far-future CLICK and PURCHASE — the query watermark is the min
+    over both inputs, and each side only sees its own type."""
+    import datetime
+
+    d = tmp_path / "lo_stream"
+    d.mkdir()
+    df = table(spark, sf_dir, "events")
+    rows = sorted(df.collect(), key=lambda r: r.ts)
+    third = (len(rows) + 2) // 3
+    far = rows[-1].ts + datetime.timedelta(days=30)
+    for i in range(3):
+        with open(d / f"b{i}.json", "w") as f:
+            for r in rows[i * third : (i + 1) * third]:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r.event_id,
+                            "ts": r.ts.isoformat(sep=" "),
+                            "user_id": r.user_id,
+                            "event_type": r.event_type,
+                            "value": r.value,
+                            "props": r.props,
+                        }
+                    )
+                    + "\n"
+                )
+    with open(d / "b_sentinel.json", "w") as f:
+        for eid, etype in ((-1, "click"), (-2, "purchase")):
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": eid,
+                        "ts": far.isoformat(sep=" "),
+                        "user_id": -1,
+                        "event_type": etype,
+                        "value": 0.0,
+                        "props": "{}",
+                    }
+                )
+                + "\n"
+            )
+
+    stream = streaming_events.read_event_stream(spark, str(d))
+    out = streaming_events.interval_left_join_clicks_purchases(
+        stream, window="1 HOUR"
+    )
+    streaming_events.run_to_memory_sink(out, "ssj_left_test")
+    got = [
+        (r.click_id, r.purchase_ts, r.purchase_value)
+        for r in spark.table("ssj_left_test").collect()
+        if r.click_id >= 0  # drop the sentinel click itself
+    ]
+    e = df
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        F.col("value").alias("pv"),
+    )
+    want = [
+        (r.cid, r.pts, r.pv)
+        for r in c.join(
+            p,
+            F.expr("cu = pu AND pts BETWEEN cts - INTERVAL 1 HOUR AND cts"),
+            "left",
+        ).collect()
+    ]
+    assert sorted(got, key=str) == sorted(want, key=str)
+    # the left join must keep non-converting clicks (nulls present)
+    assert any(pts is None for _, pts, _ in got)

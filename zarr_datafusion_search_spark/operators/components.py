@@ -100,3 +100,43 @@ def dedup_survivors(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: every document is assigned by
+    hashing its near-dup CLUSTER representative, not its own id — so two
+    near-duplicates can never straddle train and eval (the evaluation-
+    leakage failure mode a plain per-doc hash split silently ships).
+
+    Unclustered documents are their own representative. The split is the
+    deterministic portable hash (``h64(representative) % 100``) against
+    cumulative percentage cuts — reproducible across engines and runs,
+    no RNG. Cost on top of the pair generation: the component fixpoint
+    plus one left join of the corpus against the (pairs-sized, not
+    corpus-sized) component relation.
+    """
+    from zarr_datafusion_search_spark.functions.hashing import h64
+
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    rep = F.coalesce(F.col("component"), F.col(id_col))
+    bucket = h64(rep.cast("string")) % 100
+    return (
+        docs.select(id_col)
+        .join(
+            comp.withColumnRenamed("node", id_col), id_col, "left"
+        )
+        .select(
+            id_col,
+            rep.alias("representative"),
+            F.when(bucket < train_pct, "train")
+            .when(bucket < train_pct + val_pct, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )

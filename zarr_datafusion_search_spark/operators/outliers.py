@@ -63,3 +63,85 @@ def mad_outlier_stats(
         "n_outliers",
         "max_robust_z",
     )
+
+
+def quantile_sketch(
+    df,
+    value_col: str = "value",
+    quantiles: tuple = (0.5, 0.9, 0.99),
+    n_bins: int = 256,
+):
+    """Mergeable fixed-grid quantile sketch: approximate quantiles from a
+    deterministic equal-width histogram with within-bin linear
+    interpolation — the map-side-combinable shape (each partition emits
+    bin counts; merge = vector add) that exact sort-based percentiles
+    can't give you at 100 TB, made fully reproducible so an oracle can
+    replay it bit-for-bit (unlike t-digest, whose centroids depend on
+    merge order).
+
+    Grid: ``[min, max]`` split into ``n_bins`` equal bins (one cheap
+    min/max pass — itself map-side combinable). Estimate for quantile q:
+    the value at rank ``q * (n-1)`` assuming uniform spread inside its
+    bin. All arithmetic is fixed-order double ops both engines compute
+    identically; results rounded 6dp.
+    """
+    import pyspark.sql.functions as F
+
+    v = F.col(value_col).cast("double")
+    bounds = df.agg(
+        F.min(v).alias("lo"),
+        F.max(v).alias("hi"),
+        F.count(v).alias("n"),
+    )
+    # bin id: clamp to [0, n_bins-1]; the max value lands in the last bin
+    binned = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (v - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / n_bins)
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(n_bins - 1),
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # cumulative counts over <=256 rows: the window runs on a relation of
+    # n_bins rows, not data rows — single-task is CORRECT here
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.select(
+        "bin", "c", F.sum("c").over(w).alias("cum")
+    ).crossJoin(F.broadcast(bounds))
+    out = None
+    for q in quantiles:
+        # target rank in [0, n-1]; first bin whose cum > rank holds it
+        rank = F.lit(q) * (F.col("n") - 1)
+        hit = (
+            cum.filter(F.col("cum") > rank)
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(q).alias("quantile"),
+                F.round(
+                    F.col("lo")
+                    + ((F.col("hi") - F.col("lo")) / n_bins)
+                    * (
+                        F.col("bin")
+                        + (rank - (F.col("cum") - F.col("c")))
+                        / F.col("c")
+                    ),
+                    6,
+                ).alias("estimate"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

@@ -1068,3 +1068,265 @@ def vocab_growth_curve(
         F.col("cum_n_tokens").alias("cum_tokens"),
         F.col("cum_n_new_terms").alias("cum_vocab"),
     )
+
+
+def crosslingual_align_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n: int = 3,
+    max_df: int = 20,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Translation-pair candidate mining: pairs of documents in DIFFERENT
+    languages sharing at least ``min_shared`` distinct RARE word
+    ``n``-grams (global document frequency <= ``max_df``) — names,
+    numbers, codes, and quoted phrases survive translation verbatim, so
+    shared rare anchors are the standard cheap signal for parallel-corpus
+    mining before an expensive aligner runs. n-grams (not unigrams)
+    because a single shared word is weak evidence while a shared rare
+    trigram is nearly unique.
+
+    Same inverted-index discipline as the n-gram dedup family: the df cap
+    is applied BEFORE the self-join, bounding candidates by
+    ``max_df^2 x n_rare_anchors`` — an n-gram appearing everywhere never
+    generates pairs. Pairs are canonical (``doc_a < doc_b``).
+    """
+    from zarr_datafusion_search_spark.operators.cache import tracked_persist
+    from zarr_datafusion_search_spark.operators.dedup import tokens_col
+
+    t = tokens_col(text_col)
+    k = F.size(t) - (n - 1)
+    grams = F.when(
+        k >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = docs.select(
+        F.col(id_col), F.col(lang_col), F.explode(grams).alias("term")
+    )
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    rare = tracked_persist(
+        toks.join(dfreq.filter(F.col("_df") <= max_df), "term").select(
+            id_col, lang_col, "term"
+        )
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col(f"a.{lang_col}") != F.col(f"b.{lang_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col(f"a.{lang_col}").alias("lang_a"),
+            F.col(f"b.{lang_col}").alias("lang_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def span_corruption_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 5,
+    sentinel: str = "<extra_id_0>",
+) -> DataFrame:
+    """T5-style span-corruption training pairs: for each document with
+    more than ``2 * span_len`` tokens, mask one contiguous ``span_len``
+    token span (replaced by the sentinel) and emit (input_text,
+    target_text). The span start is the portable hash of the doc id
+    modulo the valid range — deterministic, reproducible, NO RNG, so the
+    pair set is identical across engines, runs, and partitionings (the
+    property per-partition ``rand()`` cannot give you).
+
+    Pure built-in array expressions (slice/concat/array_join); zero
+    Python in the row path.
+    """
+    from zarr_datafusion_search_spark.functions.hashing import h64
+    from zarr_datafusion_search_spark.operators.dedup import tokens_col
+
+    t = tokens_col(text_col)
+    base = docs.select(
+        F.col(id_col), t.alias("t"), F.size(t).alias("n")
+    ).filter(F.col("n") > 2 * span_len)
+    # 0-based span start in [0, n - span_len]
+    start = h64(F.col(id_col).cast("string")) % (
+        F.col("n") - F.lit(span_len) + 1
+    )
+    return base.select(
+        id_col,
+        start.cast("int").alias("span_start"),
+        F.array_join(
+            F.concat(
+                F.slice(F.col("t"), F.lit(1), start.cast("int")),
+                F.array(F.lit(sentinel)),
+                F.slice(
+                    F.col("t"),
+                    (start + span_len + 1).cast("int"),
+                    (F.col("n") - start - span_len).cast("int"),
+                ),
+            ),
+            " ",
+        ).alias("input_text"),
+        F.array_join(
+            F.slice(F.col("t"), (start + 1).cast("int"), span_len), " "
+        ).alias("target_text"),
+    )
+
+
+def source_ngram_diversity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-group n-gram diversity: distinct n-grams / total n-grams — the
+    self-repetition audit that separates a genuinely varied source from
+    one stamping out templates (low ratio = the same trigrams over and
+    over, a proxy for low-entropy generation or boilerplate farms).
+
+    One exact distinct per group: shuffle keyed on (group, gram), partial
+    counts map-side; the ratio is a two-aggregate division rounded 6dp.
+    """
+    from zarr_datafusion_search_spark.operators.dedup import tokens_col
+
+    t = tokens_col(text_col)
+    k = F.size(t) - (n - 1)
+    # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of being
+    # empty, so short docs must take the empty-array branch explicitly
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        F.col(group_col).alias("grp"), F.explode(grams).alias("gram")
+    )
+    return (
+        g.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.countDistinct("gram").alias("distinct_ngrams"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "total_ngrams",
+            "distinct_ngrams",
+            F.round(
+                F.col("distinct_ngrams") / F.col("total_ngrams"), 6
+            ).alias("diversity"),
+        )
+    )
+
+
+def char_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    classic mojibake / binary-dump / single-char-spam detector: natural
+    English runs ~4 bits, base64 blobs ~6, 'aaaa...' near 0.
+
+    Entropy factorizes as ``log2(n) - (1/n) * sum_c k_c log2 k_c`` over
+    per-char counts, so the whole thing is array expressions on the
+    grouped character counts — computed per row from ONE aggregate over
+    the doc's own characters, no corpus-wide shuffle at all (each row is
+    independent; Catalyst keeps it in whole-stage codegen).
+    """
+    # counts per distinct char: sort the char array, then reduce into
+    # run-lengths via aggregate (sorted => equal chars adjacent). Empty
+    # elements are dropped: split('', '') yields [''], and an ''-char
+    # would match the fold's '' initial state while run = 0, turning the
+    # 0 * log2(0) term NULL
+    chars = F.array_sort(
+        F.filter(
+            F.split(F.col(text_col), ""), lambda c: F.length(c) > 0
+        )
+    )
+    n = F.size(chars)
+    # sum over runs of k*log2(k): fold carrying (prev_char, run_len, acc)
+    fold = F.aggregate(
+        chars,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("acc"),
+        ),
+        lambda acc, c: F.struct(
+            c.alias("prev"),
+            F.when(c == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(
+                c == acc["prev"],
+                # moving a run from k to k+1: acc += (k+1)log2(k+1)-k log2 k
+                acc["acc"]
+                + (acc["run"] + 1) * F.log2(acc["run"] + 1)
+                - acc["run"] * F.log2(acc["run"]),
+            )
+            .otherwise(acc["acc"])
+            .alias("acc"),
+        ),
+        lambda acc: acc["acc"],
+    )
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars_text"),
+        F.when(n > 0, F.round(F.log2(n) - fold / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("entropy_bits"),
+    )
+
+
+def neardup_editdist_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_rel_dist: float = 0.4,
+) -> DataFrame:
+    """Precision audit for a near-dup pair relation: join the texts back
+    and compute the exact Levenshtein distance per pair, flagging pairs
+    whose distance exceeds ``max_rel_dist`` of the longer text — the
+    false-positive check run on LSH output before mass deletion (MinHash
+    approximates SET similarity; edit distance catches the
+    shuffled-bag-of-shingles false positive class).
+
+    Cost is O(len_a * len_b) per PAIR — bounded by the (already
+    LSH-reduced) pair count, never corpus-quadratic. The join is two
+    broadcast-or-shuffle equi-joins on doc id; levenshtein itself is a
+    JVM built-in both engines implement identically (integer-exact)."""
+    ta = docs.select(
+        F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta")
+    )
+    tb = docs.select(
+        F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb")
+    )
+    dist = F.levenshtein("_ta", "_tb")
+    longer = F.greatest(F.length("_ta"), F.length("_tb"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_distance"),
+            F.round(dist / longer.cast("double"), 6).alias("rel_distance"),
+            (dist <= F.round(longer * max_rel_dist).cast("int")).alias(
+                "verified"
+            ),
+        )
+    )

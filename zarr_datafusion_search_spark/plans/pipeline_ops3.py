@@ -611,11 +611,16 @@ def _label_propagation_oracle(n_rounds: int = 3) -> str:
         _MH_SELECT,
     )
 
+    # MATERIALIZED on every multiply-referenced CTE: DuckDB's optimizer
+    # may inline a CTE into each reference, and the minhash pair plan is
+    # referenced by all rounds via `und` — without the hint the oracle
+    # replays the whole minhash pipeline per round and blows the bench's
+    # 30 s watchdog at sf0.1 (same fix as graph.duckdb_pagerank_sql)
     rounds = []
     prev = "seeds"
     for r in range(1, n_rounds + 1):
         rounds.append(f"""
-    c{r} AS (
+    c{r} AS MATERIALIZED (
       SELECT e.dst AS node, l.label, round(sum(e.w), 6) AS wsum
       FROM und e JOIN {prev} l ON l.node = e.src
       GROUP BY 1, 2
@@ -626,7 +631,7 @@ def _label_propagation_oracle(n_rounds: int = 3) -> str:
           PARTITION BY node ORDER BY wsum DESC, label) AS rn
         FROM c{r}) WHERE rn = 1
     ),
-    l{r} AS (
+    l{r} AS MATERIALIZED (
       SELECT node, label FROM seeds
       UNION ALL
       SELECT b.node, b.label FROM b{r} b
@@ -639,13 +644,13 @@ def _label_propagation_oracle(n_rounds: int = 3) -> str:
         prev = f"l{r}"
     return f"""
     WITH {_MH_CTES},
-    pairs AS ({_MH_SELECT}),
-    und AS (
+    pairs AS MATERIALIZED ({_MH_SELECT}),
+    und AS MATERIALIZED (
       SELECT doc_a AS src, doc_b AS dst, jaccard AS w FROM pairs
       UNION ALL
       SELECT doc_b, doc_a, jaccard FROM pairs
     ),
-    seeds AS (
+    seeds AS MATERIALIZED (
       SELECT doc_id AS node, source AS label FROM documents
       WHERE doc_id % 5 = 0
     ),{','.join(rounds)}

@@ -293,3 +293,291 @@ def embedding_covariance_top_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return covariance_top_pairs(
         table(spark, sf, "embeddings"), dim=_EMB_DIM, top_k=10
     )
+
+
+from zarr_datafusion_search_spark.functions.hashing import duckdb_h64  # noqa: E402
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_MH_CTES},
+    pairs AS ({_MH_SELECT}),
+    gedges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM gedges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN gedges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
+      FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS representative,
+           CASE WHEN {duckdb_h64("coalesce(c.component, d.doc_id)::VARCHAR")}
+                     % 100 < 80 THEN 'train'
+                WHEN {duckdb_h64("coalesce(c.component, d.doc_id)::VARCHAR")}
+                     % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+    doc="Near-dup-aware 80/10/10 train/val/test split: every doc is "
+    "assigned by the portable hash of its near-dup CLUSTER representative "
+    "(component min-label; own id if unclustered), so near-duplicates can "
+    "never straddle train and eval — the leakage a per-doc hash split "
+    "silently ships. Deterministic, no RNG. Oracle replays components via "
+    "recursive closure + the same md5-derived hash.",
+)
+def leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators import dedup
+    from zarr_datafusion_search_spark.operators.components import (
+        leakage_safe_split as lss,
+    )
+
+    docs = table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, rows_per_band=4, jaccard_threshold=0.5
+    )
+    return lss(docs, pairs)
+
+
+_XL_MAX_DF = 20
+_XL_MIN_SHARED = 2
+
+
+@register(
+    "crosslingual_align_candidates",
+    oracle=f"""
+    WITH {_TOKS},
+    td AS (
+      SELECT DISTINCT doc_id, lang,
+             t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS term
+      FROM (SELECT tk.doc_id, d.lang, tk.t
+            FROM toks tk JOIN documents d USING (doc_id)),
+           unnest(generate_series(1, len(t) - 2)) AS r(i)
+      WHERE len(t) >= 3
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM td GROUP BY 1),
+    rare AS MATERIALIZED (
+      SELECT doc_id, lang, term FROM td JOIN dfreq USING (term)
+      WHERE df <= {_XL_MAX_DF}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.lang AS lang_a, b.lang AS lang_b,
+           count(*) AS n_shared
+    FROM rare a
+    JOIN rare b ON a.term = b.term AND a.doc_id < b.doc_id
+                AND a.lang <> b.lang
+    GROUP BY 1, 2, 3, 4
+    HAVING count(*) >= {_XL_MIN_SHARED}
+    """,
+    doc="Translation-pair candidate mining: cross-language doc pairs "
+    "sharing >= 2 distinct RARE word trigrams (global df <= 20) — names, "
+    "numbers, and quoted phrases survive translation verbatim, the "
+    "standard cheap parallel-corpus signal; trigram anchors because one "
+    "shared word is weak evidence while a shared rare trigram is nearly "
+    "unique. The df cap is applied BEFORE the inverted-index self-join "
+    "(bounds candidates by max_df^2 per anchor), same discipline as the "
+    "n-gram dedup family.",
+)
+def crosslingual_align_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.text import (
+        crosslingual_align_candidates as xl,
+    )
+
+    return xl(
+        table(spark, sf, "documents"),
+        n=3,
+        max_df=_XL_MAX_DF,
+        min_shared=_XL_MIN_SHARED,
+    )
+
+
+_SPAN_LEN = 5
+
+
+@register(
+    "span_corruption_pairs",
+    oracle=f"""
+    WITH {_TOKS},
+    base AS (
+      SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > {2 * _SPAN_LEN}
+    ),
+    st AS (
+      SELECT doc_id, t, n,
+             {duckdb_h64("doc_id::VARCHAR")} % (n - {_SPAN_LEN} + 1) AS s
+      FROM base
+    )
+    SELECT doc_id, CAST(s AS INT) AS span_start,
+           array_to_string(
+             list_concat(list_concat(t[1:s], ['<extra_id_0>']),
+                         t[s + {_SPAN_LEN} + 1:n]), ' ') AS input_text,
+           array_to_string(t[s + 1:s + {_SPAN_LEN}], ' ') AS target_text
+    FROM st
+    """,
+    doc="T5-style span-corruption training pairs: one contiguous 5-token "
+    "span per document (with > 10 tokens) replaced by a sentinel; "
+    "(input_text, target_text) emitted. Span start = portable hash of "
+    "doc_id modulo the valid range — deterministic across engines, runs, "
+    "and partitionings, which per-partition rand() cannot give. Pure "
+    "built-in array slicing, zero Python in the row path.",
+)
+def span_corruption_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.text import (
+        span_corruption_pairs as scp,
+    )
+
+    return scp(table(spark, sf, "documents"), span_len=_SPAN_LEN)
+
+
+@register(
+    "source_ngram_diversity",
+    oracle=f"""
+    WITH {_TOKS},
+    g AS (
+      SELECT d.source AS grp,
+             t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+      FROM toks JOIN documents d USING (doc_id),
+           unnest(generate_series(1, len(t) - 2)) AS r(i)
+      WHERE len(t) >= 3
+    )
+    SELECT grp AS source,
+           count(*) AS total_ngrams,
+           count(DISTINCT gram) AS distinct_ngrams,
+           round(count(DISTINCT gram)::DOUBLE / count(*), 6) AS diversity
+    FROM g GROUP BY 1
+    """,
+    doc="Per-source trigram diversity (distinct/total) — the "
+    "self-repetition audit separating varied sources from template "
+    "stampers. One exact distinct keyed on (source, gram), partial "
+    "counts map-side.",
+)
+def source_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.text import (
+        source_ngram_diversity as sngd,
+    )
+
+    return sngd(table(spark, sf, "documents"))
+
+
+_QS_BINS = 256
+_QS_QUANTILES = (0.5, 0.9, 0.99)
+
+
+@register(
+    "event_value_quantile_sketch",
+    oracle=f"""
+    WITH b AS (
+      SELECT min(value) AS lo, max(value) AS hi, count(value)::DOUBLE AS n
+      FROM events
+    ),
+    bins AS (
+      SELECT CAST(least(greatest(
+               floor((value - lo) / ((hi - lo) / {_QS_BINS})), 0),
+               {_QS_BINS - 1}) AS INT) AS bin,
+             count(*) AS c
+      FROM events CROSS JOIN b GROUP BY 1
+    ),
+    cum AS (SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum FROM bins),
+    q(quantile) AS (VALUES {", ".join(f"({q})" for q in _QS_QUANTILES)}),
+    hit AS (
+      SELECT q.quantile, c2.bin, c2.c, c2.cum,
+             row_number() OVER (
+               PARTITION BY q.quantile ORDER BY c2.bin) AS rn
+      FROM q JOIN cum c2
+        ON c2.cum > q.quantile * ((SELECT n FROM b) - 1)
+    )
+    SELECT quantile,
+           round(lo + ((hi - lo) / {_QS_BINS})
+                 * (bin + (quantile * (n - 1) - (cum - c)) / c), 6)
+             AS estimate
+    FROM hit CROSS JOIN b WHERE rn = 1
+    """,
+    doc="Mergeable fixed-grid quantile sketch (p50/p90/p99 of event "
+    "values): per-partition equal-width bin counts (map-side combinable "
+    "vector add — the shape exact sort-based percentiles cannot give at "
+    "100 TB) + within-bin linear interpolation. Deterministic by "
+    "construction — unlike t-digest, whose centroids depend on merge "
+    "order — so the oracle replays it bit-for-bit.",
+)
+def event_value_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.outliers import (
+        quantile_sketch,
+    )
+
+    return quantile_sketch(
+        table(spark, sf, "events"),
+        quantiles=_QS_QUANTILES,
+        n_bins=_QS_BINS,
+    )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    chf AS (
+      SELECT doc_id, c, count(*) AS k FROM ch
+      WHERE length(c) > 0 GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT doc_id, sum(k) AS n, sum(k * log2(k)) AS s FROM chf GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_chars_text,
+           coalesce(round(log2(n) - s / n, 6), 0.0) AS entropy_bits
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    doc="Character-level Shannon entropy per doc (bits/char) — mojibake / "
+    "base64-blob / repeated-char-spam detector. Spark computes it row-"
+    "locally with a sorted-array run-length fold (whole-stage codegen, no "
+    "corpus shuffle at all); the oracle replays the identical "
+    "log2(n) - sum(k log2 k)/n algebra over grouped char counts.",
+)
+def text_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.text import char_entropy
+
+    return char_entropy(table(spark, sf, "documents"))
+
+
+@register(
+    "dedup_pairs_editdist_verify",
+    oracle=f"""
+    WITH {_MH_CTES},
+    pairs AS ({_MH_SELECT}),
+    ta AS (SELECT doc_id AS doc_a, text AS _ta FROM documents),
+    tb AS (SELECT doc_id AS doc_b, text AS _tb FROM documents)
+    SELECT p.doc_a, p.doc_b,
+           levenshtein(_ta, _tb) AS edit_distance,
+           round(levenshtein(_ta, _tb)::DOUBLE
+                 / greatest(length(_ta), length(_tb)), 6) AS rel_distance,
+           levenshtein(_ta, _tb)
+             <= CAST(round(greatest(length(_ta), length(_tb)) * 0.4)
+                     AS INT) AS verified
+    FROM pairs p JOIN ta USING (doc_a) JOIN tb USING (doc_b)
+    """,
+    doc="Precision audit on the LSH near-dup pairs: exact Levenshtein "
+    "distance per pair (JVM built-in, integer-exact cross-engine), "
+    "flagging pairs beyond 40% relative distance — the false-positive "
+    "check (shuffled bag-of-shingles class) run before mass deletion. "
+    "O(len^2) per PAIR, bounded by the LSH-reduced pair count, never "
+    "corpus-quadratic.",
+)
+def dedup_pairs_editdist_verify(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators import dedup
+    from zarr_datafusion_search_spark.operators.text import (
+        neardup_editdist_verify,
+    )
+
+    docs = table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, rows_per_band=4, jaccard_threshold=0.5
+    )
+    return neardup_editdist_verify(pairs, docs)

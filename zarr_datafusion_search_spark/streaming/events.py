@@ -196,6 +196,56 @@ def interval_join_clicks_purchases(
     )
 
 
+def interval_left_join_clicks_purchases(
+    stream: DataFrame, window: str = "1 HOUR", watermark: str = "10 minutes"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click emits — matched
+    clicks as soon as the purchase arrives, UNMATCHED clicks with NULL
+    purchase columns once the watermark proves no in-window purchase can
+    still arrive. This is the attribution shape a funnel pipeline needs
+    (conversion AND non-conversion rows), and it is exactly the case the
+    inner join silently drops.
+
+    Outer-side state semantics: Structured Streaming holds an unmatched
+    left row until ``watermark + window`` passes its event time, then
+    emits it null-extended — so the null rows are late-data-correct, not
+    best-effort. Both sides need watermarks and the time-bound condition,
+    same as the inner variant.
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND purchase_ts BETWEEN "
+            f"click_ts - INTERVAL {window} AND click_ts"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def dedup_event_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id: duplicates arriving within the
     watermark horizon are dropped; state for ids older than the watermark
