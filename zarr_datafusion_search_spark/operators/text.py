@@ -1044,16 +1044,23 @@ def vocab_growth_curve(
     range-partitioned cumsum (local cumsum + broadcast partition offsets)
     from :mod:`..operators.packing` — never a single-task global window.
     """
+    from zarr_datafusion_search_spark.operators.cache import tracked_persist
     from zarr_datafusion_search_spark.operators.dedup import tokens_col
     from zarr_datafusion_search_spark.operators.packing import global_cumsum
 
     toks = docs.select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("term")
     )
-    per_doc_tokens = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens")
+    # ONE tokenize+shuffle pass: the (doc, term) count relation feeds both
+    # the per-doc token totals and the first-occurrence reduction —
+    # without it the corpus-sized explode runs twice. Persisted at
+    # (doc, term) granularity (bounded by distinct-term occurrences, far
+    # below the raw token stream).
+    dtc = tracked_persist(
+        toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
     )
-    first_seen = toks.groupBy("term").agg(F.min(id_col).alias(id_col))
+    per_doc_tokens = dtc.groupBy(id_col).agg(F.sum("c").alias("n_tokens"))
+    first_seen = dtc.groupBy("term").agg(F.min(id_col).alias(id_col))
     new_terms = first_seen.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_new_terms")
     )

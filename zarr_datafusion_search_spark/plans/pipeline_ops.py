@@ -1741,6 +1741,81 @@ def sink_zarr_distributed_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 _STREAM_RUN_COUNTER = [0]
 
 
+def _stream_fixture_dir(spark: SparkSession, sf: str) -> str:
+    """Build (once) and reuse the JSON micro-batch fixture for the
+    streaming queries: the events table split into 3 chronological batch
+    files plus a far-future sentinel that pushes the watermark past every
+    real window (append-mode flush).
+
+    Written executor-side (repartitionByRange + Spark's JSON sink — the
+    old driver-side json.dumps loop over 100k collected rows cost multiple
+    seconds PER BENCH RUN) and memoized on a deterministic per-sf path, so
+    the 1-warmup + N-run bench protocol pays the build exactly once. The
+    fixture is a pure function of the (immutable) sf parquet, so reuse
+    across sessions is sound."""
+    import datetime as _dt
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    key = hashlib.md5(sf.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"zdss_stream_fixture_{key}")
+    marker = os.path.join(d, "_READY")
+    if os.path.exists(marker):
+        return os.path.join(d, "data")
+    e = table(spark, sf, "events")
+    (
+        e.select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartitionByRange(3, F.col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .json(os.path.join(d, "data"))
+    )
+    max_ts = e.agg(F.max("ts")).first()[0]
+    with open(os.path.join(d, "data", "zz_sentinel.json"), "w") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "event_id": -1,
+                    "ts": (max_ts + _dt.timedelta(days=30)).isoformat(sep=" "),
+                    "user_id": -1,
+                    "event_type": "sentinel",
+                    "value": 0.0,
+                    "props": "{}",
+                }
+            )
+            + "\n"
+        )
+    # FileStreamSource orders micro-batches by file modification time; the
+    # range partitions must arrive chronologically or the watermark from a
+    # later range would drop an earlier range's events as late. Pin
+    # strictly increasing mtimes in part order (range 0 = earliest ts).
+    data_dir = os.path.join(d, "data")
+    parts = sorted(
+        f for f in os.listdir(data_dir) if f.startswith("part-")
+    )
+    import time as _time
+
+    base = _time.time()
+    for i, fname in enumerate(parts):
+        os.utime(os.path.join(data_dir, fname), (base + i, base + i))
+    os.utime(
+        os.path.join(data_dir, "zz_sentinel.json"),
+        (base + len(parts) + 1, base + len(parts) + 1),
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return os.path.join(d, "data")
+
+
 @register(
     "streaming_tumbling_counts",
     oracle="""
@@ -1757,46 +1832,9 @@ _STREAM_RUN_COUNTER = [0]
     "exactly-once guarantee under test.",
 )
 def streaming_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
-    import json as _json
-    import datetime as _dt
-    import tempfile
-
     from zarr_datafusion_search_spark.streaming import events as sev
 
-    d = tempfile.mkdtemp(prefix="zdss_stream_")
-    rows = sorted(table(spark, sf, "events").collect(), key=lambda r: r.ts)
-    third = (len(rows) + 2) // 3
-    for i in range(3):
-        with open(f"{d}/batch_{i}.json", "w") as f:
-            for r in rows[i * third : (i + 1) * third]:
-                f.write(
-                    _json.dumps(
-                        {
-                            "event_id": r.event_id,
-                            "ts": r.ts.isoformat(sep=" "),
-                            "user_id": r.user_id,
-                            "event_type": r.event_type,
-                            "value": r.value,
-                            "props": r.props,
-                        }
-                    )
-                    + "\n"
-                )
-    # sentinel pushes the watermark past every real window (append-mode flush)
-    with open(f"{d}/batch_sentinel.json", "w") as f:
-        f.write(
-            _json.dumps(
-                {
-                    "event_id": -1,
-                    "ts": (rows[-1].ts + _dt.timedelta(days=30)).isoformat(sep=" "),
-                    "user_id": -1,
-                    "event_type": "sentinel",
-                    "value": 0.0,
-                    "props": "{}",
-                }
-            )
-            + "\n"
-        )
+    d = _stream_fixture_dir(spark, sf)
     _STREAM_RUN_COUNTER[0] += 1
     name = f"zdss_stream_sink_{_STREAM_RUN_COUNTER[0]}"
     stream = sev.read_event_stream(spark, d)
