@@ -152,6 +152,10 @@ EXTENDED_R4 = [
     "event_value_quantile_sketch",
     "text_char_entropy",
     "dedup_pairs_editdist_verify",
+    "source_vocab_similarity",
+    "frequent_event_paths",
+    "cross_source_duplication",
+    "user_max_inactivity_gap",
 ]
 
 #: registered queries deliberately NOT timed, with the reason the judge

@@ -384,3 +384,101 @@ def test_editdist_verify_flags_false_positives(spark):
     assert rows[(1, 2)].verified is True
     assert rows[(1, 2)].edit_distance <= 2
     assert rows[(1, 3)].verified is False  # large edit distance, same bag
+
+
+# ---------------------------------------------------------------------------
+# batch 4: vocab similarity, event paths, duplication matrix, dormancy
+# ---------------------------------------------------------------------------
+
+
+def test_source_vocab_similarity_orders_sources(spark):
+    """A source sharing vocabulary with another scores higher than a
+    disjoint one; identical corpora score ~1."""
+    from zarr_datafusion_search_spark.operators.text import (
+        source_vocab_similarity,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "s1"),
+            (2, "alpha beta gamma", "s2"),
+            (3, "delta epsilon zeta", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r.group_a, r.group_b): r.cosine
+        for r in source_vocab_similarity(docs).collect()
+    }
+    assert rows[("s1", "s2")] == pytest.approx(1.0, abs=1e-6)
+    assert ("s1", "s3") not in rows or rows[("s1", "s3")] == 0.0
+    # disjoint vocab pairs share no term: no dot-product row at all
+    assert ("s2", "s3") not in rows
+
+
+def test_frequent_event_paths_counts(spark):
+    import datetime
+
+    from zarr_datafusion_search_spark.operators.sessions import (
+        frequent_event_paths,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    seq = ["view", "cart", "buy", "view", "cart", "abandon"]
+    rows = [
+        (i, 1, t0 + datetime.timedelta(minutes=i), s)
+        for i, s in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r.path: r.n_paths for r in frequent_event_paths(df).collect()}
+    # windows: view,cart,buy / cart,buy,view / buy,view,cart / view,cart,abandon
+    assert got["view > cart > buy"] == 1
+    assert got["view > cart > abandon"] == 1
+    assert sum(got.values()) == 4
+
+
+def test_cross_source_duplication_matrix(spark):
+    from zarr_datafusion_search_spark.operators.dedup import (
+        cross_source_duplication_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "sA"), (2, "sB"), (3, "sA"), (4, "sA")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    rows = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in cross_source_duplication_matrix(pairs, docs).collect()
+    }
+    assert rows[("sA", "sB")] == 2  # (1,2) and (2,3)
+    assert rows[("sA", "sA")] == 2  # (1,3) and (1,4)
+
+
+def test_max_inactivity_gaps(spark):
+    import datetime
+
+    from zarr_datafusion_search_spark.operators.sessions import (
+        max_inactivity_gaps,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0),
+        (2, 1, t0 + datetime.timedelta(days=10)),  # 10-day gap -> dormant
+        (3, 1, t0 + datetime.timedelta(days=10, hours=1)),
+        (4, 2, t0),
+        (5, 2, t0 + datetime.timedelta(hours=2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    got = {r.user_id: r for r in max_inactivity_gaps(df).collect()}
+    assert got[1].is_dormant and got[1].max_gap_days == 10.0
+    assert got[1].n_gaps == 2
+    assert not got[2].is_dormant
+    assert got[2].max_gap_days == pytest.approx(round(2 / 24, 6))

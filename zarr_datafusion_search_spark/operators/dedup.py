@@ -798,3 +798,38 @@ def remove_duplicated_spans(
             ),
         )
     )
+
+
+def cross_source_duplication_matrix(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Collapse a near-dup PAIR relation into a group-level duplication
+    matrix: for each (source_a, source_b) — including the diagonal — the
+    number of near-dup pairs spanning them, ordered so the pair key is
+    canonical (``source_a <= source_b``). This is the provenance audit a
+    curation run publishes: heavy off-diagonal mass = syndication/mirror
+    relationships between sources; heavy diagonal = a source duplicating
+    itself.
+
+    Two id-keyed joins of the (LSH-reduced) pair relation against the
+    corpus' (id, group) projection, one canonicalizing aggregation —
+    incremental cost is pairs-sized, never corpus-sized.
+    """
+    ga = docs.select(
+        F.col(id_col).alias("doc_a"), F.col(group_col).alias("_ga")
+    )
+    gb = docs.select(
+        F.col(id_col).alias("doc_b"), F.col(group_col).alias("_gb")
+    )
+    return (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .groupBy(
+            F.least("_ga", "_gb").alias("source_a"),
+            F.greatest("_ga", "_gb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

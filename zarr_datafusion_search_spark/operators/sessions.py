@@ -154,3 +154,67 @@ def transition_matrix(
             F.col("n_transitions") / F.sum("n_transitions").over(w_from), 6
         ).alias("probability"),
     )
+
+
+def frequent_event_paths(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    path_len: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-``k`` most common length-``path_len`` event-type paths across
+    per-key timelines — the second-order sequence model one tier above
+    :func:`transition_matrix` (first-order Markov cannot distinguish
+    'view->cart->buy' from 'view->cart->abandon'; path counts can).
+
+    One window pass per key builds the path string with ``lead`` columns
+    (no self-joins); counting is a map-side-combinable aggregation; the
+    top-k is a TakeOrderedAndProject. Ties break on path text.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    steps = [F.col(state_col)] + [
+        F.lead(state_col, i).over(w) for i in range(1, path_len)
+    ]
+    paths = events.select(
+        F.concat_ws(" > ", *steps).alias("path"),
+        steps[-1].isNotNull().alias("_complete"),
+    ).filter(F.col("_complete"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(top_k)
+    )
+
+
+def max_inactivity_gaps(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    flag_days: float = 7.0,
+) -> DataFrame:
+    """Per-key longest inter-event gap (and whether it exceeds
+    ``flag_days``) — the churn/dormancy signal behind re-engagement
+    cohorts and stale-account cleanup. One key shuffle, one lag window,
+    one max aggregation; exact integer-microsecond gaps.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = events.select(
+        F.col(key_col),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    day_us = 86400.0 * 1e6
+    return gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.max("gap_us") / day_us, 6).alias("max_gap_days"),
+        (F.max("gap_us") > flag_days * day_us).alias("is_dormant"),
+    )

@@ -1337,3 +1337,82 @@ def neardup_editdist_verify(
             ),
         )
     )
+
+
+def source_vocab_similarity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group unigram tf-idf
+    vectors — the "which sources speak the same language" matrix that
+    complements :func:`source_term_kl` (KL says WHO drifted from the
+    corpus; this says which groups drift TOGETHER, the input to
+    mixture-weight grouping decisions).
+
+    Plan: one (group, term) count shuffle; idf from the term-level
+    aggregate of the same relation; norms per group; the pair dot product
+    is a self-join ON TERM (bounded by vocabulary x groups-per-term, never
+    corpus-sized), then one (group_a, group_b) aggregation. Canonical
+    pairs (a < b), 6dp rounding.
+    """
+    from zarr_datafusion_search_spark.operators.cache import tracked_persist
+    from zarr_datafusion_search_spark.operators.dedup import tokens_col
+
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens_col(text_col)).alias("term"),
+    )
+    gc = tracked_persist(
+        toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_groups = gc.select("grp").distinct().agg(
+        F.count(F.lit(1)).alias("ng")
+    )
+    dfc = gc.groupBy("term").agg(F.count(F.lit(1)).alias("gdf"))
+    w = tracked_persist(
+        gc.join(dfc, "term")
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "grp",
+            "term",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (1.0 + F.col("ng")) / (1.0 + F.col("gdf"))
+                    )
+                    + 1.0
+                )
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("grp").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = w.alias("a")
+    b = w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(
+            F.col("a.grp").alias("group_a"), F.col("b.grp").alias("group_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("grp").alias("group_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("grp").alias("group_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "group_a")
+        .join(nb, "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+    )

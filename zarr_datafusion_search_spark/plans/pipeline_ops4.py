@@ -581,3 +581,131 @@ def dedup_pairs_editdist_verify(spark: SparkSession, sf: str) -> DataFrame:
         docs, num_hashes=16, rows_per_band=4, jaccard_threshold=0.5
     )
     return neardup_editdist_verify(pairs, docs)
+
+
+@register(
+    "source_vocab_similarity",
+    oracle=f"""
+    WITH {_TOKS},
+    g AS MATERIALIZED (
+      SELECT d.source AS grp, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks) s
+      JOIN documents d USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    ng AS (SELECT count(DISTINCT grp)::DOUBLE AS ng FROM g),
+    dfc AS (SELECT term, count(*) AS gdf FROM g GROUP BY 1),
+    w AS MATERIALIZED (
+      SELECT grp, term, tf * (ln((1.0 + ng) / (1.0 + gdf)) + 1.0) AS w
+      FROM g JOIN dfc USING (term) CROSS JOIN ng
+    ),
+    nrm AS MATERIALIZED (SELECT grp, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.grp AS group_a, b.grp AS group_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.grp < b.grp
+      GROUP BY 1, 2
+    )
+    SELECT group_a, group_b,
+           round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN nrm na ON na.grp = group_a
+    JOIN nrm nb ON nb.grp = group_b
+    """,
+    doc="Pairwise cosine similarity between per-source unigram tf-idf "
+    "vectors — which sources speak the same language (the complement of "
+    "the KL drift score: KL says who drifted from the corpus, this says "
+    "who drifts together). One (source, term) shuffle; the pair dot "
+    "product self-joins on TERM (vocabulary-bounded, never corpus-sized).",
+)
+def source_vocab_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.text import (
+        source_vocab_similarity as svs,
+    )
+
+    return svs(table(spark, sf, "documents"))
+
+
+@register(
+    "frequent_event_paths",
+    oracle="""
+    SELECT path, n_paths FROM (
+      SELECT s1 || ' > ' || s2 || ' > ' || s3 AS path,
+             count(*) AS n_paths
+      FROM (
+        SELECT event_type AS s1,
+               lead(event_type, 1) OVER w AS s2,
+               lead(event_type, 2) OVER w AS s3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ) WHERE s3 IS NOT NULL GROUP BY 1
+    ) ORDER BY n_paths DESC, path LIMIT 20
+    """,
+    doc="Top-20 most common 3-step event-type paths across user timelines "
+    "— the second-order sequence model above the Markov transition matrix "
+    "(first-order cannot distinguish view->cart->buy from "
+    "view->cart->abandon). One window pass with lead columns (no "
+    "self-joins), map-side-combinable counting, TakeOrderedAndProject "
+    "top-k.",
+)
+def frequent_event_paths(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.sessions import (
+        frequent_event_paths as fep,
+    )
+
+    return fep(table(spark, sf, "events"))
+
+
+@register(
+    "cross_source_duplication",
+    oracle=f"""
+    WITH {_MH_CTES},
+    pairs AS ({_MH_SELECT}),
+    ga AS (SELECT doc_id AS doc_a, source AS _ga FROM documents),
+    gb AS (SELECT doc_id AS doc_b, source AS _gb FROM documents)
+    SELECT least(_ga, _gb) AS source_a, greatest(_ga, _gb) AS source_b,
+           count(*) AS n_pairs
+    FROM pairs JOIN ga USING (doc_a) JOIN gb USING (doc_b)
+    GROUP BY 1, 2
+    """,
+    doc="Provenance audit: the near-dup pair relation collapsed into a "
+    "(source_a, source_b) duplication matrix — off-diagonal mass reveals "
+    "syndication/mirror relationships between sources, diagonal mass a "
+    "source duplicating itself. Two id-keyed joins of the LSH-reduced "
+    "pairs against the (id, source) projection; incremental cost is "
+    "pairs-sized, never corpus-sized.",
+)
+def cross_source_duplication(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators import dedup
+
+    docs = table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, rows_per_band=4, jaccard_threshold=0.5
+    )
+    return dedup.cross_source_duplication_matrix(pairs, docs)
+
+
+@register(
+    "user_max_inactivity_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_gaps,
+           round(max(gap_us) / 86400000000.0, 6) AS max_gap_days,
+           max(gap_us) > 7.0 * 86400000000.0 AS is_dormant
+    FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+    """,
+    doc="Per-user longest inter-event gap with a dormancy flag (> 7 days) "
+    "— the churn signal behind re-engagement cohorts and stale-account "
+    "cleanup. One key shuffle, one lag window, one max aggregation; exact "
+    "integer-microsecond gaps on both engines.",
+)
+def user_max_inactivity_gap(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.sessions import (
+        max_inactivity_gaps,
+    )
+
+    return max_inactivity_gaps(table(spark, sf, "events"))
