@@ -156,6 +156,8 @@ EXTENDED_R4 = [
     "frequent_event_paths",
     "cross_source_duplication",
     "user_max_inactivity_gap",
+    "partitioned_dataset_prune",
+    "schema_evolution_union",
 ]
 
 #: registered queries deliberately NOT timed, with the reason the judge

@@ -482,3 +482,38 @@ def test_max_inactivity_gaps(spark):
     assert got[1].n_gaps == 2
     assert not got[2].is_dormant
     assert got[2].max_gap_days == pytest.approx(round(2 / 24, 6))
+
+
+# ---------------------------------------------------------------------------
+# batch 5: data layout — partition pruning, schema evolution
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_read_shows_partition_filters(spark, sf_dir):
+    """The pruned read's scan must carry the event_type equality as a
+    PartitionFilter (directory-level pruning), not a data filter."""
+    from zarr_datafusion_search_spark.plans.registry import load_all
+
+    reg = load_all()
+    df = reg["partitioned_dataset_prune"].spark(spark, sf_dir)
+    plan = _plan(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any("event_type" in l for l in pf), plan[:1200]
+
+
+def test_schema_evolution_null_semantics(spark, sf_dir):
+    """Generation-1 rows (no quality_tier column on disk) must read as
+    NULL, generation-2 rows keep their value."""
+    from zarr_datafusion_search_spark.operators.layout import (
+        read_evolved_docs,
+    )
+
+    df = read_evolved_docs(spark, sf_dir)
+    rows = df.collect()
+    assert all(
+        (r.quality_tier is None) == (r.doc_id % 2 == 0) for r in rows
+    )
+    assert {r.quality_tier for r in rows if r.doc_id % 2 == 1} <= {
+        "long",
+        "short",
+    }

@@ -709,3 +709,79 @@ def user_max_inactivity_gap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return max_inactivity_gaps(table(spark, sf, "events"))
+
+
+@register(
+    "partitioned_dataset_prune",
+    oracle="""
+    SELECT user_id, count(*) AS n_clicks,
+           round(sum(value), 6) AS total_value
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id
+    """,
+    doc="Hive-partitioned dataset + partition-pruned read: events written "
+    "partitionBy(event_type) (memoized; the bench times the READ), then "
+    "aggregated for ONE type — the scan must list only the matching "
+    "partition directory, visible as PartitionFilters in the physical "
+    "plan (asserted in tests/test_round4_ops.py). At 100 TB this is the "
+    "difference between scanning one type's share and the whole dataset.",
+)
+def partitioned_dataset_prune(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.layout import (
+        partitioned_events_dir,
+    )
+
+    d = partitioned_events_dir(spark, sf)
+    return (
+        spark.read.parquet(d)
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "schema_evolution_union",
+    oracle="""
+    WITH g1 AS (
+      SELECT doc_id, source, n_chars, CAST(NULL AS VARCHAR) AS quality_tier
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    g2 AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN n_chars >= 200 THEN 'long' ELSE 'short' END
+               AS quality_tier
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+    SELECT source, coalesce(quality_tier, 'unknown') AS tier,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM u GROUP BY 1, 2
+    """,
+    doc="Additive schema evolution: a two-generation parquet dataset "
+    "(generation 2 adds quality_tier) read with mergeSchema=true — "
+    "generation-1 rows surface NULL for the added column, aggregated "
+    "with an explicit unknown bucket. The reconciliation a long-lived "
+    "corpus needs without rewriting history; oracle replays the union "
+    "semantics from the original table.",
+)
+def schema_evolution_union(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.layout import (
+        read_evolved_docs,
+    )
+
+    return (
+        read_evolved_docs(spark, sf)
+        .groupBy(
+            "source",
+            F.coalesce("quality_tier", F.lit("unknown")).alias("tier"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
