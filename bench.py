@@ -158,6 +158,14 @@ EXTENDED_R4 = [
     "user_max_inactivity_gap",
     "partitioned_dataset_prune",
     "schema_evolution_union",
+    "zorder_locality_audit",
+    "compaction_plan_greedy",
+    "dpp_partitioned_join",
+    "bloom_join_prefilter",
+    "groupwise_auc_score",
+    "annotator_agreement_kappa",
+    "mixture_reweight_ess",
+    "countmin_sketch_error",
 ]
 
 #: registered queries deliberately NOT timed, with the reason the judge

@@ -1,0 +1,236 @@
+"""Round-4 batch-6/7 tests: z-order interleave bit correctness and file
+locality, compaction stride invariants, dynamic-partition-pruning plan
+shape, Bloom filter no-false-negative guarantee, count-min lower-bound
+invariant, and the evaluation metrics on hand-computable fixtures."""
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# z-order
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_key_bit_interleave(spark):
+    """Hand-checked Morton codes: bit i of a -> 2i, bit i of b -> 2i+1."""
+    from zarr_datafusion_search_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 3), (15, 15), (15, 0), (0, 15)],
+        "a long, b long",
+    )
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    assert got[(3, 3)] == 15  # 0b1111
+    assert got[(15, 15)] == 255
+    assert got[(15, 0)] == 0b01010101
+    assert got[(0, 15)] == 0b10101010
+
+
+def test_zorder_sql_matches_column(spark):
+    """The oracle-side SQL string computes the identical key."""
+    from zarr_datafusion_search_spark.operators.layout import (
+        zorder_key,
+        zorder_sql,
+    )
+
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("a"), (F.col("id") / 16).cast("long").alias("b")
+    )
+    mism = (
+        df.select(
+            zorder_key(F.col("a"), F.col("b")).alias("zc"),
+            F.expr(zorder_sql("a", "b")).alias("zs"),
+        )
+        .filter(F.col("zc") != F.col("zs"))
+        .count()
+    )
+    assert mism == 0
+
+
+def test_zorder_files_bound_both_dims(spark):
+    """On a full 16x16 grid, z-order files must bound BOTH dimensions:
+    every 16-row file of a 256-cell grid is one 4x4 quadrant (span 4),
+    where a row-major sort would give a_span 16 for every file."""
+    from zarr_datafusion_search_spark.operators.layout import (
+        zorder_locality_audit,
+    )
+
+    grid = spark.range(256).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 16).alias("a"),
+        (F.col("id") / 16).cast("long").alias("b"),
+    )
+    rows = zorder_locality_audit(
+        grid, "a", "b", n_files=16, order_col="event_id"
+    ).collect()
+    assert len(rows) == 16
+    assert all(r.n_rows == 16 for r in rows)
+    assert all(r.a_span == 4 and r.b_span == 4 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# compaction planner
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_stride_invariants(spark):
+    """Byte conservation, stride group assignment, and intra-group
+    contiguity on a hand-built inventory."""
+    from zarr_datafusion_search_spark.operators.layout import (
+        plan_compaction_greedy,
+    )
+
+    files = spark.createDataFrame(
+        [("s", i, 30) for i in range(10)],  # 300 bytes, target 100
+        "source string, file_no long, bytes long",
+    )
+    rows = sorted(
+        plan_compaction_greedy(
+            files, "source", "file_no", "bytes", target_bytes=100
+        ).collect(),
+        key=lambda r: r.compaction_group,
+    )
+    assert sum(r.total_bytes for r in rows) == 300
+    # exclusive cumsums 0,30,..,270 -> groups 0,0,0,0 | 1,1,1 | 2,2,2
+    assert [(r.compaction_group, r.n_files) for r in rows] == [
+        (0, 4),
+        (1, 3),
+        (2, 3),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+
+def test_dpp_plan_has_dynamic_pruning(spark, sf_dir):
+    """The partitioned fact scan must carry a dynamicpruning expression
+    in its PartitionFilters — proof the broadcast dim's hot tier reaches
+    the directory listing at runtime."""
+    from zarr_datafusion_search_spark.plans.registry import load_all
+
+    df = load_all()["dpp_partitioned_join"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# sketches
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_never_false_negative(spark):
+    """Every key folded into the bloom must pass its own probe."""
+    from zarr_datafusion_search_spark.operators.sketches import (
+        bloom64_prefilter_audit,
+    )
+
+    build = spark.range(0, 500, 7).select(F.col("id").alias("k"))
+    probe = spark.range(0, 500).select(F.col("id").alias("k"))
+    row = bloom64_prefilter_audit(build, probe, "k", "k").collect()[0]
+    n_members = build.distinct().count()
+    assert row.n_members == n_members
+    # no false negatives: every member passes, so passes >= members
+    assert row.n_pass >= row.n_members
+    assert row.n_false_pos == row.n_pass - row.n_members
+    assert row.n_probe == 500
+
+
+def test_countmin_estimate_is_upper_bound(spark):
+    """CMS can only overcount: estimate >= exact for every key."""
+    from zarr_datafusion_search_spark.operators.sketches import (
+        countmin_error_audit,
+    )
+
+    df = spark.range(2000).select((F.col("id") % 97).alias("k"))
+    rows = countmin_error_audit(df, "k").collect()
+    assert len(rows) == 97
+    assert all(r.estimate >= r.exact for r in rows)
+    assert all(r.overcount == r.estimate - r.exact for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# evaluation metrics
+# ---------------------------------------------------------------------------
+
+
+def test_auc_perfect_and_random(spark):
+    """Perfectly separated scores -> AUC 1; all-tied scores -> 0.5 via
+    midranks; single-class group -> NULL."""
+    from zarr_datafusion_search_spark.operators.evalmetrics import (
+        groupwise_auc,
+    )
+
+    rows = [("sep", float(i), 1 if i >= 5 else 0) for i in range(10)]
+    rows += [("tied", 1.0, i % 2) for i in range(10)]
+    rows += [("onecls", float(i), 1) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, score double, y int")
+    got = {r.g: r for r in groupwise_auc(df, "g", "score", "y").collect()}
+    assert got["sep"].auc == 1.0
+    assert got["tied"].auc == 0.5
+    assert got["onecls"].auc is None
+    assert got["onecls"].n_neg == 0
+
+
+def test_kappa_known_values(spark):
+    """Perfect agreement -> 1; hand-computed mixed case; degenerate
+    (pe == 1) -> NULL."""
+    from zarr_datafusion_search_spark.operators.evalmetrics import (
+        cohen_kappa_binary,
+    )
+
+    rows = [("perfect", i % 2, i % 2) for i in range(10)]
+    # mixed: a = [1]*6+[0]*4, b agrees on 7 of 10
+    mixed_a = [1, 1, 1, 1, 1, 1, 0, 0, 0, 0]
+    mixed_b = [1, 1, 1, 1, 0, 0, 0, 0, 0, 1]
+    rows += [("mixed", a, b) for a, b in zip(mixed_a, mixed_b)]
+    rows += [("degen", 1, 1) for _ in range(5)]
+    df = spark.createDataFrame(rows, "g string, a int, b int")
+    got = {r.g: r for r in cohen_kappa_binary(df, "g", "a", "b").collect()}
+    assert got["perfect"].kappa == 1.0
+    po, pa, pb = 0.7, 0.6, 0.5
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    assert got["mixed"].kappa == pytest.approx((po - pe) / (1 - pe), abs=1e-6)
+    assert got["degen"].kappa is None
+
+
+def test_ess_uniform_and_skewed(spark):
+    """Uniform mixture -> weights 1, ESS == n; heavy skew -> ESS well
+    below n (Kish)."""
+    from zarr_datafusion_search_spark.operators.evalmetrics import (
+        mixture_reweight_ess,
+    )
+
+    uni = spark.createDataFrame(
+        [(f"g{i % 4}",) for i in range(40)], "g string"
+    )
+    rows = mixture_reweight_ess(uni, "g").collect()
+    assert all(r.weight == 1.0 for r in rows)
+    assert all(r.ess == 40.0 for r in rows)
+    skew = spark.createDataFrame(
+        [("big",)] * 90 + [("small",)] * 10, "g string"
+    )
+    ess = mixture_reweight_ess(skew, "g").collect()[0].ess
+    # n1 w1 = 50, n2 w2 = 50 -> ESS = 100^2 / (90*(5/9)^2 + 10*5^2)
+    expect = 100.0**2 / (90 * (50 / 90) ** 2 + 10 * (50 / 10) ** 2)
+    assert ess == pytest.approx(expect, abs=0.01)

@@ -85,6 +85,135 @@ def evolved_docs_dir(spark: SparkSession, sf: str) -> str:
     return data
 
 
+def zorder_key(col_a, col_b, bits: int = 4):
+    """Morton/Z-order interleaved key over two already-bucketed dimensions
+    (each in ``[0, 2**bits)``): bit i of each input lands at output bits
+    ``2i`` / ``2i+1``. Pure JVM bit arithmetic (no UDF) — the multi-column
+    clustering key a lakehouse layout job sorts on so a range scan on
+    EITHER dimension touches a bounded band of files instead of all of
+    them. At 100 TB this is a write-once layout decision that every later
+    query amortizes."""
+    z = F.lit(0)
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftright(col_a, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+            + F.shiftright(col_b, i).bitwiseAND(F.lit(1))
+            * F.lit(1 << (2 * i + 1))
+        )
+    return z
+
+
+def zorder_sql(a: str, b: str, bits: int = 4) -> str:
+    """The identical interleave as a SQL expression string (oracle side)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a}) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((({b}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_locality_audit(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    bits: int = 4,
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Assign rows to ``n_files`` equal-row files in z-key order and report
+    each file's min/max extent in BOTH dimensions. Tight extents on both
+    axes are the whole point of z-ordering: a predicate on either
+    dimension prunes to the few files whose [min,max] band overlaps it,
+    which single-column sorting only delivers for its one sort key.
+
+    Scale note: the exact equal-row ntile here needs a global ordering
+    (Spark warns: single-partition window) — right for an audit that must
+    be bit-reproducible against an external oracle at test scale. The
+    production layout WRITE uses ``df.repartitionByRange(n_files,
+    F.col("z"))`` instead: sampled range boundaries, fully parallel sort,
+    approximately-equal files — same z-band locality without ever
+    collecting the ordering to one task."""
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        F.col(col_a).alias("da"),
+        F.col(col_b).alias("db"),
+        zorder_key(F.col(col_a), F.col(col_b), bits).alias("z"),
+        F.col(order_col).alias("_ord"),
+    )
+    w = Window.orderBy("z", "_ord")
+    return (
+        keyed.withColumn("file_id", F.ntile(n_files).over(w))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("da").alias("a_min"),
+            F.max("da").alias("a_max"),
+            F.min("db").alias("b_min"),
+            F.max("db").alias("b_max"),
+        )
+        .select(
+            "file_id",
+            "n_rows",
+            "a_min",
+            "a_max",
+            "b_min",
+            "b_max",
+            (F.col("a_max") - F.col("a_min") + 1).alias("a_span"),
+            (F.col("b_max") - F.col("b_min") + 1).alias("b_span"),
+        )
+    )
+
+
+def plan_compaction_greedy(
+    files: DataFrame,
+    group_col: str = "source",
+    order_col: str = "file_no",
+    bytes_col: str = "bytes",
+    target_bytes: int = 20_000,
+) -> DataFrame:
+    """Small-file compaction plan: within each partition, stride the
+    cumulative byte stream — group = ``floor(exclusive_cumsum / target)``
+    over a window — so every compaction group lands within one
+    ``target_bytes`` stride (group totals ~= target, off by at most one
+    file). One shuffle on the partition key no matter how many files
+    exist; the sequential reset-on-overflow greedy would need a per-key
+    fold for marginally tighter packing. The single most common
+    maintenance job on a 100 TB parquet lake (small ingest files ->
+    read-amplification) reduced to a window function; no driver-side loop
+    over the file inventory."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.withColumn(
+        "grp",
+        F.floor(
+            F.coalesce(F.sum(bytes_col).over(w), F.lit(0)) / F.lit(target_bytes)
+        ),
+    )
+    return (
+        planned.groupBy(group_col, "grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(bytes_col).alias("total_bytes"),
+        )
+        .select(
+            F.col(group_col),
+            F.col("grp").alias("compaction_group"),
+            "n_files",
+            "total_bytes",
+            F.round(F.col("total_bytes") / F.lit(target_bytes), 4).alias(
+                "fill_ratio"
+            ),
+        )
+    )
+
+
 def read_evolved_docs(spark: SparkSession, sf: str) -> DataFrame:
     """mergeSchema read across both generations: generation-1 rows carry
     NULL for the added column (the correct additive-evolution semantics);

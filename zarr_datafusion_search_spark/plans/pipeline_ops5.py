@@ -1,0 +1,425 @@
+"""Round-4 batch-6/7 queries: physical-layout optimization (z-order
+locality, compaction planning, dynamic partition pruning), sketch-based
+join/count reduction (Bloom pre-filter, count-min error audit), and
+evaluation metrics over curation signals (group-wise AUC, annotator
+agreement, mixture reweighting).
+
+Same contract as ``pipeline_ops``: every entry is a Spark DataFrame plan
+plus a DuckDB oracle computing the identical result (column names aliased
+identically on both sides; floats pinned with both-side rounding; hash
+constants shared between the plan and the oracle through the operator
+module so neither side can drift).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from zarr_datafusion_search_spark.operators.layout import zorder_sql
+from zarr_datafusion_search_spark.operators.sketches import (
+    bloom_hash_sql,
+    cms_hash_sql,
+    BLOOM_BITS,
+    CMS_HASHES,
+    CMS_WIDTH,
+)
+from zarr_datafusion_search_spark.plans.registry import register, table
+
+# ---------------------------------------------------------------------------
+# batch 6: physical layout + sketches
+# ---------------------------------------------------------------------------
+
+_ZA = "user_id % 16"
+_ZB = "CAST(floor(value) AS BIGINT) % 16"
+
+
+@register(
+    "zorder_locality_audit",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT event_id, {_ZA} AS da, {_ZB} AS db,
+             {zorder_sql(_ZA, _ZB)} AS z
+      FROM events
+    ),
+    filed AS (
+      SELECT da, db, ntile(16) OVER (ORDER BY z, event_id) AS file_id
+      FROM keyed
+    )
+    SELECT file_id, count(*) AS n_rows,
+           min(da) AS a_min, max(da) AS a_max,
+           min(db) AS b_min, max(db) AS b_max,
+           max(da) - min(da) + 1 AS a_span,
+           max(db) - min(db) + 1 AS b_span
+    FROM filed GROUP BY 1
+    """,
+    doc="Z-order (Morton) layout audit: events keyed on the bit-interleave "
+    "of two bucketed dimensions (user, value), striped into 16 equal-row "
+    "'files' in z order, reporting each file's min/max extent on BOTH "
+    "axes — the per-file statistics a reader prunes on. The interleave is "
+    "pure JVM bit arithmetic (operators/layout.py:zorder_key) and the "
+    "oracle replays the identical expression, so the audit doubles as a "
+    "cross-engine proof of the key. At 100 TB the ntile sort is the "
+    "write-once layout shuffle every later 2-D range scan amortizes.",
+)
+def zorder_locality_audit_q(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.layout import (
+        zorder_locality_audit,
+    )
+
+    ev = table(spark, sf, "events").selectExpr(
+        "event_id", f"{_ZA} as da", f"{_ZB} as db"
+    )
+    return zorder_locality_audit(
+        ev, "da", "db", n_files=16, bits=4, order_col="event_id"
+    )
+
+
+@register(
+    "compaction_plan_greedy",
+    oracle="""
+    WITH files AS (
+      SELECT source, CAST(floor(doc_id / 50.0) AS BIGINT) AS file_no,
+             CAST(sum(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY 1, 2
+    ),
+    planned AS (
+      SELECT source, bytes,
+             CAST(floor(coalesce(sum(bytes) OVER (
+                 PARTITION BY source ORDER BY file_no
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 20000.0) AS BIGINT) AS grp
+      FROM files
+    )
+    SELECT source, grp AS compaction_group,
+           count(*) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           round(CAST(sum(bytes) AS DOUBLE) / 20000.0, 4) AS fill_ratio
+    FROM planned GROUP BY 1, 2
+    """,
+    doc="Small-file compaction planner: a simulated per-source file "
+    "inventory (50-doc parquet files sized by their text bytes) packed "
+    "into ~20 KB compaction groups by striding the cumulative byte "
+    "stream with one window function — one shuffle on the partition key "
+    "regardless of file count, no driver-side loop "
+    "(operators/layout.py:plan_compaction_greedy). The standard "
+    "maintenance job against ingest read-amplification on a 100 TB lake.",
+)
+def compaction_plan_greedy_q(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.layout import (
+        plan_compaction_greedy,
+    )
+
+    files = (
+        table(spark, sf, "documents")
+        .groupBy(
+            "source",
+            F.floor(F.col("doc_id") / F.lit(50.0)).cast("long").alias(
+                "file_no"
+            ),
+        )
+        .agg(F.sum("n_chars").alias("bytes"))
+    )
+    return plan_compaction_greedy(
+        files, "source", "file_no", "bytes", target_bytes=20_000
+    )
+
+
+@register(
+    "dpp_partitioned_join",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY 1
+    """,
+    doc="Dynamic partition pruning: the hive-partitioned events dataset "
+    "joined to a tiny broadcast dim filtered to its 'hot' tier — Spark "
+    "turns the broadcast side into a runtime partition filter on the "
+    "fact scan (dynamicpruningexpression in PartitionFilters, asserted "
+    "in tests/test_round4_ops2.py), so only the matching event_type "
+    "directories are read even though the pruning values are not "
+    "literals in the query. THE mechanism that makes star-schema joins "
+    "survive a 100 TB partitioned fact table.",
+)
+def dpp_partitioned_join(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.layout import (
+        partitioned_events_dir,
+    )
+
+    facts = spark.read.parquet(partitioned_events_dir(spark, sf))
+    dim = spark.createDataFrame(
+        [
+            ("click", "hot"),
+            ("purchase", "hot"),
+            ("view", "cold"),
+            ("signup", "cold"),
+            ("error", "cold"),
+        ],
+        "event_type string, tier string",
+    )
+    return (
+        facts.join(
+            F.broadcast(dim.filter(F.col("tier") == "hot")), "event_type"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+_BH1, _BH2 = bloom_hash_sql("cast(o_custkey as bigint)")
+_PH1, _PH2 = bloom_hash_sql("cast(c_custkey as bigint)")
+
+
+@register(
+    "bloom_join_prefilter",
+    oracle=f"""
+    WITH bloom AS (
+      SELECT bit_or((1::BIGINT << ({_BH1})) | (1::BIGINT << ({_BH2})))
+               AS bloom
+      FROM orders WHERE o_totalprice > 400000
+    ),
+    truth AS (
+      SELECT DISTINCT o_custkey AS _k
+      FROM orders WHERE o_totalprice > 400000
+    ),
+    probed AS (
+      SELECT c.c_custkey AS _k,
+             ((b.bloom >> ({_PH1})) & 1) = 1
+               AND ((b.bloom >> ({_PH2})) & 1) = 1 AS bloom_pass,
+             t._k IS NOT NULL AS is_member
+      FROM customer c CROSS JOIN bloom b
+      LEFT JOIN truth t ON t._k = c.c_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(sum(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_false_pos,
+           round(CAST(sum(CASE WHEN bloom_pass AND NOT is_member
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / greatest(sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END),
+                            1), 6) AS fp_rate
+    FROM probed
+    """,
+    doc=f"Bloom-filter join pre-reduction, audited: a {BLOOM_BITS}-bit "
+    "bloom of high-value orders' customer keys built as ONE bit_or "
+    "aggregate (8 bytes cross the wire per task), probed by every "
+    "customer via a broadcast 1-row cross join; reports passes, exact "
+    "ground-truth members, false positives, and the FP rate among true "
+    "negatives. Mirrors Spark's runtime bloom-join pruning in an "
+    "oracle-replayable form (operators/sketches.py) — at 100 TB the "
+    "probe rows the bloom drops never enter the join shuffle.",
+)
+def bloom_join_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.sketches import (
+        bloom64_prefilter_audit,
+    )
+
+    orders = table(spark, sf, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    customer = table(spark, sf, "customer")
+    return bloom64_prefilter_audit(orders, customer, "o_custkey", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# batch 7: evaluation metrics + count-min audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "groupwise_auc_score",
+    oracle="""
+    WITH ranked AS (
+      SELECT source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS _y,
+             rank() OVER (PARTITION BY source ORDER BY n_chars)
+               + (count(*) OVER (PARTITION BY source, n_chars) - 1) / 2.0
+               AS _mr
+      FROM documents
+    ),
+    agg AS (
+      SELECT source,
+             sum(CASE WHEN _y = 1 THEN _mr END) AS rpos,
+             CAST(sum(_y) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(_y) AS BIGINT) AS n_neg
+      FROM ranked GROUP BY 1
+    )
+    SELECT source, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN round((rpos - n_pos * (n_pos + 1) / 2.0)
+                           / (n_pos * n_neg), 6)
+           END AS auc
+    FROM agg
+    """,
+    doc="Group-wise ROC AUC via the midrank Mann-Whitney identity "
+    "(operators/evalmetrics.py:groupwise_auc): per source, does document "
+    "length rank the English docs above the rest? Midranks make tie "
+    "handling exact and order-independent — the property that lets a "
+    "rank statistic over a distributed shuffle match an external oracle "
+    "bit-for-bit. One rank shuffle on (group, score); O(1) state per "
+    "group after, so the metric holds at any corpus size.",
+)
+def groupwise_auc_score(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.evalmetrics import (
+        groupwise_auc,
+    )
+
+    docs = table(spark, sf, "documents").select(
+        "source",
+        "n_chars",
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    return groupwise_auc(docs, "source", "n_chars", "is_en")
+
+
+@register(
+    "annotator_agreement_kappa",
+    oracle="""
+    WITH lab AS (
+      SELECT source,
+             CASE WHEN n_chars >= 200 THEN 1.0 ELSE 0.0 END AS a,
+             CASE WHEN n_chars - length(replace(text, ' ', '')) >= 30
+                  THEN 1.0 ELSE 0.0 END AS b
+      FROM documents
+    ),
+    agg AS (
+      SELECT source, count(*) AS n, avg(a) AS pa, avg(b) AS pb,
+             avg(CASE WHEN a = b THEN 1.0 ELSE 0.0 END) AS po
+      FROM lab GROUP BY 1
+    )
+    SELECT source, n, round(po, 6) AS po,
+           round(pa * pb + (1 - pa) * (1 - pb), 6) AS pe,
+           round((po - (pa * pb + (1 - pa) * (1 - pb)))
+                 / nullif(1 - (pa * pb + (1 - pa) * (1 - pb)), 0.0), 6)
+             AS kappa
+    FROM agg
+    """,
+    doc="Cohen's kappa between two label heuristics (char-length vs "
+    "whitespace-word-count document quality), per source "
+    "(operators/evalmetrics.py:cohen_kappa_binary). Chance-corrected "
+    "agreement is the standard check that two cheap curation labelers "
+    "measure the same thing; for binary labels the whole metric folds "
+    "into three group averages — map-side combinable, no second "
+    "shuffle, O(groups) output at any scale.",
+)
+def annotator_agreement_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.evalmetrics import (
+        cohen_kappa_binary,
+    )
+
+    docs = table(spark, sf, "documents").select(
+        "source",
+        (F.col("n_chars") >= 200).cast("int").alias("lab_len"),
+        (
+            F.col("n_chars")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            >= 30
+        )
+        .cast("int")
+        .alias("lab_words"),
+    )
+    return cohen_kappa_binary(docs, "source", "lab_len", "lab_words")
+
+
+@register(
+    "mixture_reweight_ess",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS DOUBLE) AS total, count(*) AS k
+      FROM counts
+    ),
+    w AS (
+      SELECT c.lang, c.n_docs, t.total,
+             c.n_docs / t.total AS share,
+             (1.0 / t.k) / (c.n_docs / t.total) AS wt
+      FROM counts c CROSS JOIN tot t
+    ),
+    summ AS (
+      SELECT pow(sum(n_docs * wt), 2) / sum(n_docs * wt * wt) AS ess
+      FROM w
+    )
+    SELECT w.lang, CAST(w.n_docs AS BIGINT) AS n_docs,
+           round(w.share, 6) AS share, round(w.wt, 6) AS weight,
+           round(s.ess, 2) AS ess,
+           round(s.ess / w.total, 6) AS ess_fraction
+    FROM w CROSS JOIN summ s
+    """,
+    doc="Mixture rebalancing to a uniform language target with Kish "
+    "effective sample size (operators/evalmetrics.py:mixture_reweight_"
+    "ess): per-language importance weights plus the honest 'how much "
+    "data survives the reweighting' number. Two tiny aggregations — "
+    "per-group counts then a k-row rollup broadcast back — the corpus "
+    "itself never reshuffles, so the plan scales with the number of "
+    "languages, not rows.",
+)
+def mixture_reweight_ess_q(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.evalmetrics import (
+        mixture_reweight_ess,
+    )
+
+    return mixture_reweight_ess(
+        table(spark, sf, "documents").select("lang"), "lang"
+    )
+
+
+_CMS_UNION = "\n      UNION ALL ".join(
+    f"SELECT {d} AS d, {cms_hash_sql('_k', d)} AS bucket FROM hashed"
+    for d in range(len(CMS_HASHES))
+)
+_CMS_JOINS = "\n    ".join(
+    f"JOIN cells c{d} ON c{d}.d = {d} AND "
+    f"c{d}.bucket = {cms_hash_sql('k._k', d)}"
+    for d in range(len(CMS_HASHES))
+)
+_CMS_LEAST = "least(" + ", ".join(
+    f"c{d}.cnt" for d in range(len(CMS_HASHES))
+) + ")"
+
+
+@register(
+    "countmin_sketch_error",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT CAST(user_id AS BIGINT) AS _k FROM events
+    ),
+    cells AS (
+      SELECT d, bucket, count(*) AS cnt FROM (
+        {_CMS_UNION}
+      ) GROUP BY 1, 2
+    ),
+    keys AS (SELECT _k, count(*) AS exact FROM hashed GROUP BY 1)
+    SELECT k._k AS key, CAST(k.exact AS BIGINT) AS exact,
+           CAST({_CMS_LEAST} AS BIGINT) AS estimate,
+           CAST({_CMS_LEAST} - k.exact AS BIGINT) AS overcount
+    FROM keys k
+    {_CMS_JOINS}
+    """,
+    doc=f"Count-min sketch audit over event user ids: a "
+    f"{len(CMS_HASHES)}x{CMS_WIDTH} counter table built as one "
+    "group-by over unioned per-depth bucket ids (fixed memory at any "
+    "cardinality, map-side combinable), then every key's estimate "
+    "joined to its exact count (operators/sketches.py:countmin_error_"
+    "audit). estimate >= exact always holds (tested); the overcount "
+    "column is the price of fixed memory, which is the trade a 100 TB "
+    "frequency pass makes when exact per-key counts would be their own "
+    "full shuffle. Hash constants are shared between the plan and the "
+    "oracle so the bits cannot drift.",
+)
+def countmin_sketch_error(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.sketches import (
+        countmin_error_audit,
+    )
+
+    return countmin_error_audit(
+        table(spark, sf, "events").select("user_id"), "user_id"
+    )
