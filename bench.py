@@ -166,6 +166,11 @@ EXTENDED_R4 = [
     "annotator_agreement_kappa",
     "mixture_reweight_ess",
     "countmin_sketch_error",
+    "k_anonymity_audit",
+    "contribution_cap_report",
+    "rollup_reuse_hourly_daily",
+    "join_size_estimate_sampled",
+    "data_freshness_audit",
 ]
 
 #: registered queries deliberately NOT timed, with the reason the judge

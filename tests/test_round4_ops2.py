@@ -234,3 +234,103 @@ def test_ess_uniform_and_skewed(spark):
     # n1 w1 = 50, n2 w2 = 50 -> ESS = 100^2 / (90*(5/9)^2 + 10*5^2)
     expect = 100.0**2 / (90 * (50 / 90) ** 2 + 10 * (50 / 10) ** 2)
     assert ess == pytest.approx(expect, abs=0.01)
+
+
+# ---------------------------------------------------------------------------
+# governance / rollup / estimation
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_summary(spark):
+    """3 groups: sizes 6, 2, 1 -> below k=5: two groups, 3 rows."""
+    from zarr_datafusion_search_spark.operators.governance import (
+        k_anonymity_audit,
+    )
+
+    rows = [("a", 1)] * 6 + [("b", 1)] * 2 + [("c", 2)]
+    df = spark.createDataFrame(rows, "qa string, qb int")
+    r = k_anonymity_audit(df, ["qa", "qb"], k=5).collect()[0]
+    assert r.n_groups == 3
+    assert r.n_below_k == 2
+    assert r.n_rows_suppressed == 3
+    assert r.suppression_rate == pytest.approx(3 / 9, abs=1e-6)
+    assert r.min_group_size == 1
+
+
+def test_contribution_cap_keeps_latest(spark):
+    """User 1 has 5 rows, cap 3 -> the 3 latest timestamps survive."""
+    from zarr_datafusion_search_spark.operators.governance import (
+        cap_user_contributions,
+    )
+
+    df = spark.createDataFrame(
+        [(1, t, t) for t in range(5)] + [(2, 0, 10)],
+        "u long, ts long, id long",
+    )
+    kept = cap_user_contributions(df, "u", "ts", "id", cap=3).collect()
+    by_user = {}
+    for r in kept:
+        by_user.setdefault(r.u, []).append(r.ts)
+    assert sorted(by_user[1]) == [2, 3, 4]
+    assert by_user[2] == [0]
+
+
+def test_rollup_reuse_equals_direct(spark):
+    """Hourly->daily merge must equal the direct daily aggregation."""
+    import datetime
+
+    from zarr_datafusion_search_spark.operators.timeseries import (
+        rollup_reuse,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (base + datetime.timedelta(hours=h, minutes=m), "t", 1.5)
+        for h in range(30)
+        for m in (0, 30)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp_ntz, g string, v double")
+    got = sorted(
+        rollup_reuse(df, "ts", "g", "v").collect(),
+        key=lambda r: r.bucket_ts,
+    )
+    assert len(got) == 2  # 30 hours -> 2 days
+    assert got[0].n_events == 48 and got[1].n_events == 12
+    assert got[0].total_value == pytest.approx(72.0)
+    assert got[0].avg_value == 1.5
+
+
+def test_join_size_estimate_uniform_keys(spark):
+    """1:1 join over keys 0..99 with mod-4 key sampling: 25 sampled
+    pairs scale to exactly 100."""
+    from zarr_datafusion_search_spark.operators.estimates import (
+        join_size_estimate,
+    )
+
+    left = spark.range(100).select(F.col("id").alias("lk"))
+    right = spark.range(100).select(F.col("id").alias("rk"))
+    r = join_size_estimate(left, right, "lk", "rk", mod=4).collect()[0]
+    assert r.exact_size == 100
+    assert r.estimated_size == 100
+    assert r.rel_error == 0.0
+
+
+def test_freshness_stale_flag(spark):
+    """A group whose latest row is 3 days behind the watermark is
+    stale; the watermark group is not."""
+    import datetime
+
+    from zarr_datafusion_search_spark.operators.governance import (
+        freshness_audit,
+    )
+
+    wm = datetime.datetime(2024, 6, 10)
+    df = spark.createDataFrame(
+        [("live", wm), ("live", wm - datetime.timedelta(days=1)),
+         ("stale", wm - datetime.timedelta(days=3))],
+        "g string, ts timestamp_ntz",
+    )
+    got = {r.g: r for r in freshness_audit(df, "g", "ts").collect()}
+    assert not got["live"].is_stale and got["live"].lag_seconds == 0
+    assert got["stale"].is_stale
+    assert got["stale"].lag_seconds == 3 * 86400

@@ -413,3 +413,44 @@ def rolling_zscore_anomalies(
         )
         .filter(F.abs(F.col("zscore")) > threshold)
     )
+
+
+def rollup_reuse(
+    df,
+    ts_col: str,
+    group_col: str,
+    value_col: str,
+    fine: str = "hour",
+    coarse: str = "day",
+):
+    """Continuous-aggregate reuse: materialize the ``fine``-grain rollup
+    once, then answer the ``coarse`` grain FROM the fine partials
+    (count-sum merge) instead of rescanning facts — the hypertable
+    pattern that turns every dashboard grain into an O(partials)
+    aggregation at 100 TB. Additivity of (count, sum) is what makes the
+    reuse exact; avg is derived at the end, never merged. Values are
+    accumulated as DECIMAL(18,6): decimal addition is associative, so
+    the hourly-then-daily merge is bit-identical to a direct daily
+    scan — double sums would drift with grouping order and make the
+    reuse only approximately equal to the rescan it replaces."""
+    dec = F.col(value_col).cast("decimal(18,6)")
+    fine_agg = df.groupBy(
+        F.date_trunc(fine, F.col(ts_col)).alias("_fine_ts"),
+        F.col(group_col),
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec).alias("_sum"),
+    )
+    return (
+        fine_agg.groupBy(
+            F.date_trunc(coarse, F.col("_fine_ts")).alias("bucket_ts"),
+            F.col(group_col),
+        )
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.round(F.sum("_sum").cast("double"), 6).alias("total_value"),
+            F.round(
+                F.sum("_sum").cast("double") / F.sum("_n"), 6
+            ).alias("avg_value"),
+        )
+    )

@@ -423,3 +423,198 @@ def countmin_sketch_error(spark: SparkSession, sf: str) -> DataFrame:
     return countmin_error_audit(
         table(spark, sf, "events").select("user_id"), "user_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 8: governance, rollup reuse, cardinality estimation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH g AS (
+      SELECT lang, CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+             count(*) AS sz
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below_k,
+           CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+             AS n_rows_suppressed,
+           round(CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+                 / sum(sz), 6) AS suppression_rate,
+           CAST(min(sz) AS BIGINT) AS min_group_size
+    FROM g
+    """,
+    doc="k-anonymity audit (k=5) over the (lang, length-bucket) "
+    "quasi-identifier: how many QI groups isolate fewer than k "
+    "documents and what fraction of rows suppression would cost "
+    "(operators/governance.py:k_anonymity_audit). Only counts reach the "
+    "driver — the sensitive below-k groups themselves stay distributed, "
+    "which is the correct privacy posture for the audit itself.",
+)
+def k_anonymity_audit_q(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.governance import (
+        k_anonymity_audit,
+    )
+
+    docs = table(spark, sf, "documents").select(
+        "lang",
+        F.floor(F.col("n_chars") / F.lit(100.0))
+        .cast("long")
+        .alias("len_bucket"),
+    )
+    return k_anonymity_audit(docs, ["lang", "len_bucket"], k=5)
+
+
+@register(
+    "contribution_cap_report",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    raw AS (SELECT event_type, count(*) AS n_raw FROM events GROUP BY 1),
+    kept AS (
+      SELECT event_type, count(*) AS n_capped
+      FROM ranked WHERE rn <= 20 GROUP BY 1
+    )
+    SELECT r.event_type, CAST(n_raw AS BIGINT) AS n_raw,
+           CAST(n_capped AS BIGINT) AS n_capped,
+           round((n_raw - n_capped) * 1.0 / n_raw, 6) AS clipped_rate
+    FROM raw r JOIN kept k ON r.event_type = k.event_type
+    """,
+    doc="Per-user contribution bounding (cap 20 most-recent events, "
+    "deterministic ts/event_id ranking) with a per-type before/after "
+    "report (operators/governance.py:contribution_cap_report) — the "
+    "DP-style preprocessing that stops any single user dominating the "
+    "training signal. One window shuffle on the user key; the report "
+    "shows where the bound actually bit.",
+)
+def contribution_cap_report_q(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.governance import (
+        contribution_cap_report,
+    )
+
+    return contribution_cap_report(
+        table(spark, sf, "events"),
+        user_col="user_id",
+        order_col="ts",
+        tiebreak_col="event_id",
+        group_col="event_type",
+        cap=20,
+    )
+
+
+@register(
+    "rollup_reuse_hourly_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS total_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Continuous-aggregate reuse: the daily grain answered FROM the "
+    "materialized hourly rollup by merging (count, sum) partials — "
+    "facts are scanned once at the fine grain, every coarser grain is "
+    "O(partials) (operators/timeseries.py:rollup_reuse). The oracle "
+    "recomputes daily directly from raw events, proving the reuse is "
+    "indistinguishable from a rescan — the additivity contract a "
+    "hypertable depends on at 100 TB.",
+)
+def rollup_reuse_hourly_daily(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.timeseries import (
+        rollup_reuse,
+    )
+
+    return rollup_reuse(
+        table(spark, sf, "events"),
+        ts_col="ts",
+        group_col="event_type",
+        value_col="value",
+        fine="hour",
+        coarse="day",
+    )
+
+
+@register(
+    "join_size_estimate_sampled",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS sn
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey % 4 = 0 AND l.l_orderkey % 4 = 0
+    ),
+    e AS (
+      SELECT count(*) AS exact_size
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT CAST(s.sn * 4 AS BIGINT) AS estimated_size,
+           CAST(e.exact_size AS BIGINT) AS exact_size,
+           round(abs(s.sn * 4 - e.exact_size) * 1.0
+                 / greatest(e.exact_size, 1), 6) AS rel_error
+    FROM s CROSS JOIN e
+    """,
+    doc="Join cardinality estimation from a correlated key sample "
+    "(operators/estimates.py:join_size_estimate): sampling KEYS "
+    "(orderkey % 4 = 0) on both sides keeps the sample join equal to "
+    "the true join restricted to sampled keys, so scale-by-4 is "
+    "unbiased over key subsets — one pass over a quarter of each side "
+    "tells you whether the full 100 TB join is safe to run. The audit "
+    "also measures the exact size so rel_error is observed, not "
+    "claimed.",
+)
+def join_size_estimate_sampled(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.estimates import (
+        join_size_estimate,
+    )
+
+    return join_size_estimate(
+        table(spark, sf, "orders"),
+        table(spark, sf, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+        mod=4,
+    )
+
+
+@register(
+    "data_freshness_audit",
+    oracle="""
+    WITH wm AS (SELECT max(ts) AS wmts FROM events)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           max(ts) AS latest_ts,
+           (epoch_us(w.wmts) - epoch_us(max(ts))) // 1000000
+             AS lag_seconds,
+           round(sum(CASE WHEN ts >= w.wmts - INTERVAL 7 DAY
+                     THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS recent_share,
+           ((epoch_us(w.wmts) - epoch_us(max(ts))) // 1000000) > 86400
+             AS is_stale
+    FROM events CROSS JOIN wm w
+    GROUP BY event_type, w.wmts
+    """,
+    doc="Freshness audit per event type against the corpus watermark "
+    "(global max ts, so the audit is reproducible — corpus time, not "
+    "wall time): lag seconds, trailing-7-day share, staleness flag "
+    "(operators/governance.py:freshness_audit). Two tiny aggregations "
+    "with a broadcast 1-row watermark; rows never reshuffle.",
+)
+def data_freshness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.governance import (
+        freshness_audit,
+    )
+
+    return freshness_audit(
+        table(spark, sf, "events"),
+        group_col="event_type",
+        ts_col="ts",
+        recent_days=7,
+        stale_days=1,
+    )
