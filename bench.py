@@ -171,6 +171,10 @@ EXTENDED_R4 = [
     "rollup_reuse_hourly_daily",
     "join_size_estimate_sampled",
     "data_freshness_audit",
+    "training_mix_anneal",
+    "record_linkage_blocked",
+    "feature_hash_collisions",
+    "shuffle_partition_advisor",
 ]
 
 #: registered queries deliberately NOT timed, with the reason the judge

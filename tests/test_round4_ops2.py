@@ -334,3 +334,82 @@ def test_freshness_stale_flag(spark):
     assert not got["live"].is_stale and got["live"].lag_seconds == 0
     assert got["stale"].is_stale
     assert got["stale"].lag_seconds == 3 * 86400
+
+
+# ---------------------------------------------------------------------------
+# mix schedule / linkage / feature hashing / advisor
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_anneal_endpoints(spark):
+    """Epoch 0 reproduces natural shares; the final epoch is uniform."""
+    from zarr_datafusion_search_spark.operators.evalmetrics import (
+        mixture_anneal_schedule,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 30 + [("b",)] * 10, "g string"
+    )
+    rows = mixture_anneal_schedule(df, "g", n_epochs=3).collect()
+    by = {(r.epoch, r.g): r for r in rows}
+    assert by[(0, "a")].target_share == 0.75
+    assert by[(0, "a")].planned_docs == 30
+    assert by[(2, "a")].target_share == 0.5
+    assert by[(2, "a")].planned_docs == 20
+    assert by[(1, "b")].target_share == pytest.approx(0.375, abs=1e-6)
+
+
+def test_blocked_linkage_counts(spark):
+    """Two blocks: one with a fuzzy match, one without."""
+    from zarr_datafusion_search_spark.operators.linkage import (
+        blocked_linkage_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "red ring", "x"),
+            (2, "rad ring", "x"),   # dist 1 to red ring
+            (3, "purple ring", "x"),  # dist > 2 to both
+            (4, "blue bolt", "y"),
+            (5, "steel bolt", "y"),  # dist > 2
+        ],
+        "id long, name string, blk string",
+    )
+    got = {r.blk: r for r in blocked_linkage_report(
+        df, "id", "name", ["blk"], max_dist=2
+    ).collect()}
+    assert got["x"].n_pairs == 3
+    assert got["x"].n_matches == 1
+    assert got["y"].n_pairs == 1
+    assert got["y"].n_matches == 0
+
+
+def test_feature_hash_audit_partitions_features(spark):
+    """Bucket feature counts must partition the distinct values and the
+    row mass must be conserved."""
+    from zarr_datafusion_search_spark.operators.sketches import (
+        feature_hash_audit,
+    )
+
+    df = spark.range(300).select(
+        F.concat(F.lit("f"), (F.col("id") % 30).cast("string")).alias("v")
+    )
+    rows = feature_hash_audit(df, "v", n_buckets=8).collect()
+    assert sum(r.n_features for r in rows) == 30
+    assert sum(r.n_rows for r in rows) == 300
+    assert all(r.collisions == r.n_features - 1 for r in rows)
+
+
+def test_partition_advisor_row_model(spark):
+    """2 fixed cols (16 bytes) + one 4-char string -> 20 bytes/row."""
+    from zarr_datafusion_search_spark.operators.estimates import (
+        shuffle_partition_advisor,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 2).alias("b"), F.lit("abcd").alias("s")
+    )
+    r = shuffle_partition_advisor(df).collect()[0]
+    assert r.n_rows == 1000
+    assert r.est_row_bytes == 20.0
+    assert r.recommended_partitions == 1

@@ -49,3 +49,41 @@ def join_size_estimate(
             ).alias("rel_error"),
         )
     )
+
+
+#: bytes assumed per fixed-width column in the row-size model; strings
+#: contribute their measured average length instead.
+FIXED_COL_BYTES = 8
+TARGET_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def shuffle_partition_advisor(df: DataFrame) -> DataFrame:
+    """Capacity planning from one aggregation pass: estimate the
+    table's in-flight byte size from its schema (fixed-width columns at
+    8 bytes, strings at their measured average length) and recommend a
+    shuffle partition count targeting 128 MB per partition — the sizing
+    rule the brief's `spark.sql.shuffle.partitions` guidance encodes.
+    The row-size model is deliberately simple and stated in the output
+    (est_row_bytes), because the point is the *shape*: one cheap pass
+    over the data answers 'how many partitions should downstream
+    shuffles use', which at 100 TB is the difference between 200
+    spilling tasks and 800 healthy ones."""
+    from pyspark.sql.types import StringType
+
+    strings = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, StringType)
+    ]
+    n_fixed = len(df.schema.fields) - len(strings)
+    row_bytes = F.lit(float(FIXED_COL_BYTES * n_fixed))
+    for s in strings:
+        row_bytes = row_bytes + F.avg(F.length(F.col(s)))
+    est_total = F.count(F.lit(1)) * row_bytes
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(row_bytes, 2).alias("est_row_bytes"),
+        F.round(est_total / F.lit(1048576.0), 2).alias("est_total_mb"),
+        F.greatest(
+            F.lit(1),
+            F.ceil(est_total / F.lit(float(TARGET_PARTITION_BYTES))),
+        ).alias("recommended_partitions"),
+    )

@@ -130,3 +130,39 @@ def mixture_reweight_ess(df: DataFrame, group_col: str) -> DataFrame:
         F.round("_ess", 2).alias("ess"),
         F.round(F.col("_ess") / F.col("_total"), 6).alias("ess_fraction"),
     )
+
+
+def mixture_anneal_schedule(
+    df: DataFrame, group_col: str, n_epochs: int = 5
+) -> DataFrame:
+    """Epoch-wise mixture annealing from the natural group shares to the
+    uniform target: ``target(e) = (1-t) * natural + t * uniform`` with
+    ``t = e / (n_epochs - 1)`` — the mid-training data-mix schedule
+    (up-weight rare slices late in training) expressed as a cross join
+    of a k-row share table with an epoch range. Planned document counts
+    use ``floor(x + 0.5)`` so both engines round identically. O(k *
+    epochs) everywhere; the corpus is only touched for the share
+    counts."""
+    spark = df.sparkSession
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("_total"), F.count(F.lit(1)).alias("_k")
+    )
+    epochs = spark.range(n_epochs).select(F.col("id").alias("epoch"))
+    t = F.col("epoch") / F.lit(float(n_epochs - 1))
+    target = (1 - t) * (F.col("n_docs") / F.col("_total")) + t * (
+        F.lit(1.0) / F.col("_k")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(epochs))
+        .select(
+            "epoch",
+            F.col(group_col),
+            "n_docs",
+            F.round(target, 6).alias("target_share"),
+            F.floor(target * F.col("_total") + F.lit(0.5)).alias(
+                "planned_docs"
+            ),
+        )
+    )

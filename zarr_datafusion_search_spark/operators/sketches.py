@@ -156,3 +156,34 @@ def countmin_error_audit(df: DataFrame, key_col: str) -> DataFrame:
             *[F.col(f"c{d}") for d in range(len(CMS_HASHES))]
         ).alias("estimate"),
     ).withColumn("overcount", F.col("estimate") - F.col("exact"))
+
+
+def feature_hash_audit(
+    df: DataFrame, col: str, n_buckets: int = 16
+) -> DataFrame:
+    """Hashing-trick collision audit: every distinct value of ``col``
+    lands in ``h64(value) % n_buckets``; per bucket report the distinct
+    features sharing it (collisions = features - 1) and the row mass it
+    carries. The portable 60-bit hash (functions/hashing.py) is what
+    lets the oracle replay the exact bucketing. One group-by on the
+    bucket id — the audit a feature-hashed model needs before trusting
+    a bucket count as a feature signal."""
+    from zarr_datafusion_search_spark.functions.hashing import h64
+
+    bucketed = df.select(
+        F.col(col).alias("_f"),
+        (h64(F.col(col)) % n_buckets).alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.countDistinct("_f").alias("n_features"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "bucket",
+            "n_features",
+            "n_rows",
+            (F.col("n_features") - 1).alias("collisions"),
+        )
+    )

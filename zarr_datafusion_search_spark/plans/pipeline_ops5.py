@@ -618,3 +618,147 @@ def data_freshness_audit(spark: SparkSession, sf: str) -> DataFrame:
         recent_days=7,
         stale_days=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 9: mix scheduling, record linkage, feature hashing, capacity planning
+# ---------------------------------------------------------------------------
+
+from zarr_datafusion_search_spark.functions.hashing import duckdb_h64  # noqa: E402
+
+
+@register(
+    "training_mix_anneal",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS DOUBLE) AS total, count(*) AS k
+      FROM counts
+    ),
+    ep AS (SELECT epoch FROM range(0, 5) r(epoch))
+    SELECT e.epoch, c.lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+           round((1 - e.epoch / 4.0) * (c.n_docs / t.total)
+                 + (e.epoch / 4.0) * (1.0 / t.k), 6) AS target_share,
+           CAST(floor(((1 - e.epoch / 4.0) * (c.n_docs / t.total)
+                 + (e.epoch / 4.0) * (1.0 / t.k)) * t.total + 0.5)
+             AS BIGINT) AS planned_docs
+    FROM counts c CROSS JOIN tot t CROSS JOIN ep e
+    """,
+    doc="Mid-training mixture annealing: a 5-epoch schedule "
+    "interpolating each language's share from its natural frequency to "
+    "the uniform target (operators/evalmetrics.py:mixture_anneal_"
+    "schedule) — the up-weight-rare-slices-late-in-training curriculum "
+    "LLM data teams run. O(langs x epochs) after one share count; "
+    "floor(x+0.5) rounding keeps planned counts engine-identical.",
+)
+def training_mix_anneal(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.evalmetrics import (
+        mixture_anneal_schedule,
+    )
+
+    return mixture_anneal_schedule(
+        table(spark, sf, "documents").select("lang"), "lang", n_epochs=5
+    )
+
+
+@register(
+    "record_linkage_blocked",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, p_brand,
+             string_split(p_name, ' ')[2] AS noun
+      FROM part
+    )
+    SELECT a.noun, a.p_brand, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN levenshtein(a.p_name, b.p_name) <= 2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+           round(sum(CASE WHEN levenshtein(a.p_name, b.p_name) <= 2
+                     THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS match_rate
+    FROM p a JOIN p b ON a.noun = b.noun AND a.p_brand = b.p_brand
+                      AND a.p_partkey < b.p_partkey
+    GROUP BY 1, 2
+    """,
+    doc="Blocked record linkage over part names: candidate pairs only "
+    "inside (name-noun, brand) blocks, Levenshtein <= 2 as the match "
+    "predicate, per-block match-rate report "
+    "(operators/linkage.py:blocked_linkage_report). The block equi-join "
+    "is the only shuffle and the output is O(blocks) — the pair list "
+    "itself never leaves the executors, which is the posture that "
+    "survives a hot block holding millions of candidates.",
+)
+def record_linkage_blocked(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.linkage import (
+        blocked_linkage_report,
+    )
+
+    parts = table(spark, sf, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.split(F.col("p_name"), " ").getItem(1).alias("noun"),
+    )
+    return blocked_linkage_report(
+        parts, "p_partkey", "p_name", ["noun", "p_brand"], max_dist=2
+    )
+
+
+@register(
+    "feature_hash_collisions",
+    oracle=f"""
+    WITH b AS (
+      SELECT props AS f, {duckdb_h64('props')} % 16 AS bucket FROM events
+    )
+    SELECT bucket, CAST(count(DISTINCT f) AS BIGINT) AS n_features,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT f) - 1 AS BIGINT) AS collisions
+    FROM b GROUP BY 1
+    """,
+    doc="Hashing-trick collision audit: event property payloads hashed "
+    "into 16 feature buckets with the portable 60-bit hash; per bucket "
+    "the distinct features sharing it and the row mass it carries "
+    "(operators/sketches.py:feature_hash_audit). The audit a "
+    "feature-hashed model needs before trusting bucket counts; one "
+    "group-by on the bucket id at any corpus size.",
+)
+def feature_hash_collisions(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.sketches import (
+        feature_hash_audit,
+    )
+
+    return feature_hash_audit(
+        table(spark, sf, "events").select("props"), "props", n_buckets=16
+    )
+
+
+@register(
+    "shuffle_partition_advisor",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(72 + avg(length(l_returnflag))
+                 + avg(length(l_linestatus)), 2) AS est_row_bytes,
+           round(count(*) * (72 + avg(length(l_returnflag))
+                 + avg(length(l_linestatus))) / 1048576.0, 2)
+             AS est_total_mb,
+           CAST(greatest(1, ceil(count(*) * (72 + avg(length(l_returnflag))
+                 + avg(length(l_linestatus))) / 134217728.0)) AS BIGINT)
+             AS recommended_partitions
+    FROM lineitem
+    """,
+    doc="Shuffle-partition capacity advisor over lineitem: estimate "
+    "in-flight bytes from the schema (8 bytes per fixed-width column, "
+    "measured average length for strings) in ONE aggregation pass and "
+    "recommend a partition count targeting 128 MB each "
+    "(operators/estimates.py:shuffle_partition_advisor). The sizing "
+    "discipline that keeps a 100 TB shuffle out of spill; the oracle "
+    "hand-encodes lineitem's 9 fixed + 2 string columns, pinning the "
+    "schema-derived arithmetic.",
+)
+def shuffle_partition_advisor_q(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.estimates import (
+        shuffle_partition_advisor,
+    )
+
+    return shuffle_partition_advisor(table(spark, sf, "lineitem"))
