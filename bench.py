@@ -175,6 +175,8 @@ EXTENDED_R4 = [
     "record_linkage_blocked",
     "feature_hash_collisions",
     "shuffle_partition_advisor",
+    "zone_map_skipping_audit",
+    "event_changepoint_cusum",
 ]
 
 #: registered queries deliberately NOT timed, with the reason the judge

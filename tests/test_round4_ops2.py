@@ -413,3 +413,54 @@ def test_partition_advisor_row_model(spark):
     assert r.n_rows == 1000
     assert r.est_row_bytes == 20.0
     assert r.recommended_partitions == 1
+
+
+# ---------------------------------------------------------------------------
+# zone-map skipping / change-point
+# ---------------------------------------------------------------------------
+
+
+def test_zone_map_clustered_skips(spark):
+    """Sorted layout must skip every file below the threshold file;
+    shuffled natural layout skips none (every file spans the range)."""
+    from zarr_datafusion_search_spark.operators.layout import (
+        zone_map_skipping_audit,
+    )
+
+    # natural order interleaves small and large values everywhere
+    df = spark.range(640).select(
+        F.col("id").alias("oid"),
+        ((F.col("id") * 7919) % 640).cast("double").alias("v"),
+    )
+    got = {r.layout: r for r in zone_map_skipping_audit(
+        df, "oid", "v", n_files=8, threshold=560.0
+    ).collect()}
+    assert got["natural"].n_skipped == 0
+    assert got["natural"].rows_scanned == 640
+    # values 561..639 (79 rows) live in the last sorted file only
+    assert got["clustered"].n_skipped == 7
+    assert got["clustered"].rows_scanned == 80
+    assert (
+        got["clustered"].rows_matching == got["natural"].rows_matching == 79
+    )
+
+
+def test_cusum_finds_level_shift(spark):
+    """Series 0..9 at level 10, then 10..19 at level 30: |cusum| peaks
+    at the last pre-shift bucket."""
+    import datetime
+
+    from zarr_datafusion_search_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = [
+        ("g", base + datetime.timedelta(days=d), 10.0 if d < 10 else 30.0)
+        for d in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp_ntz, v double")
+    r = cusum_changepoint(df, "g", "ts", "v").collect()[0]
+    assert r.changepoint_bucket == base + datetime.timedelta(days=9)
+    # mean of means = 20; cusum at day 9 = 10 * (10 - 20) = -100
+    assert r.cusum == -100.0

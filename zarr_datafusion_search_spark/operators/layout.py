@@ -226,3 +226,57 @@ def read_evolved_docs(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(d)
         .select("doc_id", "source", "n_chars", "quality_tier")
     )
+
+
+def zone_map_skipping_audit(
+    df: DataFrame,
+    natural_order_col: str,
+    value_col: str,
+    n_files: int = 64,
+    threshold: float = 250.0,
+) -> DataFrame:
+    """Zone-map (per-file min/max) file-skipping audit for the predicate
+    ``value > threshold``, comparing two physical layouts of the SAME
+    rows: 'natural' (ingest order) vs 'clustered' (sorted by the filter
+    column). Per layout: files whose max can't satisfy the predicate
+    (skippable without opening), rows a scan must still read, and the
+    exact matching rows. On randomly-arriving data every natural file
+    spans the full value range — zero skipping — while the clustered
+    layout skips all but the boundary file; THIS delta is the entire
+    argument for sort-on-write at 100 TB, measured instead of asserted.
+    Same global-ntile caveat as ``zorder_locality_audit``: production
+    assignment is ``repartitionByRange``, the audit's exact ntile is the
+    oracle-replayable equivalent."""
+    from pyspark.sql import Window
+
+    lay = df.select(
+        F.col(value_col).alias("_v"),
+        F.ntile(n_files)
+        .over(Window.orderBy(natural_order_col))
+        .alias("_f_nat"),
+        F.ntile(n_files)
+        .over(Window.orderBy(F.col(value_col), F.col(natural_order_col)))
+        .alias("_f_clu"),
+    )
+
+    def per_layout(name: str, fcol: str):
+        zones = lay.groupBy(F.col(fcol).alias("_f")).agg(
+            F.max("_v").alias("_mx"),
+            F.count(F.lit(1)).alias("_n"),
+            F.sum((F.col("_v") > threshold).cast("long")).alias("_nm"),
+        )
+        return zones.agg(
+            F.lit(name).alias("layout"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum((F.col("_mx") <= threshold).cast("long")).alias(
+                "n_skipped"
+            ),
+            F.sum(
+                F.when(F.col("_mx") > threshold, F.col("_n")).otherwise(0)
+            ).alias("rows_scanned"),
+            F.sum("_nm").alias("rows_matching"),
+        )
+
+    return per_layout("natural", "_f_nat").unionAll(
+        per_layout("clustered", "_f_clu")
+    )

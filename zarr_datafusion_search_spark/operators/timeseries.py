@@ -454,3 +454,48 @@ def rollup_reuse(
             ).alias("avg_value"),
         )
     )
+
+
+def cusum_changepoint(
+    df,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    grain: str = "day",
+):
+    """CUSUM change-point detection per group: bucket to ``grain``
+    means, accumulate deviations from the group's mean-of-means, and
+    flag the bucket where |cusum| peaks — the classic location estimate
+    for a single level shift. Everything is one bucket aggregation plus
+    a bucket-count-sized window (the raw series never reshuffles).
+    Cusums are rounded to 6dp BEFORE the argmax so the ranking compares
+    engine-identical values; ties break on the earlier bucket."""
+    from pyspark.sql import Window
+
+    buckets = df.groupBy(
+        F.col(group_col),
+        F.date_trunc(grain, F.col(ts_col)).alias("_b"),
+    ).agg(F.avg(value_col).alias("_m"))
+    mu = buckets.groupBy(group_col).agg(F.avg("_m").alias("_mu"))
+    cus = buckets.join(mu, group_col).select(
+        F.col(group_col),
+        F.col("_b"),
+        F.round(
+            F.sum(F.col("_m") - F.col("_mu")).over(
+                Window.partitionBy(group_col).orderBy("_b")
+            ),
+            6,
+        ).alias("cusum"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("_b")
+    )
+    return (
+        cus.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            group_col,
+            F.col("_b").alias("changepoint_bucket"),
+            "cusum",
+        )
+    )

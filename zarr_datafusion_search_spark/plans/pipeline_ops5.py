@@ -762,3 +762,103 @@ def shuffle_partition_advisor_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return shuffle_partition_advisor(table(spark, sf, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# batch 10: zone-map skipping, change-point detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zone_map_skipping_audit",
+    oracle="""
+    WITH lay AS (
+      SELECT value AS _v,
+             ntile(64) OVER (ORDER BY event_id) AS f_nat,
+             ntile(64) OVER (ORDER BY value, event_id) AS f_clu
+      FROM events
+    ),
+    nat AS (
+      SELECT f_nat AS f, max(_v) AS mx, count(*) AS n,
+             sum(CASE WHEN _v > 250 THEN 1 ELSE 0 END) AS nm
+      FROM lay GROUP BY 1
+    ),
+    clu AS (
+      SELECT f_clu AS f, max(_v) AS mx, count(*) AS n,
+             sum(CASE WHEN _v > 250 THEN 1 ELSE 0 END) AS nm
+      FROM lay GROUP BY 1
+    ),
+    u AS (
+      SELECT 'natural' AS layout, * FROM nat
+      UNION ALL SELECT 'clustered', * FROM clu
+    )
+    SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN mx <= 250 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_skipped,
+           CAST(sum(CASE WHEN mx > 250 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(sum(nm) AS BIGINT) AS rows_matching
+    FROM u GROUP BY 1
+    """,
+    doc="Zone-map file-skipping audit for value > 250, comparing the "
+    "natural (ingest-order) layout against a clustered (sorted) layout "
+    "of the SAME rows (operators/layout.py:zone_map_skipping_audit): "
+    "per layout, files whose max can't match (skippable without "
+    "opening), rows a scan still reads, and the exact matches. Random "
+    "arrival gives ~zero skipping while clustering skips all but the "
+    "boundary files — the measured, not asserted, argument for "
+    "sort-on-write at 100 TB.",
+)
+def zone_map_skipping_audit_q(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.layout import (
+        zone_map_skipping_audit,
+    )
+
+    return zone_map_skipping_audit(
+        table(spark, sf, "events").select("event_id", "value"),
+        natural_order_col="event_id",
+        value_col="value",
+        n_files=64,
+        threshold=250.0,
+    )
+
+
+@register(
+    "event_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS b,
+             avg(value) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    mu AS (SELECT event_type, avg(m) AS mu FROM daily GROUP BY 1),
+    cus AS (
+      SELECT d.event_type, d.b,
+             round(sum(d.m - s.mu) OVER (
+               PARTITION BY d.event_type ORDER BY d.b), 6) AS cusum
+      FROM daily d JOIN mu s USING (event_type)
+    ),
+    ranked AS (
+      SELECT event_type, b, cusum,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY abs(cusum) DESC, b) AS rn
+      FROM cus
+    )
+    SELECT event_type, b AS changepoint_bucket, cusum
+    FROM ranked WHERE rn = 1
+    """,
+    doc="CUSUM change-point detection per event type: daily means, "
+    "cumulative deviation from the mean-of-means, argmax |cusum| as the "
+    "level-shift location (operators/timeseries.py:cusum_changepoint). "
+    "One bucket aggregation + a bucket-count window — the raw series "
+    "never reshuffles; cusums round to 6dp BEFORE the argmax so both "
+    "engines rank identical values.",
+)
+def event_changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    return cusum_changepoint(
+        table(spark, sf, "events"), "event_type", "ts", "value", grain="day"
+    )
