@@ -186,6 +186,34 @@ def main() -> None:
     print(f"  appended:        {n_after - n_final} rows in place")
     print(f"  stream batches:  {seen} (initial catch-up, then the delta)")
 
+    # 8. release governance + mix planning on the final training set:
+    #    does any (lang, length-bucket) cell isolate fewer than k docs,
+    #    how much effective data survives rebalancing the language mix,
+    #    and what per-epoch mixture schedule anneals it to uniform
+    from zarr_datafusion_search_spark.operators.evalmetrics import (
+        mixture_anneal_schedule,
+        mixture_reweight_ess,
+    )
+    from zarr_datafusion_search_spark.operators.governance import (
+        k_anonymity_audit,
+    )
+
+    print("== k-anonymity audit (lang x length bucket, k=5) ==")
+    k_anonymity_audit(
+        train.select(
+            "lang",
+            F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        ),
+        ["lang", "len_bucket"],
+        k=5,
+    ).show()
+    print("== language mixture reweighting (Kish ESS) ==")
+    mixture_reweight_ess(train.select("lang"), "lang").orderBy("lang").show()
+    print("== 3-epoch anneal to uniform ==")
+    mixture_anneal_schedule(train.select("lang"), "lang", n_epochs=3).orderBy(
+        "epoch", "lang"
+    ).show(15)
+
 
 if __name__ == "__main__":
     main()
