@@ -177,6 +177,10 @@ EXTENDED_R4 = [
     "shuffle_partition_advisor",
     "zone_map_skipping_audit",
     "event_changepoint_cusum",
+    "session_engagement_metrics",
+    "temporal_split_embargo",
+    "stratified_kfold_counts",
+    "dataset_card_metrics",
 ]
 
 #: registered queries deliberately NOT timed, with the reason the judge

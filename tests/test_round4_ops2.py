@@ -464,3 +464,75 @@ def test_cusum_finds_level_shift(spark):
     assert r.changepoint_bucket == base + datetime.timedelta(days=9)
     # mean of means = 20; cusum at day 9 = 10 * (10 - 20) = -100
     assert r.cusum == -100.0
+
+
+# ---------------------------------------------------------------------------
+# sessions / splits / card
+# ---------------------------------------------------------------------------
+
+
+def test_session_engagement_bounce(spark):
+    """User with one lone event (bounce) + one 3-event session."""
+    import datetime
+
+    from zarr_datafusion_search_spark.operators.sessions import (
+        session_engagement_metrics,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, t0, "view", 1.0),
+        (1, 2, t0 + datetime.timedelta(minutes=5), "click", 1.0),
+        (1, 3, t0 + datetime.timedelta(minutes=10), "purchase", 1.0),
+        # gap > 30 min -> new session, single event = bounce
+        (2, 4, t0, "click", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    )
+    got = {r.landing_type: r for r in session_engagement_metrics(
+        df, gap_minutes=30
+    ).collect()}
+    assert got["view"].n_sessions == 1
+    assert got["view"].bounce_rate == 0.0
+    assert got["view"].avg_events == 3.0
+    assert got["view"].avg_duration_s == 600.0
+    assert got["click"].bounce_rate == 1.0
+    assert got["click"].avg_duration_s == 0.0
+
+
+def test_temporal_embargo_partitions_rows(spark):
+    import datetime
+
+    from zarr_datafusion_search_spark.operators.governance import (
+        temporal_split_embargo,
+    )
+
+    rows = [
+        (datetime.datetime(2024, 1, 20),),   # train
+        (datetime.datetime(2024, 1, 24, 6),),  # embargo
+        (datetime.datetime(2024, 1, 26),),   # test
+        (datetime.datetime(2024, 1, 23, 23, 59),),  # train
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp_ntz")
+    r = temporal_split_embargo(df, "ts", "2024-01-25", 1).collect()[0]
+    assert (r.n_train, r.n_embargo_dropped, r.n_test) == (2, 1, 1)
+    assert r.train_frac == 0.5
+
+
+def test_kfold_counts_partition_rows(spark):
+    from zarr_datafusion_search_spark.operators.evalmetrics import (
+        kfold_assignment_counts,
+    )
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("s")
+    )
+    rows = kfold_assignment_counts(df, "id", "s", k=5).collect()
+    assert sum(r.n_docs for r in rows) == 500
+    for s in ("0", "1"):
+        assert sum(
+            r.stratum_share for r in rows if r.s == s
+        ) == pytest.approx(1.0, abs=1e-5)

@@ -166,3 +166,28 @@ def mixture_anneal_schedule(
             ),
         )
     )
+
+
+def kfold_assignment_counts(
+    df: DataFrame, id_col: str, strata_col: str, k: int = 5
+) -> DataFrame:
+    """Deterministic stratified k-fold audit: fold = portable hash of
+    the id, counted per (fold, stratum) with each fold's share of its
+    stratum — the balance table you check before trusting
+    cross-validation on a skewed corpus. Replayable across engines and
+    across runs (no RNG), one group-by; rows never leave executors."""
+    from zarr_datafusion_search_spark.functions.hashing import h64
+
+    fold = h64(F.col(id_col).cast("string")) % k
+    counts = df.select(
+        fold.alias("fold"), F.col(strata_col)
+    ).groupBy("fold", strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy(strata_col)
+    return counts.select(
+        "fold",
+        strata_col,
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias(
+            "stratum_share"
+        ),
+    )

@@ -131,3 +131,32 @@ def freshness_audit(
         ),
         (lag_s > stale_days * 86400).alias("is_stale"),
     )
+
+
+def temporal_split_embargo(
+    df: DataFrame,
+    ts_col: str,
+    test_start: str,
+    embargo_days: int = 1,
+) -> DataFrame:
+    """Time-based train/test split with an embargo gap: train ends
+    ``embargo_days`` BEFORE the test window opens, and the rows in
+    between are dropped — the leakage guard for temporally-correlated
+    data (a model must not train on the minutes before its evaluation
+    window). One filter pass, one 1-row summary; the split predicate
+    pushes down to the scan."""
+    ts = F.col(ts_col)
+    # cast the literal to the column's NTZ family so the comparison never
+    # routes through the session timezone
+    cut = F.lit(test_start).cast("timestamp_ntz")
+    emb_lo = cut - F.expr(f"INTERVAL {embargo_days} DAYS")
+    return df.agg(
+        F.sum((ts < emb_lo).cast("long")).alias("n_train"),
+        F.sum(((ts >= emb_lo) & (ts < cut)).cast("long")).alias(
+            "n_embargo_dropped"
+        ),
+        F.sum((ts >= cut).cast("long")).alias("n_test"),
+        F.round(
+            F.sum((ts < emb_lo).cast("long")) / F.count(F.lit(1)), 6
+        ).alias("train_frac"),
+    )

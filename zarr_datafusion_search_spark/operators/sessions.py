@@ -218,3 +218,47 @@ def max_inactivity_gaps(
         F.round(F.max("gap_us") / day_us, 6).alias("max_gap_days"),
         (F.max("gap_us") > flag_days * day_us).alias("is_dormant"),
     )
+
+
+def session_engagement_metrics(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-landing-type engagement rollup over gap-based sessions: how
+    many sessions START with each event type, their bounce rate
+    (single-event sessions), and average depth/duration. Builds on
+    :func:`sessionize` (one shuffle on the user key); the session-level
+    reduction then groups by the landing type — O(sessions) intermediate,
+    never O(events) wide. Durations come from integer microseconds so
+    the averages are engine-exact before the final rounding."""
+    s = sessionize(events, user_col, ts_col, gap_minutes)
+    w = Window.partitionBy(user_col, "session_id").orderBy(
+        ts_col, "event_id"
+    )
+    sess = (
+        s.withColumn("_rn", F.row_number().over(w))
+        .groupBy(user_col, "session_id")
+        .agg(
+            F.max(
+                F.when(F.col("_rn") == 1, F.col(type_col))
+            ).alias("landing_type"),
+            F.count(F.lit(1)).alias("_n"),
+            (
+                F.unix_micros(F.max(ts_col).cast("timestamp"))
+                - F.unix_micros(F.min(ts_col).cast("timestamp"))
+            ).alias("_dur_us"),
+        )
+    )
+    return sess.groupBy("landing_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg((F.col("_n") == 1).cast("double")), 6).alias(
+            "bounce_rate"
+        ),
+        F.round(F.avg("_n"), 6).alias("avg_events"),
+        F.round(F.avg(F.col("_dur_us") / F.lit(1_000_000.0)), 6).alias(
+            "avg_duration_s"
+        ),
+    )

@@ -862,3 +862,172 @@ def event_changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
     return cusum_changepoint(
         table(spark, sf, "events"), "event_type", "ts", "value", grain="day"
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 11: engagement sessions, temporal split, k-fold, dataset card
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_engagement_metrics",
+    oracle="""
+    WITH w1 AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                         ))) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+               AS session_id
+      FROM w1
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+               ORDER BY ts, event_id) AS rn
+      FROM s
+    ),
+    sess AS (
+      SELECT user_id, session_id,
+             max(CASE WHEN rn = 1 THEN event_type END) AS landing_type,
+             count(*) AS n,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+      FROM r GROUP BY 1, 2
+    )
+    SELECT landing_type, CAST(count(*) AS BIGINT) AS n_sessions,
+           round(avg(CASE WHEN n = 1 THEN 1.0 ELSE 0.0 END), 6)
+             AS bounce_rate,
+           round(avg(n), 6) AS avg_events,
+           round(avg(dur_us / 1000000.0), 6) AS avg_duration_s
+    FROM sess GROUP BY 1
+    """,
+    doc="Per-landing-type session engagement: gap-based sessions (30 min) "
+    "rolled up by the event type that OPENED each session — sessions "
+    "started, bounce rate, average depth and duration "
+    "(operators/sessions.py:session_engagement_metrics). One user-key "
+    "shuffle for sessionization, then an O(sessions) reduction; "
+    "durations in integer microseconds so both engines average exact "
+    "values.",
+)
+def session_engagement_metrics_q(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.sessions import (
+        session_engagement_metrics,
+    )
+
+    return session_engagement_metrics(
+        table(spark, sf, "events"), gap_minutes=30
+    )
+
+
+@register(
+    "temporal_split_embargo",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-24' THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-24'
+                          AND ts < TIMESTAMP '2024-01-25'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_embargo_dropped,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-25' THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_test,
+           round(sum(CASE WHEN ts < TIMESTAMP '2024-01-24' THEN 1 ELSE 0
+                     END) * 1.0 / count(*), 6) AS train_frac
+    FROM events
+    """,
+    doc="Temporal train/test split with a 1-day embargo before the "
+    "2024-01-25 test window (operators/governance.py:temporal_split_"
+    "embargo): the in-between rows are dropped so temporally-correlated "
+    "signal can't leak across the boundary. One pushed-down filter "
+    "pass, 1-row summary.",
+)
+def temporal_split_embargo_q(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.governance import (
+        temporal_split_embargo,
+    )
+
+    return temporal_split_embargo(
+        table(spark, sf, "events"), "ts", "2024-01-25", embargo_days=1
+    )
+
+
+@register(
+    "stratified_kfold_counts",
+    oracle="""
+    WITH f AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2, 15))::BIGINT
+               % 5 AS fold,
+             source
+      FROM documents
+    )
+    SELECT fold, source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY source),
+                 6) AS stratum_share
+    FROM f GROUP BY 1, 2
+    """,
+    doc="Deterministic stratified 5-fold assignment audit: fold = "
+    "portable 60-bit hash of doc_id, counted per (fold, source) with "
+    "each fold's share of its stratum "
+    "(operators/evalmetrics.py:kfold_assignment_counts) — the balance "
+    "table to check before trusting cross-validation on a skewed "
+    "corpus. Replayable across engines and runs; one group-by.",
+)
+def stratified_kfold_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.evalmetrics import (
+        kfold_assignment_counts,
+    )
+
+    return kfold_assignment_counts(
+        table(spark, sf, "documents"), "doc_id", "source", k=5
+    )
+
+
+@register(
+    "dataset_card_metrics",
+    oracle="""
+    WITH a AS (
+      SELECT count(*) AS c1, count(DISTINCT lang) AS c2,
+             count(DISTINCT source) AS c3, round(avg(n_chars), 6) AS c4,
+             round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
+               AS c5,
+             round(avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 6)
+               AS c6
+      FROM documents
+    )
+    SELECT 'n_docs' AS metric, CAST(c1 AS DOUBLE) AS value FROM a
+    UNION ALL SELECT 'n_langs', CAST(c2 AS DOUBLE) FROM a
+    UNION ALL SELECT 'n_sources', CAST(c3 AS DOUBLE) FROM a
+    UNION ALL SELECT 'mean_chars', c4 FROM a
+    UNION ALL SELECT 'english_share', c5 FROM a
+    UNION ALL SELECT 'null_text_rate', c6 FROM a
+    """,
+    doc="Dataset-card headline metrics in ONE aggregation pass, "
+    "unpivoted to (metric, value) rows: corpus size, language/source "
+    "cardinality, mean length, English share, null-text rate — the "
+    "summary block a release's data card leads with. stack() unpivot "
+    "keeps it a single scan however many metrics ride along.",
+)
+def dataset_card_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    a = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("c1"),
+        F.countDistinct("lang").cast("double").alias("c2"),
+        F.countDistinct("source").cast("double").alias("c3"),
+        F.round(F.avg("n_chars"), 6).alias("c4"),
+        F.round(F.avg((F.col("lang") == "en").cast("double")), 6).alias(
+            "c5"
+        ),
+        F.round(F.avg(F.col("text").isNull().cast("double")), 6).alias(
+            "c6"
+        ),
+    )
+    return a.selectExpr(
+        "stack(6, 'n_docs', c1, 'n_langs', c2, 'n_sources', c3, "
+        "'mean_chars', c4, 'english_share', c5, 'null_text_rate', c6) "
+        "as (metric, value)"
+    )
