@@ -1,0 +1,378 @@
+#!/usr/bin/env python
+"""Scale-trend benchmark: the fixed-cost-dominated pipeline sections re-run
+at ~10x the driver bench's data size (sf0.1 -> "sf1").
+
+Why this exists (VERDICT r03 ask #8): at sf0.1 most pipeline queries finish
+in well under a second on both engines, so the per-query section ratio is
+dominated by Spark's fixed job cost (~0.2-0.5 s of planning/scheduling that
+DuckDB does not pay) rather than by engine throughput. ``bench.py`` reports
+a net-of-fixed-cost ratio; this harness provides the direct measurement:
+the SAME queries on 10x the rows, where per-query work dominates the
+constant. The 100 TB claim is a throughput claim, and throughput is what
+this isolates.
+
+Dataset: the three pipeline tables are scaled 10x into ``/tmp`` from the
+sf0.1 parquet with deterministic, semantics-preserving recombination
+(seeded by copy index only — rerunning reproduces byte-identical tables):
+
+* ``documents``: each copy recombines word-slices from three different
+  base docs (first/middle/last third). A copy's 3-shingle Jaccard against
+  any base doc is ~1/3 — BELOW the 0.5 near-dup thresholds — so LSH/
+  shingle dedup workloads scale linearly instead of exploding
+  quadratically the way naive row replication (Jaccard 1.0 pairs across
+  every copy) would.
+* ``events``: id/user offsets per copy — 10x disjoint user populations in
+  the same time range (sessionization, SCD2, funnels scale by key count).
+* ``embeddings``: each copy is the normalized midpoint of two base
+  vectors — cosine vs either parent ~0.7 for 64-d, below near-dup
+  thresholds, so ANN/SemDeDup candidate sets stay proportional.
+
+TPC-H tables are not scaled (and no TPC-H query is timed here); only
+queries confined to documents/events/embeddings are eligible.
+
+Protocol: 1 warmup + median of $SPARK_GRAFT_SCALE_RUNS (default 2) per
+engine, both engines timed as count(*) over the full query, DuckDB after
+all Spark timing. Emits ``BENCH_SCALE.json`` (full detail) and one compact
+summary JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
+SCALE_K = int(os.environ.get("SPARK_GRAFT_SCALE_K", "10"))
+SCALE_DIR = os.path.join("/tmp", f"zdss_scale_{SCALE_K}x")
+DETAIL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
+)
+DUCK_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_DUCK_TIMEOUT", "120"))
+
+#: the r2 "extended" section members that touch only the scaled tables,
+#: plus the heaviest doc-centric extended_r4 entries and two headline
+#: anchors — the queries whose sf0.1 ratios are fixed-cost artifacts.
+SCALE_QUERIES = [
+    # extended (r2) — the section that fails the raw 2x gate at sf0.1
+    "text_bm25_search",
+    "decontaminate_against_eval",
+    "interval_join_attribution",
+    "profile_documents",
+    "funnel_stages",
+    "mixture_sample_domains",
+    "bigram_pmi_top",
+    "scd2_user_state",
+    "dedup_semantic",
+    "dedup_duplicate_spans",
+    "dedup_remove_spans",
+    "text_vocab_coverage",
+    "shard_by_token_budget",
+    "ann_hard_negatives",
+    "embedding_random_projection",
+    # heaviest doc-centric extended_r4 members
+    "source_ngram_diversity",
+    "vocab_growth_curve",
+    "source_term_kl_drift",
+    "skipgram_cooccurrence",
+    # headline anchors for cross-checking the trend
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "sessionization",
+]
+
+_P1, _P2 = 1663, 2741  # copy-partner strides, coprime with the base sizes
+
+
+def _scale_documents(base_dir: str, out_dir: str, k: int) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(base_dir, "documents.parquet"))
+    n = t.num_rows
+    doc_id = t.column("doc_id").to_pylist()
+    text = t.column("text").to_pylist()
+    lang = t.column("lang").to_pylist()
+    source = t.column("source").to_pylist()
+    words = [s.split(" ") for s in text]
+    out = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+    out["doc_id"].extend(doc_id)
+    out["text"].extend(text)
+    out["lang"].extend(lang)
+    out["source"].extend(source)
+    out["n_chars"].extend(len(s) for s in text)
+    for i in range(1, k):
+        for d in range(n):
+            a = words[d]
+            b = words[(d + _P1 * i) % n]
+            c = words[(d + _P2 * i) % n]
+            new = (
+                a[: len(a) // 3]
+                + b[len(b) // 3 : 2 * len(b) // 3]
+                + c[2 * len(c) // 3 :]
+            )
+            s = " ".join(new)
+            out["doc_id"].append(doc_id[d] + i * n)
+            out["text"].append(s)
+            out["lang"].append(lang[d])
+            out["source"].append(source[d])
+            out["n_chars"].append(len(s))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "text": pa.array(out["text"], pa.string()),
+                "lang": pa.array(out["lang"], pa.string()),
+                "source": pa.array(out["source"], pa.string()),
+                "n_chars": pa.array(out["n_chars"], pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "documents.parquet"),
+    )
+    return n * k
+
+
+def _scale_events(base_dir: str, out_dir: str, k: int) -> int:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(base_dir, "events.parquet"))
+    n = t.num_rows
+    n_users = 1 + int(
+        pa.compute.max(t.column("user_id")).as_py()  # type: ignore[attr-defined]
+    )
+    cols = {name: t.column(name) for name in t.column_names}
+    chunks = []
+    for i in range(k):
+        eid = pa.compute.add(cols["event_id"], i * n)
+        uid = pa.compute.add(cols["user_id"], i * n_users)
+        chunks.append(
+            pa.table(
+                {
+                    "event_id": eid,
+                    "ts": cols["ts"],
+                    "user_id": uid,
+                    "event_type": cols["event_type"],
+                    "value": cols["value"],
+                    "props": cols["props"],
+                }
+            )
+        )
+    del np
+    pq.write_table(pa.concat_tables(chunks), os.path.join(out_dir, "events.parquet"))
+    return n * k
+
+
+def _scale_embeddings(base_dir: str, out_dir: str, k: int) -> int:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(base_dir, "embeddings.parquet"))
+    n = t.num_rows
+    vec_id = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    label = np.asarray(t.column("label").to_pylist(), dtype=np.int32)
+    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    ids, labels, vecs = [vec_id], [label], [emb]
+    for i in range(1, k):
+        partner = emb[(np.arange(n) + _P1 * i) % n]
+        mixed = 0.5 * emb + 0.5 * partner
+        norms = np.linalg.norm(mixed, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        base_norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        mixed = (mixed / norms * base_norms).astype(np.float32)
+        ids.append(vec_id + i * n)
+        labels.append(label)
+        vecs.append(mixed)
+    flat = np.concatenate(vecs).reshape(-1)
+    arr = pa.FixedSizeListArray.from_arrays(
+        pa.array(flat, pa.float32()), emb.shape[1]
+    ).cast(pa.list_(pa.float32()))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(ids)),
+                "embedding": arr,
+                "label": pa.array(np.concatenate(labels)),
+            }
+        ),
+        os.path.join(out_dir, "embeddings.parquet"),
+    )
+    return n * k
+
+
+def build_scale_dir() -> dict:
+    """Materialize the scaled tables (idempotent: a _READY marker skips the
+    ~20 s rebuild on reruns)."""
+    marker = os.path.join(SCALE_DIR, "_READY")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return json.load(fh)
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    counts = {
+        "documents": _scale_documents(BASE_SF_DIR, SCALE_DIR, SCALE_K),
+        "events": _scale_events(BASE_SF_DIR, SCALE_DIR, SCALE_K),
+        "embeddings": _scale_embeddings(BASE_SF_DIR, SCALE_DIR, SCALE_K),
+    }
+    # unscaled TPC-H tables so registry view registration never breaks
+    import shutil
+
+    for tname in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+    ):
+        src = os.path.join(BASE_SF_DIR, f"{tname}.parquet")
+        dst = os.path.join(SCALE_DIR, f"{tname}.parquet")
+        if not os.path.exists(dst):
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copyfile(src, dst)
+    with open(marker, "w") as fh:
+        json.dump(counts, fh)
+    return counts
+
+
+def _time_spark(spark, registry, names, runs) -> dict:
+    out = {}
+    for name in names:
+        spec = registry[name]
+        times = []
+        for i in range(runs + 1):
+            t0 = time.perf_counter()
+            spec.spark(spark, SCALE_DIR).count()
+            if i > 0:
+                times.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(times), 4)
+    return out
+
+
+def _time_duck(registry, names, runs) -> tuple[dict, list]:
+    import threading
+
+    import duckdb
+
+    from zarr_datafusion_search_spark.plans.registry import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SCALE_DIR}/{t}.parquet'"
+        )
+    out: dict[str, float] = {}
+    skipped: list[str] = []
+    for name in names:
+        sql = registry[name].oracle
+        counted = f"SELECT count(*) FROM ({sql}) AS _q"
+        times = []
+        ok = True
+        for i in range(runs + 1):
+            fired: list[int] = []
+
+            def _interrupt():
+                fired.append(1)
+                con.interrupt()
+
+            watchdog = threading.Timer(DUCK_TIMEOUT_S, _interrupt)
+            watchdog.start()
+            t0 = time.perf_counter()
+            try:
+                con.execute(counted).fetchall()
+            except Exception:
+                ok = False
+            finally:
+                watchdog.cancel()
+            if fired and ok:
+                try:
+                    con.execute("SELECT 1").fetchall()
+                except Exception:
+                    pass
+            if not ok:
+                break
+            if i > 0:
+                times.append(time.perf_counter() - t0)
+        if ok:
+            out[name] = round(statistics.median(times), 4)
+        else:
+            skipped.append(name)
+    con.close()
+    return out, skipped
+
+
+def main() -> None:
+    from zarr_datafusion_search_spark.engine import build_session
+    from zarr_datafusion_search_spark.operators.cache import (
+        release_operator_caches,
+    )
+    from zarr_datafusion_search_spark.plans.registry import load_all
+
+    counts = build_scale_dir()
+    registry = load_all()
+    spark = build_session(
+        app_name="zdss-bench-scale",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "16g",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    st = _time_spark(spark, registry, SCALE_QUERIES, RUNS)
+    release_operator_caches()
+    spark.stop()
+    dt, skipped = _time_duck(registry, SCALE_QUERIES, RUNS)
+
+    paired = [n for n in st if n in dt]
+    s_tot = round(sum(st[n] for n in paired), 4)
+    d_tot = round(sum(dt[n] for n in paired), 4)
+    detail = {
+        "scale_k": SCALE_K,
+        "base_sf_dir": BASE_SF_DIR,
+        "row_counts": counts,
+        "spark_queries": st,
+        "duckdb_queries": dt,
+        "spark_total": s_tot,
+        "duckdb_total": d_tot,
+        "ratio": round(s_tot / max(d_tot, 1e-9), 2),
+        "duckdb_skipped": skipped,
+        "runs_per_query": RUNS,
+        "protocol": "1 warmup + median of runs; count(*) over the full "
+        "query on both engines; DuckDB timed after Spark exits",
+    }
+    with open(DETAIL_PATH, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(
+        json.dumps(
+            {
+                "metric": "scale-trend suite wall-clock (10x pipeline tables)",
+                "value": s_tot,
+                "unit": "sec",
+                "duckdb_s": d_tot,
+                "ratio": detail["ratio"],
+                "n": len(paired),
+                "skipped": skipped,
+                "detail_file": "BENCH_SCALE.json",
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

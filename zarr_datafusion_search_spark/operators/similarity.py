@@ -63,6 +63,13 @@ def _fold_topk(
     out_cols = ["query_id", "neighbor_id"] + (
         ["n_label"] if label_col is not None else []
     )
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
+
+    # |Q| folds per corpus row execute inside the corpus scan stage; an
+    # unsplittable input file would serialize all of them on one core
+    corpus = ensure_scan_parallelism(corpus)
     scored = (
         corpus.select(*c_cols)
         .crossJoin(F.broadcast(queries.select(*q_cols)))
@@ -800,7 +807,15 @@ def semantic_dedup_pairs(
             F.col(vec_col).alias("cent_vec"),
         )
     )
-    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
+
+    # the n x n_centroids assignment folds run inside the corpus scan
+    # stage; an unsplittable input file would serialize them on one core
+    scored = ensure_scan_parallelism(
+        corpus.select(F.col(id_col), F.col(vec_col))
+    ).crossJoin(
         F.broadcast(cents)
     ).select(
         id_col,
@@ -895,7 +910,14 @@ def random_projection(
 
     Built as one SQL expression per component (single expr parse; the
     Column-DSL equivalent costs seconds of py4j round-trips per plan).
+    The ``d_out`` x ``dim`` fold per row runs inside the scan stage, so an
+    under-split input is repaired first.
     """
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
+
+    corpus = ensure_scan_parallelism(corpus)
     planes = [_hyperplane(dim, 7000 + p) for p in range(d_out)]
     dots = []
     for plane in planes:

@@ -383,7 +383,14 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     ``F.approx_count_distinct`` (HLL, no expand) and keep the same shape.
     Avoid double-typed columns if the output feeds a cross-engine compare
     (float rendering differs engine-to-engine; ints and strings don't).
+    The expand's len(columns)-x amplification executes in the scan stage,
+    so under-split inputs are repaired first.
     """
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
+
+    df = ensure_scan_parallelism(df)
     aggs = []
     for c in columns:
         aggs += [
@@ -907,10 +914,15 @@ def skipgram_pairs(
     offset-d alignment per distance, both directions), so the expansion
     is a narrow expression-level map: raw text never shuffles, only
     (pair, 1) partial counts do (map-side combined, vocabulary^2-bounded
-    key space further cut by ``min_count``).
+    key space further cut by ``min_count``). The 4x-window amplification
+    lives in the scan stage — repair input parallelism first.
     """
     from zarr_datafusion_search_spark.operators.dedup import tokens_col
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
 
+    df = ensure_scan_parallelism(df)
     t = tokens_col(text_col)
     pair_lists = []
     for d in range(1, window + 1):
@@ -1206,9 +1218,15 @@ def source_ngram_diversity(
 
     One exact distinct per group: shuffle keyed on (group, gram), partial
     counts map-side; the ratio is a two-aggregate division rounded 6dp.
+    The ~80x row amplification of the gram explode runs in the scan stage,
+    so an under-split input file serializes it — repair parallelism first.
     """
     from zarr_datafusion_search_spark.operators.dedup import tokens_col
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
 
+    docs = ensure_scan_parallelism(docs)
     t = tokens_col(text_col)
     k = F.size(t) - (n - 1)
     # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of being
