@@ -247,6 +247,10 @@ def build_scale_dir() -> dict:
 
 
 def _time_spark(spark, registry, names, runs) -> dict:
+    from zarr_datafusion_search_spark.operators.cache import (
+        release_operator_caches,
+    )
+
     out = {}
     for name in names:
         spec = registry[name]
@@ -257,6 +261,10 @@ def _time_spark(spark, registry, names, runs) -> dict:
             if i > 0:
                 times.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(times), 4)
+        # drop this query's tracked persists before the next query runs:
+        # 23 queries x 10x-scale postings/shingle indexes would otherwise
+        # accumulate in storage memory and perturb later measurements
+        release_operator_caches()
     return out
 
 

@@ -69,8 +69,16 @@ def bm25_topk(
     # repartition also distributes the (tiny) post-explode rows, so no
     # up-front spread of the raw text is needed — at cluster scale the
     # tokenize parallelism comes from the input file splits.
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
+
+    # the tokenize itself runs in the scan stage; an unsplittable input
+    # file would serialize it (the repartition below only spreads the
+    # already-exploded rows)
     ex = (
-        docs.select(F.col(id_col), toks.alias("_toks"))
+        ensure_scan_parallelism(docs)
+        .select(F.col(id_col), toks.alias("_toks"))
         .filter(F.size("_toks") > 0)
         .select(
             id_col,
@@ -164,8 +172,13 @@ def tfidf_topk(
     # re-scans and re-tokenizes the corpus (~20 file scans in the final
     # plan). Persisting it IS the inverted-index build; the handle is
     # tracked for release_operator_caches()
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
+
     tf = tracked_persist(
-        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        ensure_scan_parallelism(docs)
+        .select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

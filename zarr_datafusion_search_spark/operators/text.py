@@ -970,8 +970,11 @@ def source_term_kl(
     what makes this shape hold when V is 10^8.
     """
     from zarr_datafusion_search_spark.operators.dedup import tokens_col
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
 
-    toks = docs.select(
+    toks = ensure_scan_parallelism(docs).select(
         F.col(group_col).alias("grp"),
         F.explode(tokens_col(text_col)).alias("term"),
     )
@@ -1059,8 +1062,11 @@ def vocab_growth_curve(
     from zarr_datafusion_search_spark.operators.cache import tracked_persist
     from zarr_datafusion_search_spark.operators.dedup import tokens_col
     from zarr_datafusion_search_spark.operators.packing import global_cumsum
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
 
-    toks = docs.select(
+    toks = ensure_scan_parallelism(docs).select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("term")
     )
     # ONE tokenize+shuffle pass: the (doc, term) count relation feeds both
@@ -1376,8 +1382,11 @@ def source_vocab_similarity(
     """
     from zarr_datafusion_search_spark.operators.cache import tracked_persist
     from zarr_datafusion_search_spark.operators.dedup import tokens_col
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
 
-    toks = docs.select(
+    toks = ensure_scan_parallelism(docs).select(
         F.col(group_col).alias("grp"),
         F.explode(tokens_col(text_col)).alias("term"),
     )
