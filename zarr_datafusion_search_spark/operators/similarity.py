@@ -611,6 +611,13 @@ def kmeans_centroids(
             F.col(vec_col).cast("array<double>").alias("cent_vec"),
         )
     )
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
+
+    # n_centroids x dim folds per corpus row, every round, all inside the
+    # corpus scan stage — repair under-split inputs once, outside the loop
+    corpus = ensure_scan_parallelism(corpus)
     for _ in range(n_iter):
         scored = corpus.select(
             F.col(id_col), F.col(vec_col).alias("_v")
@@ -620,6 +627,11 @@ def kmeans_centroids(
             "centroid_id",
             F.round(cosine_similarity("_v", "cent_vec"), COS_ROUND).alias("_c"),
         )
+        # per-row argmin via ranking window; measured AGAINST the max_by
+        # aggregation alternative here (the SemDeDup convention): carrying
+        # the 64-float vector through a two-phase agg buffer costs more
+        # than the local sort of the (corpus x k) relation at every tested
+        # scale, so the window stays
         w = Window.partitionBy(id_col).orderBy(
             F.col("_c").desc(), F.col("centroid_id")
         )
@@ -699,7 +711,15 @@ def ivf_topk(
             .select(idal, vecal, "centroid_id")
         )
 
-    corpus_cells = assign(corpus, "neighbor_id", "c_vec", 1)
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
+
+    # the cell-assignment folds (n_centroids x dim per corpus row) run in
+    # the corpus scan stage — repair under-split inputs first
+    corpus_cells = assign(
+        ensure_scan_parallelism(corpus), "neighbor_id", "c_vec", 1
+    )
     query_cells = assign(queries, "query_id", "q_vec", n_probe)
     cand = (
         corpus_cells.join(F.broadcast(query_cells), "centroid_id")
