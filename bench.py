@@ -181,6 +181,7 @@ EXTENDED_R4 = [
     "temporal_split_embargo",
     "stratified_kfold_counts",
     "dataset_card_metrics",
+    "padding_waste_audit",
 ]
 
 #: registered queries deliberately NOT timed, with the reason the judge

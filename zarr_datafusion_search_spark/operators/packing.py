@@ -238,3 +238,69 @@ def global_cumsum(
         for c in value_cols
     ]
     return joined.select(*exprs)
+
+
+def padding_waste_audit(
+    docs: DataFrame,
+    context_lengths: list[int] = (32, 64, 128),
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-length selection audit: for each candidate sequence length,
+    how many tokens one-doc-per-sequence batching would PAD (short docs)
+    and how many it would TRUNCATE (long docs) — the two waste terms a
+    trainer trades off before committing to a context size (the packed
+    alternative is :func:`pack_documents_cumsum`; this quantifies what
+    packing saves).
+
+    One corpus scan: per-doc token counts cross-join the tiny
+    length-candidate relation (broadcast, |lengths| rows), then a
+    |lengths|-group aggregation — the corpus shuffles nothing but partial
+    sums. Ratios are 6dp-rounded doubles:
+
+    * ``padding_ratio``  = padded slots / (n_docs x L) — fraction of the
+      compute budget spent attending to pad tokens;
+    * ``truncation_ratio`` = truncated tokens / corpus tokens — fraction
+      of the data thrown away.
+    """
+    lengths = docs.sparkSession.createDataFrame(
+        [(int(l),) for l in context_lengths], "context_length int"
+    )
+    n = _token_count(text_col)
+    per_doc = docs.select(n.alias("n_tokens"))
+    joined = per_doc.crossJoin(F.broadcast(lengths)).select(
+        "context_length",
+        "n_tokens",
+        F.least(F.col("n_tokens"), F.col("context_length")).alias("kept"),
+        F.greatest(
+            F.col("n_tokens") - F.col("context_length"), F.lit(0)
+        ).alias("truncated"),
+        F.greatest(
+            F.col("context_length") - F.col("n_tokens"), F.lit(0)
+        ).alias("padded"),
+    )
+    return (
+        joined.groupBy("context_length")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("kept").alias("kept_tokens"),
+            F.sum("truncated").alias("truncated_tokens"),
+            F.sum("padded").alias("padding_tokens"),
+        )
+        .select(
+            "context_length",
+            "n_docs",
+            "total_tokens",
+            "kept_tokens",
+            "truncated_tokens",
+            "padding_tokens",
+            F.round(
+                F.col("padding_tokens")
+                / (F.col("n_docs") * F.col("context_length")),
+                6,
+            ).alias("padding_ratio"),
+            F.round(
+                F.col("truncated_tokens") / F.col("total_tokens"), 6
+            ).alias("truncation_ratio"),
+        )
+    )

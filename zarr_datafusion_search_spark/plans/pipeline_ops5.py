@@ -1031,3 +1031,47 @@ def dataset_card_metrics(spark: SparkSession, sf: str) -> DataFrame:
         "'mean_chars', c4, 'english_share', c5, 'null_text_rate', c6) "
         "as (metric, value)"
     )
+
+
+@register(
+    "padding_waste_audit",
+    oracle="""
+    WITH lens(context_length) AS (VALUES (32), (64), (128)),
+    d AS (
+      SELECT len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> len(t) > 0)) AS n_tokens
+      FROM documents
+    ),
+    j AS (
+      SELECT context_length, n_tokens,
+             least(n_tokens, context_length) AS kept,
+             greatest(n_tokens - context_length, 0) AS truncated,
+             greatest(context_length - n_tokens, 0) AS padded
+      FROM d CROSS JOIN lens
+    )
+    SELECT context_length,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(kept) AS BIGINT) AS kept_tokens,
+           CAST(sum(truncated) AS BIGINT) AS truncated_tokens,
+           CAST(sum(padded) AS BIGINT) AS padding_tokens,
+           round(sum(padded) * 1.0 / (count(*) * context_length), 6)
+             AS padding_ratio,
+           round(sum(truncated) * 1.0 / sum(n_tokens), 6)
+             AS truncation_ratio
+    FROM j GROUP BY context_length
+    """,
+    doc="Context-length selection audit: per candidate sequence length, "
+    "the pad-token share of the compute budget and the truncated share "
+    "of the corpus under one-doc-per-sequence batching "
+    "(operators/packing.py:padding_waste_audit) — the measurement that "
+    "justifies sequence packing and picks L before a training run. One "
+    "corpus scan, broadcast |lengths| relation, |lengths|-group "
+    "aggregation.",
+)
+def padding_waste_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.packing import (
+        padding_waste_audit as _audit,
+    )
+
+    return _audit(table(spark, sf, "documents"))
