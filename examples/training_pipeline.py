@@ -214,6 +214,19 @@ def main() -> None:
         "epoch", "lang"
     ).show(15)
 
+    # 9. context-length selection: quantify what each candidate sequence
+    #    length wastes (pad share of compute, truncated share of data)
+    #    under naive batching — the measurement that justifies the
+    #    sequence-packing stage above and picks L for the run
+    from zarr_datafusion_search_spark.operators.packing import (
+        padding_waste_audit,
+    )
+
+    print("== padding/truncation waste by context length ==")
+    padding_waste_audit(train, context_lengths=(32, 64, 128)).orderBy(
+        "context_length"
+    ).show()
+
 
 if __name__ == "__main__":
     main()
