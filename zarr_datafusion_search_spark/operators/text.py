@@ -529,7 +529,18 @@ def bigram_pmi(
     real vocabulary. PMI is rounded to 6 dp to absorb cross-engine libm
     drift in ``ln``.
     """
-    toks = df.select(tokens_col(text_col).alias("_t")).filter(F.size("_t") > 0)
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
+
+    # repair under-split inputs AND let the unigram/bigram branches share
+    # one tokenize via ReusedExchange (without the exchange each branch
+    # re-tokenizes the corpus inside its own scan stage)
+    toks = (
+        ensure_scan_parallelism(df)
+        .select(tokens_col(text_col).alias("_t"))
+        .filter(F.size("_t") > 0)
+    )
     uni = (
         toks.select(F.explode("_t").alias("w"))
         .groupBy("w")
@@ -598,7 +609,11 @@ def vocab_coverage(
     Returns ``(group, total_tokens, covered_tokens, coverage)`` with
     coverage rounded to 6 decimals.
     """
-    toks = df.select(
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
+
+    toks = ensure_scan_parallelism(df).select(
         F.col(group_col).alias("grp"),
         F.explode(tokens_col(text_col)).alias("tok"),
     )
@@ -651,8 +666,13 @@ def bigram_lm_perplexity(
     broadcast; docs with < 2 tokens drop out (no bigram exists).
     """
     from zarr_datafusion_search_spark.operators.cache import tracked_persist
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
 
-    toks = df.select(F.col(id_col), tokens_col(text_col).alias("_t"))
+    toks = ensure_scan_parallelism(df).select(
+        F.col(id_col), tokens_col(text_col).alias("_t")
+    )
     vocab = (
         toks.select(F.explode("_t").alias("w"))
         .agg(F.countDistinct("w").cast("double").alias("v"))
@@ -716,8 +736,13 @@ def bpe_merge_candidates(
     the per-iteration cost is this operator, which is why it must not
     shuffle raw text.
     """
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
+
     words = (
-        df.select(F.explode(tokens_col(text_col)).alias("word"))
+        ensure_scan_parallelism(df)
+        .select(F.explode(tokens_col(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
         .filter(F.length("word") >= 2)
