@@ -86,6 +86,10 @@ SCALE_QUERIES = [
     "dedup_minhash_lsh",
     "text_quality_score",
     "sessionization",
+    # heavy r3 members: retrieval + iterative graph at 10x
+    "text_tfidf_search",
+    "pagerank_event_types",
+    "label_propagation_sources",
 ]
 
 _P1, _P2 = 1663, 2741  # copy-partner strides, coprime with the base sizes
