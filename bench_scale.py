@@ -51,8 +51,11 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
 SCALE_K = int(os.environ.get("SPARK_GRAFT_SCALE_K", "10"))
 SCALE_DIR = os.path.join("/tmp", f"zdss_scale_{SCALE_K}x")
+#: default (10x) runs own the canonical BENCH_SCALE.json; other K values
+#: write their own artifact so scale points never overwrite each other
 DETAIL_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
+    os.path.dirname(os.path.abspath(__file__)),
+    "BENCH_SCALE.json" if SCALE_K == 10 else f"BENCH_SCALE_{SCALE_K}x.json",
 )
 DUCK_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_DUCK_TIMEOUT", "120"))
 
@@ -372,14 +375,15 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "scale-trend suite wall-clock (10x pipeline tables)",
+                "metric": f"scale-trend suite wall-clock ({SCALE_K}x "
+                "pipeline tables)",
                 "value": s_tot,
                 "unit": "sec",
                 "duckdb_s": d_tot,
                 "ratio": detail["ratio"],
                 "n": len(paired),
                 "skipped": skipped,
-                "detail_file": "BENCH_SCALE.json",
+                "detail_file": os.path.basename(DETAIL_PATH),
             },
             separators=(",", ":"),
         )
