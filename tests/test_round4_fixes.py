@@ -325,3 +325,33 @@ def test_mixed_format_attach_dispatches_per_row(spark, sf_dir):
         assert r.media_format == want
         assert r.n_bytes == bmp_rows[i].n_bytes
         assert r.byte_checksum == bmp_rows[i].byte_checksum
+
+
+def test_minhash_bucket_guard_subsets_unguarded(spark, sf_dir):
+    """The degenerate-bucket guard must only REMOVE pairs (candidates from
+    oversized buckets), never add or alter surviving (pair, jaccard)
+    rows; default None keeps exact parity with the registered oracle."""
+    from zarr_datafusion_search_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_hashes=16, rows_per_band=4, jaccard_threshold=0.5
+        ).collect()
+    }
+    guarded = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            docs,
+            num_hashes=16,
+            rows_per_band=4,
+            jaccard_threshold=0.5,
+            max_bucket_size=2,
+        ).collect()
+    }
+    assert guarded <= full
+    # at a cap of 2 every bucket with >2 members is dropped, so with any
+    # real boilerplate the guarded set is strictly smaller OR all buckets
+    # were small anyway; either way the unguarded run found pairs
+    assert full

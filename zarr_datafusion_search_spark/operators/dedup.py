@@ -224,6 +224,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     rows_per_band: int = 4,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH with exact Jaccard verification.
 
@@ -233,10 +234,32 @@ def minhash_lsh_pairs(
     that collide are joined; the O(n^2) space is never touched, and the
     shingle relation is computed once and persisted (at 100 TB this is the
     materialize-your-shingle-index step) instead of once per stage.
+
+    ``max_bucket_size`` is the degenerate-bucket guard (the band-level
+    analog of the shingle ``max_df`` guard): a (band, sig) bucket holding
+    B members contributes B^2/2 candidate pairs to the exact-verify join,
+    so one boilerplate-heavy signature shared by 10^4 docs costs 5x10^7
+    verifications PER BAND. With the cap, buckets above it are dropped
+    from candidate generation; a genuinely near-dup pair inside a dropped
+    bucket is still found through any of its other b-1 bands (the standard
+    LSH multi-band redundancy argument — only pairs whose EVERY matching
+    band is degenerate are lost). Default ``None`` keeps exact
+    oracle-parity semantics; set it when corpus boilerplate makes bucket
+    sizes heavy-tailed (measured at 30x synthetic scale: the unguarded
+    verify join is the single most expensive stage in the suite on both
+    engines).
     """
     shh = hashed_shingles(df, id_col, text_col)
     sigs = minhash_signatures(shh, num_hashes, id_col)
     bands = lsh_band_signatures(sigs, rows_per_band, num_hashes, id_col)
+    if max_bucket_size is not None:
+        small = (
+            bands.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .select("band", "sig")
+        )
+        bands = bands.join(small, ["band", "sig"], "left_semi")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
