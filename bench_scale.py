@@ -109,6 +109,9 @@ def _scale_documents(base_dir: str, out_dir: str, k: int) -> int:
     lang = t.column("lang").to_pylist()
     source = t.column("source").to_pylist()
     words = [s.split(" ") for s in text]
+    # offset by max+1, not row count — copies must stay id-disjoint even
+    # for gapped/1-based base fixtures
+    id_stride = 1 + max(doc_id)
     out = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
     out["doc_id"].extend(doc_id)
     out["text"].extend(text)
@@ -126,7 +129,7 @@ def _scale_documents(base_dir: str, out_dir: str, k: int) -> int:
                 + c[2 * len(c) // 3 :]
             )
             s = " ".join(new)
-            out["doc_id"].append(doc_id[d] + i * n)
+            out["doc_id"].append(doc_id[d] + i * id_stride)
             out["text"].append(s)
             out["lang"].append(lang[d])
             out["source"].append(source[d])
@@ -147,19 +150,19 @@ def _scale_documents(base_dir: str, out_dir: str, k: int) -> int:
 
 
 def _scale_events(base_dir: str, out_dir: str, k: int) -> int:
-    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     t = pq.read_table(os.path.join(base_dir, "events.parquet"))
     n = t.num_rows
-    n_users = 1 + int(
-        pa.compute.max(t.column("user_id")).as_py()  # type: ignore[attr-defined]
-    )
+    # offset every id family by max+1 (NOT row count): copies must stay
+    # disjoint even if the base fixture ever carries gapped/1-based ids
+    id_stride = 1 + int(pa.compute.max(t.column("event_id")).as_py())
+    n_users = 1 + int(pa.compute.max(t.column("user_id")).as_py())
     cols = {name: t.column(name) for name in t.column_names}
     chunks = []
     for i in range(k):
-        eid = pa.compute.add(cols["event_id"], i * n)
+        eid = pa.compute.add(cols["event_id"], i * id_stride)
         uid = pa.compute.add(cols["user_id"], i * n_users)
         chunks.append(
             pa.table(
@@ -173,7 +176,6 @@ def _scale_events(base_dir: str, out_dir: str, k: int) -> int:
                 }
             )
         )
-    del np
     pq.write_table(pa.concat_tables(chunks), os.path.join(out_dir, "events.parquet"))
     return n * k
 
@@ -189,6 +191,7 @@ def _scale_embeddings(base_dir: str, out_dir: str, k: int) -> int:
     label = np.asarray(t.column("label").to_pylist(), dtype=np.int32)
     emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
     ids, labels, vecs = [vec_id], [label], [emb]
+    id_stride = 1 + int(vec_id.max())  # max+1: id-disjoint for gapped bases
     for i in range(1, k):
         partner = emb[(np.arange(n) + _P1 * i) % n]
         mixed = 0.5 * emb + 0.5 * partner
@@ -196,7 +199,7 @@ def _scale_embeddings(base_dir: str, out_dir: str, k: int) -> int:
         norms[norms == 0] = 1.0
         base_norms = np.linalg.norm(emb, axis=1, keepdims=True)
         mixed = (mixed / norms * base_norms).astype(np.float32)
-        ids.append(vec_id + i * n)
+        ids.append(vec_id + i * id_stride)
         labels.append(label)
         vecs.append(mixed)
     flat = np.concatenate(vecs).reshape(-1)
@@ -216,13 +219,29 @@ def _scale_embeddings(base_dir: str, out_dir: str, k: int) -> int:
     return n * k
 
 
+def _base_fingerprint() -> dict:
+    """Identity of the base tables the cache was scaled from: dir plus
+    (size, mtime) of each scaled input — a regenerated or switched base
+    must invalidate the /tmp cache, silently reusing stale scaled data
+    would corrupt every recorded timing."""
+    fp = {"base_dir": BASE_SF_DIR}
+    for t in ("documents", "events", "embeddings"):
+        st = os.stat(os.path.join(BASE_SF_DIR, f"{t}.parquet"))
+        fp[t] = [st.st_size, st.st_mtime_ns]
+    return fp
+
+
 def build_scale_dir() -> dict:
-    """Materialize the scaled tables (idempotent: a _READY marker skips the
-    ~20 s rebuild on reruns)."""
+    """Materialize the scaled tables (idempotent: a _READY marker recording
+    the base-table fingerprint skips the ~20 s rebuild on reruns; a
+    mismatching fingerprint triggers a rebuild)."""
     marker = os.path.join(SCALE_DIR, "_READY")
+    fingerprint = _base_fingerprint()
     if os.path.exists(marker):
         with open(marker) as fh:
-            return json.load(fh)
+            saved = json.load(fh)
+        if saved.get("fingerprint") == fingerprint:
+            return saved["counts"]
     os.makedirs(SCALE_DIR, exist_ok=True)
     counts = {
         "documents": _scale_documents(BASE_SF_DIR, SCALE_DIR, SCALE_K),
@@ -249,7 +268,7 @@ def build_scale_dir() -> dict:
             except OSError:
                 shutil.copyfile(src, dst)
     with open(marker, "w") as fh:
-        json.dump(counts, fh)
+        json.dump({"counts": counts, "fingerprint": fingerprint}, fh)
     return counts
 
 
@@ -288,7 +307,8 @@ def _time_duck(registry, names, runs) -> tuple[dict, list]:
             f"CREATE VIEW {t} AS SELECT * FROM '{SCALE_DIR}/{t}.parquet'"
         )
     out: dict[str, float] = {}
-    skipped: list[str] = []
+    timed_out: list[str] = []
+    errored: dict[str, str] = {}
     for name in names:
         sql = registry[name].oracle
         counted = f"SELECT count(*) FROM ({sql}) AS _q"
@@ -306,8 +326,15 @@ def _time_duck(registry, names, runs) -> tuple[dict, list]:
             t0 = time.perf_counter()
             try:
                 con.execute(counted).fetchall()
-            except Exception:
+            except Exception as exc:
                 ok = False
+                # a watchdog interrupt is a DNF (engine too slow); any
+                # other exception is a broken/unsupported oracle and must
+                # NOT be reported as an engine-capability result
+                if fired:
+                    timed_out.append(name)
+                else:
+                    errored[name] = f"{type(exc).__name__}: {exc}"[:200]
             finally:
                 watchdog.cancel()
             if fired and ok:
@@ -321,10 +348,8 @@ def _time_duck(registry, names, runs) -> tuple[dict, list]:
                 times.append(time.perf_counter() - t0)
         if ok:
             out[name] = round(statistics.median(times), 4)
-        else:
-            skipped.append(name)
     con.close()
-    return out, skipped
+    return out, timed_out, errored
 
 
 def main() -> None:
@@ -351,7 +376,7 @@ def main() -> None:
     st = _time_spark(spark, registry, SCALE_QUERIES, RUNS)
     release_operator_caches()
     spark.stop()
-    dt, skipped = _time_duck(registry, SCALE_QUERIES, RUNS)
+    dt, timed_out, errored = _time_duck(registry, SCALE_QUERIES, RUNS)
 
     paired = [n for n in st if n in dt]
     s_tot = round(sum(st[n] for n in paired), 4)
@@ -365,7 +390,9 @@ def main() -> None:
         "spark_total": s_tot,
         "duckdb_total": d_tot,
         "ratio": round(s_tot / max(d_tot, 1e-9), 2),
-        "duckdb_skipped": skipped,
+        "duckdb_timed_out": timed_out,
+        "duckdb_errored": errored,
+        "duck_timeout_s": DUCK_TIMEOUT_S,
         "runs_per_query": RUNS,
         "protocol": "1 warmup + median of runs; count(*) over the full "
         "query on both engines; DuckDB timed after Spark exits",
@@ -382,7 +409,8 @@ def main() -> None:
                 "duckdb_s": d_tot,
                 "ratio": detail["ratio"],
                 "n": len(paired),
-                "skipped": skipped,
+                "duckdb_timed_out": timed_out,
+                "duckdb_errored": sorted(errored),
                 "detail_file": os.path.basename(DETAIL_PATH),
             },
             separators=(",", ":"),

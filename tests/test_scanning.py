@@ -63,10 +63,15 @@ def test_explicit_width_override(spark, sf_dir):
     assert ensure_scan_parallelism(docs, width=7).rdd.getNumPartitions() == 7
 
 
-def test_repaired_operator_matches_unrepaired_semantics(spark, sf_dir):
-    """Round-robin placement must not change operator output: compare the
-    diversity audit computed from a deliberately single-partition input
-    against the repaired path."""
+def test_repaired_operator_matches_unrepaired_semantics(
+    spark, sf_dir, monkeypatch
+):
+    """Round-robin placement must not change operator output. The serial
+    reference leg BYPASSES the in-operator gate (monkeypatched to
+    identity) — without that, coalesce(1) input would be re-repaired by
+    the operator itself and the test would compare the repaired plan to
+    itself."""
+    from zarr_datafusion_search_spark.operators import scanning
     from zarr_datafusion_search_spark.operators.text import (
         source_ngram_diversity,
     )
@@ -76,6 +81,9 @@ def test_repaired_operator_matches_unrepaired_semantics(spark, sf_dir):
         tuple(r)
         for r in source_ngram_diversity(docs).collect()
     }
+    monkeypatch.setattr(
+        scanning, "ensure_scan_parallelism", lambda df, width=None: df
+    )
     serial = {
         tuple(r)
         for r in source_ngram_diversity(docs.coalesce(1)).collect()

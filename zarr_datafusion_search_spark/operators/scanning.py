@@ -11,16 +11,24 @@ while the rest of the executor idles.
 
 Operators whose per-row compute is heavily AMPLIFYING (output or work per
 input row >> 1) call :func:`ensure_scan_parallelism` on their input: if
-the plan's scan parallelism is materially below the session's core count,
-one round-robin exchange spreads the rows before the expensive stage.
-Measured at 10x test scale, local[32]: ``source_ngram_diversity`` 28.4 s
--> 1.9 s, ``skipgram_cooccurrence`` 12.0 s -> 1.0 s from this single
-exchange.
+the plan's EFFECTIVE scan parallelism is materially below the session's
+core count, one round-robin exchange spreads the rows before the
+expensive stage. Measured at 10x test scale, local[32]:
+``source_ngram_diversity`` 28.4 s -> 1.9 s, ``skipgram_cooccurrence``
+12.0 s -> 1.0 s from this single exchange.
+
+Effective parallelism is measured in ROW GROUPS when the plan is a file
+scan (``df.inputFiles()`` + parquet footers): a 1 GB single-row-group
+file presents ~8 byte-splits to the scheduler, but only the split holding
+the row-group midpoint emits rows, so counting scheduled splits would let
+exactly the pathological inputs escape the repair. Footers are only read
+when the FILE count is already below the target (a handful of opens);
+a many-file table short-circuits on file count alone.
 
 Deliberately NOT applied at the table-loader level: for plain scans and
 cheap per-row work the extra shuffle costs more than it recovers
 (measured +40% on the TPC-H headline set when applied blanket), and at
-production scale a large table is thousands of splits so the gate is a
+production scale a large table is thousands of files so the gate is a
 no-op there. The operator knows its amplification factor; the loader does
 not.
 """
@@ -30,23 +38,63 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _effective_scan_units(df: DataFrame, target: int) -> int:
+    """Best-effort count of units that can actually produce rows in
+    parallel. For parquet file scans this is the total row-group count
+    (footers read only when the file count is below ``target``); for
+    everything else, the scheduled partition count."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    parquet_files = [f for f in files if f.endswith(".parquet")]
+    if parquet_files and len(parquet_files) == len(files):
+        if len(parquet_files) >= target:
+            return len(parquet_files)
+        try:
+            import pyarrow.parquet as pq
+
+            total = 0
+            for f in parquet_files:
+                path = f[7:] if f.startswith("file://") else f
+                total += pq.read_metadata(path).num_row_groups
+                if total >= target:
+                    break
+            return total
+        except Exception:
+            pass
+    return df.rdd.getNumPartitions()
+
+
 def ensure_scan_parallelism(df: DataFrame, width: int | None = None) -> DataFrame:
-    """Round-robin ``df`` to ``width`` (default: session cores) partitions
-    IF its current plan materializes with materially fewer — i.e. the
-    input is an unsplittable or under-split file. No-op (and no exchange)
-    when the scan is already parallel enough, or when partition count
-    cannot be determined.
+    """Round-robin ``df`` across the executor IF its input can produce
+    rows from materially fewer units than the session has cores — i.e.
+    the input is an unsplittable or under-split file. No-op (and no
+    exchange) when the scan is already parallel enough, or when
+    parallelism cannot be determined.
+
+    An EXPLICIT ``width`` is a request, not a hint: the frame comes back
+    with exactly that many partitions (no gate), matching the docstring
+    callers rely on in tests.
 
     Correctness-neutral: all engine operators are value-deterministic
     under any partitioning (they hash-match a serial DuckDB oracle through
     the engine's existing shuffles), and Spark local-sorts rows before
     round-robin distribution so task retries are deterministic as well.
     """
+    if width is not None:
+        if width <= 0:
+            raise ValueError(f"width must be positive, got {width}")
+        try:
+            if df.rdd.getNumPartitions() == width:
+                return df
+        except Exception:
+            pass
+        return df.repartition(width)
     try:
         spark = df.sparkSession
-        cores = spark.sparkContext.defaultParallelism
-        target = width or cores
-        if df.rdd.getNumPartitions() * 2 <= target:
+        target = spark.sparkContext.defaultParallelism
+        if _effective_scan_units(df, target) * 2 <= target:
             return df.repartition(target)
     except Exception:
         pass

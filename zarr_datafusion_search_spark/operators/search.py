@@ -66,16 +66,14 @@ def bm25_topk(
     # both consumers below re-read this exchange (ReusedExchange) instead
     # of re-tokenizing, and hash(doc_id) partitioning already satisfies
     # their groupBy clusterings, so neither adds another shuffle. The
-    # repartition also distributes the (tiny) post-explode rows, so no
-    # up-front spread of the raw text is needed — at cluster scale the
-    # tokenize parallelism comes from the input file splits.
+    # doc-id repartition only spreads the (tiny) post-explode rows — the
+    # tokenize itself still executes in the scan stage, so an unsplittable
+    # input file needs the up-front parallelism repair below (a no-op at
+    # cluster scale, where the tokenize parallelism comes from file splits).
     from zarr_datafusion_search_spark.operators.scanning import (
         ensure_scan_parallelism,
     )
 
-    # the tokenize itself runs in the scan stage; an unsplittable input
-    # file would serialize it (the repartition below only spreads the
-    # already-exploded rows)
     ex = (
         ensure_scan_parallelism(docs)
         .select(F.col(id_col), toks.alias("_toks"))
