@@ -32,6 +32,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from zarr_datafusion_search_spark.operators.scanning import (
+    ensure_scan_parallelism,
+)
+
 #: column metadata convention for media columns (cf. geoarrow markers)
 MEDIA_METADATA_KEY = "media:format"
 
@@ -144,7 +148,9 @@ def attach_synthetic_images(
         )
     else:
         fmt_col = F.lit(fmt)
-    gen = df.select(id_col).mapInPandas(_gen, f"{id_col} long, media_bytes binary")
+    gen = ensure_scan_parallelism(df.select(id_col)).mapInPandas(
+        _gen, f"{id_col} long, media_bytes binary"
+    )
     return gen.select(
         id_col,
         "media_bytes",
@@ -179,7 +185,9 @@ def attach_synthetic_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(encode_wav(samples))
             yield pd.DataFrame({id_col: pdf[id_col], "media_bytes": payloads})
 
-    gen = df.select(id_col).mapInPandas(_gen, f"{id_col} long, media_bytes binary")
+    gen = ensure_scan_parallelism(df.select(id_col)).mapInPandas(
+        _gen, f"{id_col} long, media_bytes binary"
+    )
     return gen.select(
         id_col,
         "media_bytes",
@@ -226,7 +234,9 @@ def attach_synthetic_ppm_video(
                 payloads.append(encode_ppm_stream(frames))
             yield pd.DataFrame({id_col: pdf[id_col], "media_bytes": payloads})
 
-    gen = df.select(id_col).mapInPandas(_gen, f"{id_col} long, media_bytes binary")
+    gen = ensure_scan_parallelism(df.select(id_col)).mapInPandas(
+        _gen, f"{id_col} long, media_bytes binary"
+    )
     return gen.select(
         id_col,
         "media_bytes",
