@@ -294,13 +294,31 @@ def padding_waste_audit(
             "kept_tokens",
             "truncated_tokens",
             "padding_tokens",
-            F.round(
-                F.col("padding_tokens")
-                / (F.col("n_docs") * F.col("context_length")),
-                6,
+            # ratios round in integer-micro space: token counts over
+            # round denominators (n_docs x L) land EXACTLY on 6dp .5
+            # boundaries (e.g. 8078/32000 = 0.2524375), where Spark's
+            # HALF_UP on the shortest decimal repr and DuckDB's rounding
+            # of the binary double disagree. x*1e6 is exactly
+            # representable at the boundary (integer +- .5), both engines
+            # round it identically, and the final /1e6 produces the same
+            # double bit pattern on both sides.
+            (
+                F.round(
+                    F.col("padding_tokens")
+                    * 1000000.0
+                    / (F.col("n_docs") * F.col("context_length")),
+                    0,
+                )
+                / 1000000.0
             ).alias("padding_ratio"),
-            F.round(
-                F.col("truncated_tokens") / F.col("total_tokens"), 6
+            (
+                F.round(
+                    F.col("truncated_tokens")
+                    * 1000000.0
+                    / F.col("total_tokens"),
+                    0,
+                )
+                / 1000000.0
             ).alias("truncation_ratio"),
         )
     )

@@ -1055,10 +1055,10 @@ def dataset_card_metrics(spark: SparkSession, sf: str) -> DataFrame:
            CAST(sum(kept) AS BIGINT) AS kept_tokens,
            CAST(sum(truncated) AS BIGINT) AS truncated_tokens,
            CAST(sum(padded) AS BIGINT) AS padding_tokens,
-           round(sum(padded) * 1.0 / (count(*) * context_length), 6)
-             AS padding_ratio,
-           round(sum(truncated) * 1.0 / sum(n_tokens), 6)
-             AS truncation_ratio
+           round(sum(padded) * 1000000.0 / (count(*) * context_length))
+             / 1000000.0 AS padding_ratio,
+           round(sum(truncated) * 1000000.0 / sum(n_tokens))
+             / 1000000.0 AS truncation_ratio
     FROM j GROUP BY context_length
     """,
     doc="Context-length selection audit: per candidate sequence length, "
