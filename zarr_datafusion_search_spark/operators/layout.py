@@ -207,9 +207,17 @@ def plan_compaction_greedy(
             F.col("grp").alias("compaction_group"),
             "n_files",
             "total_bytes",
-            F.round(F.col("total_bytes") / F.lit(target_bytes), 4).alias(
-                "fill_ratio"
-            ),
+            # integer-myria rounding: byte sums over a round target land
+            # exactly on 4dp .5 boundaries (11441/20000 = 0.57205) where
+            # Spark's HALF_UP on the decimal repr and an oracle engine's
+            # binary-double rounding diverge; x*1e4 is exactly
+            # representable at the boundary so both engines agree
+            (
+                F.round(
+                    F.col("total_bytes") * 10000.0 / F.lit(target_bytes), 0
+                )
+                / 10000.0
+            ).alias("fill_ratio"),
         )
     )
 

@@ -94,7 +94,8 @@ def zorder_locality_audit_q(spark: SparkSession, sf: str) -> DataFrame:
     SELECT source, grp AS compaction_group,
            count(*) AS n_files,
            CAST(sum(bytes) AS BIGINT) AS total_bytes,
-           round(CAST(sum(bytes) AS DOUBLE) / 20000.0, 4) AS fill_ratio
+           round(CAST(sum(bytes) AS DOUBLE) * 10000.0 / 20000.0)
+             / 10000.0 AS fill_ratio
     FROM planned GROUP BY 1, 2
     """,
     doc="Small-file compaction planner: a simulated per-source file "
