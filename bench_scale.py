@@ -87,6 +87,7 @@ SCALE_QUERIES = [
     # headline anchors for cross-checking the trend
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_guarded",
     "text_quality_score",
     "sessionization",
     # heavy r3 members: retrieval + iterative graph at 10x

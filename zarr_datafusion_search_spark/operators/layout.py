@@ -127,14 +127,21 @@ def zorder_locality_audit(
     dimension prunes to the few files whose [min,max] band overlaps it,
     which single-column sorting only delivers for its one sort key.
 
-    Scale note: the exact equal-row ntile here needs a global ordering
-    (Spark warns: single-partition window) — right for an audit that must
-    be bit-reproducible against an external oracle at test scale. The
+    Scale note: the exact equal-row assignment needs a global rank, and
+    the naive ``ntile() OVER (ORDER BY ...)`` window executes on ONE task
+    — a non-starter at scale. This uses the two-phase distributed
+    prefix-rank instead (:func:`~zarr_datafusion_search_spark.operators.
+    packing.distributed_rank`: range-repartition on the z key, local rank
+    per sorted partition, broadcast per-partition offsets), then
+    ``file_id = (rank-1) * n_files div total + 1`` — integer arithmetic
+    that an external oracle replays exactly over ``row_number()``. The
     production layout WRITE uses ``df.repartitionByRange(n_files,
-    F.col("z"))`` instead: sampled range boundaries, fully parallel sort,
-    approximately-equal files — same z-band locality without ever
-    collecting the ordering to one task."""
-    from pyspark.sql import Window
+    F.col("z"))``: sampled range boundaries, fully parallel sort,
+    approximately-equal files — same z-band locality, no exact-rank pass
+    at all."""
+    from zarr_datafusion_search_spark.operators.packing import (
+        distributed_rank,
+    )
 
     keyed = df.select(
         F.col(col_a).alias("da"),
@@ -142,9 +149,12 @@ def zorder_locality_audit(
         zorder_key(F.col(col_a), F.col(col_b), bits).alias("z"),
         F.col(order_col).alias("_ord"),
     )
-    w = Window.orderBy("z", "_ord")
+    ranked, total = distributed_rank(keyed, ["z", "_ord"])
     return (
-        keyed.withColumn("file_id", F.ntile(n_files).over(w))
+        ranked.withColumn(
+            "file_id",
+            F.expr(f"(_grank - 1) * {n_files} div {max(total, 1)} + 1"),
+        )
         .groupBy("file_id")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -252,26 +262,33 @@ def zone_map_skipping_audit(
     spans the full value range — zero skipping — while the clustered
     layout skips all but the boundary file; THIS delta is the entire
     argument for sort-on-write at 100 TB, measured instead of asserted.
-    Same global-ntile caveat as ``zorder_locality_audit``: production
-    assignment is ``repartitionByRange``, the audit's exact ntile is the
-    oracle-replayable equivalent."""
-    from pyspark.sql import Window
-
-    lay = df.select(
-        F.col(value_col).alias("_v"),
-        F.ntile(n_files)
-        .over(Window.orderBy(natural_order_col))
-        .alias("_f_nat"),
-        F.ntile(n_files)
-        .over(Window.orderBy(F.col(value_col), F.col(natural_order_col)))
-        .alias("_f_clu"),
+    File assignment is the two-phase distributed prefix-rank (one pass
+    per layout; see ``zorder_locality_audit``) — never a single-task
+    global window — bucketed as ``(rank-1) * n_files div total + 1``,
+    which the oracle replays exactly over ``row_number()``. Production
+    assignment is ``repartitionByRange``; the audit's exact equal-row
+    bucketing is the oracle-replayable equivalent."""
+    from zarr_datafusion_search_spark.operators.packing import (
+        distributed_rank,
     )
 
-    def per_layout(name: str, fcol: str):
-        zones = lay.groupBy(F.col(fcol).alias("_f")).agg(
-            F.max("_v").alias("_mx"),
-            F.count(F.lit(1)).alias("_n"),
-            F.sum((F.col("_v") > threshold).cast("long")).alias("_nm"),
+    base = df.select(
+        F.col(value_col).alias("_v"),
+        F.col(natural_order_col).alias("_o"),
+    )
+    nat, total = distributed_rank(base, ["_o"], out_col="_r")
+    clu, _ = distributed_rank(base, ["_v", "_o"], out_col="_r")
+    assign = F.expr(f"(_r - 1) * {n_files} div {max(total, 1)} + 1")
+
+    def per_layout(name: str, ranked: DataFrame):
+        zones = (
+            ranked.withColumn("_f", assign)
+            .groupBy("_f")
+            .agg(
+                F.max("_v").alias("_mx"),
+                F.count(F.lit(1)).alias("_n"),
+                F.sum((F.col("_v") > threshold).cast("long")).alias("_nm"),
+            )
         )
         return zones.agg(
             F.lit(name).alias("layout"),
@@ -285,6 +302,6 @@ def zone_map_skipping_audit(
             F.sum("_nm").alias("rows_matching"),
         )
 
-    return per_layout("natural", "_f_nat").unionAll(
-        per_layout("clustered", "_f_clu")
+    return per_layout("natural", nat).unionAll(
+        per_layout("clustered", clu)
     )

@@ -14,8 +14,15 @@ training (context-window filling). Two variants:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+
+#: shared default for :func:`padding_waste_audit`; the registered plan and
+#: its DuckDB oracle both derive from THIS constant so cross-engine parity
+#: can never silently depend on two hard-coded lists staying in sync.
+DEFAULT_CONTEXT_LENGTHS: tuple[int, ...] = (32, 64, 128)
 
 
 def _token_count(text_col: str = "text"):
@@ -242,7 +249,7 @@ def global_cumsum(
 
 def padding_waste_audit(
     docs: DataFrame,
-    context_lengths: list[int] = (32, 64, 128),
+    context_lengths: Sequence[int] = DEFAULT_CONTEXT_LENGTHS,
     text_col: str = "text",
 ) -> DataFrame:
     """Context-length selection audit: for each candidate sequence length,
@@ -322,3 +329,67 @@ def padding_waste_audit(
             ).alias("truncation_ratio"),
         )
     )
+
+
+def distributed_rank(
+    df: DataFrame, order_cols: Sequence[str], out_col: str = "_grank"
+) -> tuple[DataFrame, int]:
+    """Global 1-indexed dense row rank in ``order_cols`` order, computed
+    WITHOUT a single-task global window.
+
+    The naive ``row_number() OVER (ORDER BY ...)`` (no partition key) is
+    executed by Spark on ONE task — the scale-killer class this module's
+    two-phase prefix pattern exists to kill. Same shape as
+    :func:`shard_by_token_budget` / :func:`global_cumsum`, generalized to a
+    multi-column ordering:
+
+    1. range-repartition on the FULL ordering tuple (RangePartitioner
+       assigns ascending key ranges to ascending partition ids) and sort
+       each partition locally;
+    2. one Arrow pass assigns per-partition local ranks;
+    3. per-partition row counts (one tiny row each) come back to the
+       driver, their exclusive prefix sums are broadcast, and
+       ``global_rank = local_rank + partition_offset``.
+
+    ``order_cols`` should be a total order (include a unique tiebreaker)
+    so the rank is deterministic. Returns ``(ranked_df, total_rows)`` —
+    the total falls out of the offsets for free, so callers bucketing by
+    rank (``file_id = (rank-1)*n div total``) never pay a second count.
+    """
+    spark = df.sparkSession
+    in_schema = df.schema
+    prepared = df.repartitionByRange(
+        spark.sparkContext.defaultParallelism, *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
+
+    def local_rank(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in batches:
+            ranks = range(seen + 1, seen + len(pdf) + 1)
+            seen += len(pdf)
+            yield pdf.assign(_pid=pid, _lrank=list(ranks))
+
+    out_fields = [
+        f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields
+    ] + ["_pid int", "_lrank long"]
+    # eager snapshot: the counts job and the offset join read the same
+    # materialization (see shard_by_token_budget for the full rationale)
+    local = prepared.mapInPandas(
+        local_rank, ", ".join(out_fields)
+    ).localCheckpoint(eager=True)
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        acc += r["n"]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    )
+    ranked = local.join(off_df, "_pid").select(
+        *[F.col(f.name) for f in in_schema.fields],
+        (F.col("_lrank") + F.col("_off")).alias(out_col),
+    )
+    return ranked, acc

