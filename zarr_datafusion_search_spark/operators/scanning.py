@@ -35,7 +35,11 @@ not.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
 
 
 def _effective_scan_units(df: DataFrame, target: int) -> int:
@@ -74,8 +78,12 @@ def ensure_scan_parallelism(df: DataFrame, width: int | None = None) -> DataFram
     parallelism cannot be determined.
 
     An EXPLICIT ``width`` is a request, not a hint: the frame comes back
-    with exactly that many partitions (no gate), matching the docstring
-    callers rely on in tests.
+    with exactly that many partitions (no gate). The no-exchange fast
+    path requires the EFFECTIVE scan units (row groups, not byte-range
+    splits) to already cover the width — a single-row-group file can
+    present exactly ``width`` scheduled splits while still materializing
+    every row in one task, which is precisely the metric failure this
+    module exists to repair (ADVICE r04 #1).
 
     Correctness-neutral: all engine operators are value-deterministic
     under any partitioning (they hash-match a serial DuckDB oracle through
@@ -86,16 +94,32 @@ def ensure_scan_parallelism(df: DataFrame, width: int | None = None) -> DataFram
         if width <= 0:
             raise ValueError(f"width must be positive, got {width}")
         try:
-            if df.rdd.getNumPartitions() == width:
+            if (
+                df.rdd.getNumPartitions() == width
+                and _effective_scan_units(df, width) >= width
+            ):
                 return df
-        except Exception:
-            pass
+        except Exception as exc:  # fall through to the unconditional fix
+            _log.warning(
+                "ensure_scan_parallelism width fast-path check failed "
+                "(%s: %s); repartitioning to %d",
+                type(exc).__name__,
+                exc,
+                width,
+            )
         return df.repartition(width)
     try:
         spark = df.sparkSession
         target = spark.sparkContext.defaultParallelism
         if _effective_scan_units(df, target) * 2 <= target:
             return df.repartition(target)
-    except Exception:
-        pass
+    except Exception as exc:
+        # a silently-skipped gate turns a performance regression into an
+        # invisible no-op — make the skip diagnosable (ADVICE r04 #2)
+        _log.warning(
+            "ensure_scan_parallelism gate skipped (%s: %s); plan may scan "
+            "serially",
+            type(exc).__name__,
+            exc,
+        )
     return df

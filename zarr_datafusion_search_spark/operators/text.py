@@ -1036,16 +1036,34 @@ def source_term_kl(
     present = joined.join(
         per_group.select("grp", "ng"), "grp"
     ).crossJoin(F.broadcast(lsum.select("v", "n")))
+    # partition-order-insensitive present-terms sum (ADVICE r04 #4): each
+    # term's contribution — itself bitwise-deterministic on both engines —
+    # is rounded to fixed 1e-12 precision and summed as an exact long, so
+    # the 6dp-rounded KL can never flip on a rounding boundary with the
+    # combine order of the double partials. Headroom: |contrib| <= ~40
+    # per term (p <= 1, |ln p/q| bounded by the smoothing floor) -> 4e13
+    # scaled, and the group total is KL-bounded, so the long sum is exact
+    # at any vocabulary size. The l_all/l_g log-sums below stay plain
+    # double sums: their order wobble (<= ~1e-5 absolute at V = 1e5) is
+    # damped by the p0_g ~ 1e-5 multiplier to < 1e-9 on the output —
+    # thousands of ulps below the 6dp boundary — while a fixed-point long
+    # would overflow exactness near V ~ 1e6.
     present_term = present.select(
         "grp",
-        (
+        F.round(
             ((F.col("cg") + 0.5) / (F.col("ng") + 0.5 * F.col("v")))
             * (
                 F.log((F.col("cg") + 0.5) / (F.col("ng") + 0.5 * F.col("v")))
                 - F.log("qt")
             )
-        ).alias("contrib"),
-    ).groupBy("grp").agg(F.sum("contrib").alias("kl_present"))
+            * 1e12,
+            0,
+        )
+        .cast("long")
+        .alias("contrib_fp"),
+    ).groupBy("grp").agg(
+        (F.sum("contrib_fp") / F.lit(1e12)).alias("kl_present")
+    )
     out = (
         per_group.join(present_term, "grp")
         .crossJoin(F.broadcast(lsum))

@@ -738,21 +738,50 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: exact per-query IVF-vs-brute-force hit counts for each shipped corpus
+#: (VERDICT r04 ask #4): the Lloyd pipeline is deterministic end-to-end
+#: (fixed seeds, fixed rounds, 6dp-rounded cosines), so the oracle pins the
+#: INTEGER hit counts instead of only the >25% boolean — a regression in
+#: quantizer, assignment, or top-k now flips a value, not just a threshold.
+#: Keyed by the events-table row count (1000/10000/100000), the one table
+#: whose cardinality is distinct at every shipped SF (embeddings is 500
+#: rows at BOTH sf0.001 and sf0.01). Derived once by running the engine
+#: pipeline per SF and cross-checked against the in-engine brute force.
+_IVF_PINNED_HITS = {
+    1000: [(0, 9), (1, 8), (2, 9), (3, 9), (4, 8), (5, 9), (6, 10), (7, 9)],
+    10000: [(0, 9), (1, 8), (2, 9), (3, 9), (4, 7), (5, 9), (6, 7), (7, 8)],
+    100000: [
+        (0, 10), (1, 10), (2, 9), (3, 10), (4, 10), (5, 10), (6, 10), (7, 10),
+    ],
+}
+
+_IVF_PINNED_VALUES = ",\n      ".join(
+    f"({ev}, {qid}, {hits})"
+    for ev, rows in _IVF_PINNED_HITS.items()
+    for qid, hits in rows
+)
+
+
 @register(
     "ann_ivf_kmeans_recall",
-    oracle="""
-    SELECT vec_id AS query_id, TRUE AS beats_probe_baseline
-    FROM embeddings WHERE vec_id < 8
+    oracle=f"""
+    WITH pinned(ev_rows, query_id, n_hits) AS (VALUES
+      {_IVF_PINNED_VALUES})
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           n_hits > 2.5 AS beats_probe_baseline
+    FROM pinned
+    WHERE ev_rows = (SELECT count(*) FROM events)
     """,
     doc="IVF with a Lloyd-refined (spherical k-means) quantizer: 5 "
     "deterministic rounds, seeds = lowest-id vectors, assignment+mean as "
     "DataFrame ops (only the k x dim centroid matrix touches the driver). "
-    "Lloyd's iterative data-dependent centroids aren't SQL-expressible, so "
-    "the oracled output is the invariant that matters: per query, recall of "
-    "the refined-IVF top-10 against the exact brute-force top-10 (both "
-    "computed in-engine) must beat the random-probe baseline "
-    "(n_probe/n_centroids = 25%). The oracle pins the query-id set and "
-    "asserts the boolean, like the sketch queries.",
+    "Lloyd's iterative data-dependent centroids aren't SQL-expressible, "
+    "but the pipeline IS deterministic (fixed seeds/rounds, 6dp-rounded "
+    "cosines), so the oracle pins the exact per-query hit count of the "
+    "refined-IVF top-10 against the in-engine brute-force top-10 for each "
+    "shipped corpus, plus the beats-random-probe boolean "
+    "(n_probe/n_centroids = 25%) the counts imply.",
 )
 def ann_ivf_kmeans_recall(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
@@ -775,6 +804,7 @@ def ann_ivf_kmeans_recall(spark: SparkSession, sf: str) -> DataFrame:
         .join(hits, "query_id", "left")
         .select(
             "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
             (F.coalesce(F.col("n_hits"), F.lit(0)) > F.lit(10 * 4 / 16)).alias(
                 "beats_probe_baseline"
             ),

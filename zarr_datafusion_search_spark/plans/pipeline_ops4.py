@@ -147,9 +147,13 @@ def neighbor_chars_2hop(spark: SparkSession, sf: str) -> DataFrame:
       FROM g JOIN q USING (term) GROUP BY grp
     ),
     pt AS (
+      -- fixed-point (1e-12) per-term rounding + exact BIGINT sum mirrors
+      -- the engine's partition-order-insensitive aggregation
       SELECT g.grp,
-             sum(((cg + 0.5) / (ng + 0.5 * v))
-                 * (ln((cg + 0.5) / (ng + 0.5 * v)) - ln(qt))) AS kl_present
+             sum(CAST(round(((cg + 0.5) / (ng + 0.5 * v))
+                 * (ln((cg + 0.5) / (ng + 0.5 * v)) - ln(qt))
+                 * 1000000000000.0) AS BIGINT)) / 1000000000000.0
+               AS kl_present
       FROM g JOIN q USING (term) JOIN pg USING (grp) CROSS JOIN scal
       GROUP BY g.grp
     )

@@ -1041,10 +1041,21 @@ def dataset_card_metrics(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# oracle VALUES list derives from the SAME constant the Spark plan passes,
+# so cross-engine parity can't silently depend on two defaults staying in
+# sync (ADVICE r04 #3)
+from zarr_datafusion_search_spark.operators.packing import (  # noqa: E402
+    DEFAULT_CONTEXT_LENGTHS,
+)
+
+_CTX_VALUES = ", ".join(f"({int(l)})" for l in DEFAULT_CONTEXT_LENGTHS)
+
+
 @register(
     "padding_waste_audit",
-    oracle="""
-    WITH lens(context_length) AS (VALUES (32), (64), (128)),
+    oracle=f"""
+    WITH lens(context_length) AS (VALUES {_CTX_VALUES}),"""
+    + """
     d AS (
       SELECT len(list_filter(string_split_regex(lower(text), '\\s+'),
                              t -> len(t) > 0)) AS n_tokens
@@ -1082,4 +1093,7 @@ def padding_waste_audit(spark: SparkSession, sf: str) -> DataFrame:
         padding_waste_audit as _audit,
     )
 
-    return _audit(table(spark, sf, "documents"))
+    return _audit(
+        table(spark, sf, "documents"),
+        context_lengths=DEFAULT_CONTEXT_LENGTHS,
+    )
