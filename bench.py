@@ -80,7 +80,14 @@ HEADLINE = [
     "sessionization",
 ]
 
-#: round-2 additions, fixed membership
+#: round-2 additions, fixed membership. OFFICIAL RECORD IS AT 10x SCALE
+#: (VERDICT r04 ask #6): every member is sub-second on both engines at
+#: sf0.1, so the sf0.1 section ratio measured Spark's fixed per-query job
+#: cost, not throughput (6.53x raw there vs 0.95x for the same workloads
+#: at 10x). The section now runs against the deterministic 10x scale-up
+#: of the pipeline tables (bench_scale.build_scale_dir — same paired
+#: warmup+median protocol), where per-query work dominates the constant;
+#: sf0.1 history lives in BENCH_r04 and earlier.
 EXTENDED = [
     "text_bm25_search",
     "decontaminate_against_eval",
@@ -204,7 +211,9 @@ def _sf_from_dir(d: str) -> float:
 DUCK_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_DUCK_TIMEOUT", "30"))
 
 
-def _duckdb_times(registry, names: list[str], runs: int) -> tuple[dict, list]:
+def _duckdb_times(
+    registry, names: list[str], runs: int, data_dir: str
+) -> tuple[dict, list]:
     """Median DuckDB wall-clock per oracle (1 warmup + median of ``runs``)
     over views on the SAME parquet files. Each oracle is timed as
     ``SELECT count(*) FROM (<oracle>)`` — the exact symmetric of the Spark
@@ -217,7 +226,9 @@ def _duckdb_times(registry, names: list[str], runs: int) -> tuple[dict, list]:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{data_dir}/{t}.parquet'"
+        )
     times_by_query: dict[str, float] = {}
     skipped: list[str] = []
     for name in names:
@@ -333,14 +344,16 @@ def _measure_fixed_cost(spark) -> float:
     return round(statistics.median(times), 4)
 
 
-def _time_section(spark, registry, section_names, runs: int) -> dict:
+def _time_section(
+    spark, registry, section_names, runs: int, data_dir: str
+) -> dict:
     out: dict[str, float] = {}
     for name in (n for n in section_names if n in registry):
         spec = registry[name]
         times = []
         for i in range(runs + 1):
             t0 = time.perf_counter()
-            spec.spark(spark, SF_DIR).count()
+            spec.spark(spark, data_dir).count()
             dt = time.perf_counter() - t0
             if i > 0:
                 times.append(dt)
@@ -382,19 +395,27 @@ def main() -> None:
         n for n in registry if n not in fixed and n not in EXCLUDED
     )
 
+    # the extended (r2) section's official record is the 10x scale-up —
+    # sub-second-on-both-engines members measure the fixed job constant at
+    # sf0.1, not throughput (VERDICT r04 ask #6). Same deterministic
+    # semantics-preserving builder the scale-trend harness uses.
+    from bench_scale import SCALE_DIR, build_scale_dir
+
+    build_scale_dir()
+
     sections = {
-        "headline": (HEADLINE, RUNS),
-        "extended": (EXTENDED, RUNS),
-        "extended_r3": (EXTENDED_R3, RUNS),
-        "extended_r4": (EXTENDED_R4, RUNS),
-        "coverage": (coverage_names, 1),
+        "headline": (HEADLINE, RUNS, SF_DIR),
+        "extended": (EXTENDED, RUNS, SCALE_DIR),
+        "extended_r3": (EXTENDED_R3, RUNS, SF_DIR),
+        "extended_r4": (EXTENDED_R4, RUNS, SF_DIR),
+        "coverage": (coverage_names, 1, SF_DIR),
     }
 
     fixed_cost_s = _measure_fixed_cost(spark)
 
     spark_times: dict[str, dict] = {}
-    for sec, (names, runs) in sections.items():
-        spark_times[sec] = _time_section(spark, registry, names, runs)
+    for sec, (names, runs, data_dir) in sections.items():
+        spark_times[sec] = _time_section(spark, registry, names, runs, data_dir)
         release_operator_caches()
 
     zarr_micro = _zarr_scan_bench(spark)
@@ -404,9 +425,9 @@ def main() -> None:
     # contends with executors
     duck_times: dict[str, dict] = {}
     duck_skipped: list[str] = []
-    for sec, (names, runs) in sections.items():
+    for sec, (names, runs, data_dir) in sections.items():
         dt, sk = _duckdb_times(
-            registry, [n for n in names if n in registry], runs
+            registry, [n for n in names if n in registry], runs, data_dir
         )
         duck_times[sec] = dt
         duck_skipped.extend(sk)
@@ -438,6 +459,13 @@ def main() -> None:
             "ratio_net_of_fixed_cost": net,
             "slowest3_spark": _worst(st),
             "runs_per_query": sections[sec][1],
+            "data": (
+                "10x pipeline scale-up (bench_scale.build_scale_dir; "
+                "VERDICT r04 ask #6 — official record at throughput-"
+                "dominant scale)"
+                if sections[sec][2] != SF_DIR
+                else SF_DIR
+            ),
         }
 
     headline_total = round(sum(spark_times["headline"].values()), 4)
@@ -475,6 +503,7 @@ def main() -> None:
         "unit": "sec",
         "queries": spark_times["headline"],
         "sections": summary_sections,
+        "extended_data": "10x",
         "fixed_cost_s": fixed_cost_s,
         "duckdb_skipped": sorted(set(duck_skipped)),
         "n_excluded": len(EXCLUDED),
