@@ -10,11 +10,12 @@ Two decode paths per operator:
 - ``fake=True``: a deterministic byte-level stand-in with the production
   schema/batch shape — what the DuckDB oracle replays bit-for-bit;
 - ``fake=False`` (default): REAL decode for the formats the container can
-  handle without codec libraries (``functions.media_codecs``): 24-bit BMP
-  and binary PPM images, 16-bit PCM WAV audio, and ``video/ppm-stream``
-  (concatenated self-describing PPM frames) as the video container. Formats
-  that genuinely require ffmpeg/PIL (mp4, png, jpeg) raise
-  ``NotImplementedError`` naming the supported set.
+  handle without codec libraries (``functions.media_codecs``): 24-bit BMP,
+  PNG (stdlib zlib), baseline JPEG (``functions.jpeg``), and binary PPM
+  images, 16-bit PCM WAV audio, and ``video/ppm-stream`` (concatenated
+  self-describing PPM frames) as the video container. Formats that
+  genuinely require ffmpeg (mp4) raise ``NotImplementedError`` naming the
+  supported set.
 """
 
 from __future__ import annotations
@@ -82,7 +83,7 @@ def _decoded_payload_bytes(payload: bytes, fmt: str) -> bytes:
         return b"".join(f.tobytes() for f in decode_ppm_stream(payload))
     raise NotImplementedError(
         f"real decode of {fmt!r} needs codec libraries not in this "
-        "environment; supported: image/bmp, image/png, "
+        "environment; supported: image/bmp, image/png, image/jpeg, "
         "image/x-portable-pixmap, audio/wav, video/ppm-stream (or pass "
         "fake=True for the byte-level stand-in)"
     )
@@ -158,6 +159,59 @@ def attach_synthetic_images(
             fmt_col.alias("format"),
             (F.col(id_col) % 8 + 1).cast("int").alias("width"),
             (F.col(id_col) % 6 + 1).cast("int").alias("height"),
+        ).alias("media_meta"),
+    )
+
+
+def attach_synthetic_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach REAL baseline-JPEG bytes (``functions.jpeg``) with per-row
+    codec-path variation: subsampling alternates 4:4:4 / 4:2:0 by id
+    parity, restart interval cycles ``id % 3`` (0 = none), sizes
+    ``w = id % 12 + 4``, ``h = id % 10 + 4`` span multiple MCUs.
+
+    Pixels are FLAT per channel — ``pixel[:, :, c] = (id*31 + 97*c) % 256``
+    — because a constant block survives quality-100 JPEG EXACTLY (the DCT
+    concentrates it in the DC coefficient, quantizer step 1, total
+    reconstruction error < 0.5 before the final round; verified over the
+    whole fixture grid in tests). That keeps the decoded content in closed
+    form so the DuckDB oracle can verify the REAL lossy-codec path
+    bit-for-bit, while gradients (where JPEG is genuinely lossy) are
+    covered by tolerance round-trip unit tests."""
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from zarr_datafusion_search_spark.functions.jpeg import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = i % 12 + 4, i % 10 + 4
+                img = np.zeros((h, w, 3), np.uint8)
+                for c in range(3):
+                    img[:, :, c] = (i * 31 + 97 * c) % 256
+                payloads.append(
+                    encode_jpeg(
+                        img,
+                        quality=100,
+                        subsampling="4:2:0" if i % 2 else "4:4:4",
+                        restart_interval=i % 3,
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "media_bytes": payloads})
+
+    gen = ensure_scan_parallelism(df.select(id_col)).mapInPandas(
+        _gen, f"{id_col} long, media_bytes binary"
+    )
+    return gen.select(
+        id_col,
+        "media_bytes",
+        F.struct(
+            F.lit("image/jpeg").alias("format"),
+            (F.col(id_col) % 12 + 4).cast("int").alias("width"),
+            (F.col(id_col) % 10 + 4).cast("int").alias("height"),
         ).alias("media_meta"),
     )
 

@@ -1628,6 +1628,37 @@ def multimodal_real_image_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "multimodal_real_jpeg_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 12 + 4 AS w, doc_id % 10 + 4 AS h
+      FROM documents
+    ),
+    ch AS (SELECT doc_id, w, h, unnest(range(0, 3)) AS c FROM d)
+    SELECT doc_id,
+           'image/jpeg' AS media_format,
+           CAST(w * h * 3 AS BIGINT) AS n_bytes,
+           CAST((doc_id * 31) % 256 AS INTEGER) AS first_byte,
+           CAST((w * h * SUM((doc_id * 31 + 97 * c) % 256)) % 2147483648
+                AS BIGINT) AS byte_checksum
+    FROM ch GROUP BY doc_id, w, h
+    """,
+    doc="REAL baseline-JPEG decode (functions/jpeg.py: Annex K Huffman + "
+    "DCT + zigzag + byte unstuffing, grayscale/4:4:4/4:2:0, restart "
+    "markers — subsampling and restart interval vary per row): flat "
+    "per-channel pixels survive quality-100 JPEG exactly (DC-only "
+    "blocks, quantizer step 1), so the oracle predicts the decoded "
+    "content in closed form while every byte still travels through the "
+    "real entropy-coded wire format. Lossy-gradient fidelity is covered "
+    "by tolerance round-trip unit tests.",
+)
+def multimodal_real_jpeg_features(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    media = multimodal.attach_synthetic_jpeg(docs)
+    return multimodal.extract_media_features(media, fake=False)
+
+
+@register(
     "multimodal_real_wav_features",
     oracle="""
     WITH d AS (
