@@ -46,12 +46,15 @@ def test_codec_failures_are_loud():
     with pytest.raises(ValueError, match="truncated"):
         arr = np.zeros((2, 2, 3), np.uint8)
         mc.decode_ppm_stream(mc.encode_ppm_stream([arr])[:-1])
-    # PNG decode is real since round 4: a truncated signature-only payload
-    # must fail the chunk walk loudly, and still-gated formats name the set
+    # PNG decode is real since round 4, JPEG since round 5: truncated
+    # signature-only payloads must fail their chunk/marker walks loudly
     with pytest.raises(ValueError, match="PNG"):
         mc.decode_image(b"\x89PNG", "image/png")
-    with pytest.raises(NotImplementedError, match="image/jpeg"):
+    with pytest.raises(ValueError, match="JPEG"):
         mc.decode_image(b"\xff\xd8", "image/jpeg")
+    # formats that genuinely need ffmpeg stay gated, naming the set
+    with pytest.raises(NotImplementedError, match="image/bmp"):
+        mc.decode_image(b"\x00", "image/tiff")
 
 
 def test_real_decode_gates_name_supported_formats(spark):

@@ -862,3 +862,37 @@ def cross_source_duplication_matrix(
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def chunk_dedup_stats(
+    docs: DataFrame, window: int = 32, stride: int = 24
+) -> DataFrame:
+    """Chunk-level duplication audit over the overlapping token windows of
+    :func:`~zarr_datafusion_search_spark.operators.text.chunk_windows` —
+    the measurement that motivates deduplicating a RAG index or packed
+    pretraining shards at CHUNK granularity: boilerplate windows repeat
+    across documents whose full texts are not near-duplicates, so
+    document-level dedup never sees them.
+
+    Chunks are keyed by the engine-portable 60-bit hash of their text
+    (uniform keys — no skew at any scale); one shuffle on the hash, then a
+    one-row summary. The chunker itself is a narrow no-shuffle transform,
+    so the whole audit is a single exchange over (hash, count) partials.
+    """
+    from zarr_datafusion_search_spark.operators.text import chunk_windows
+
+    chunks = chunk_windows(docs, window=window, stride=stride)
+    per_hash = chunks.select(h64("chunk_text").alias("chunk_hash")).groupBy(
+        "chunk_hash"
+    ).agg(F.count(F.lit(1)).alias("n_copies"))
+    return per_hash.agg(
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.sum("n_copies").alias("n_chunks"),
+        F.sum((F.col("n_copies") > 1).cast("long")).alias("n_duplicated"),
+        F.max("n_copies").alias("max_copies"),
+        F.round(
+            F.sum(F.when(F.col("n_copies") > 1, F.col("n_copies")).otherwise(0))
+            / F.sum("n_copies"),
+            6,
+        ).alias("dup_chunk_fraction"),
+    )

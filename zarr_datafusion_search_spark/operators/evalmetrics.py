@@ -191,3 +191,45 @@ def kfold_assignment_counts(
             "stratum_share"
         ),
     )
+
+
+def mixture_temperature_weights(
+    df: DataFrame, group_col: str, alpha: float = 0.7
+) -> DataFrame:
+    """Temperature-based multinomial sampling weights over sources:
+    ``w_s = p_s^alpha / sum_t p_t^alpha`` with ``p_s = n_s / N`` — the
+    standard alpha-smoothing (mBERT/XLM-R style) that up-samples small
+    sources and down-samples dominant ones; ``alpha = 1`` is proportional,
+    ``alpha = 0`` uniform. Also reports ``sampling_factor = w_s / p_s``,
+    the effective epoch multiplier each source sees under the mix.
+
+    One group-by shuffle; the |groups|-row weight table folds its two
+    normalizers in via broadcast cross joins. The ``p^alpha`` denominator
+    is summed in fixed 1e-12 precision as an exact long (partition-order-
+    insensitive — the same device as source_term_kl's contrib sum), so
+    the 6dp-rounded weights cannot flip on a summation-order boundary.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("_n"))
+    with_p = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        (F.col("n_docs") / F.col("_n")).alias("_p"),
+    )
+    pow_fp = F.round(F.pow("_p", F.lit(alpha)) * 1e12, 0).cast("long")
+    denom = with_p.agg(F.sum(pow_fp).alias("_dfp"))
+    return (
+        with_p.crossJoin(F.broadcast(denom))
+        .select(
+            group_col,
+            "n_docs",
+            F.round("_p", 6).alias("share"),
+            F.round(
+                F.pow("_p", F.lit(alpha)) * 1e12 / F.col("_dfp"), 6
+            ).alias("weight"),
+            F.round(
+                F.pow("_p", F.lit(alpha)) * 1e12 / F.col("_dfp") / F.col("_p"),
+                6,
+            ).alias("sampling_factor"),
+        )
+    )

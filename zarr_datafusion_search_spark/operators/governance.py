@@ -160,3 +160,55 @@ def temporal_split_embargo(
             F.sum((ts < emb_lo).cast("long")) / F.count(F.lit(1)), 6
         ).alias("train_frac"),
     )
+
+
+#: PII patterns shared by the scan and its oracle — simple enough to behave
+#: identically under Java regex (Spark) and RE2 (DuckDB): no lookaround, no
+#: backreferences, plain classes and bounded repetition only.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "phone": r"\+\d{1,3}[ -]\d{3}[ -]\d{3,4}",
+}
+
+#: redaction order matters (the ipv4 pattern could bite into an already-
+#: redacted string otherwise) and must match the oracle exactly
+PII_REDACTION_ORDER = ("email", "ipv4", "phone")
+
+
+def pii_scan(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-document PII audit + redaction fingerprint: counts of email /
+    IPv4 / phone matches, a ``has_pii`` flag, and the 60-bit hash of the
+    redacted text (each match class replaced by its ``<CLASS>`` marker in
+    a fixed order). The release gate a training corpus passes before
+    export; emitting the HASH of the redacted text rather than the text
+    itself keeps row-level content on the executors while still letting
+    the oracle verify the exact redaction output.
+
+    Pure per-row JVM regex work (``regexp_count`` / ``regexp_replace``)
+    — no shuffle at all; scales with the scan.
+    """
+    from zarr_datafusion_search_spark.functions.hashing import h64
+
+    t = F.col(text_col)
+    red = t
+    for name in PII_REDACTION_ORDER:
+        red = F.regexp_replace(red, PII_PATTERNS[name], f"<{name.upper()}>")
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+    return docs.select(
+        F.col(id_col),
+        counts["email"].alias("n_emails"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phones"),
+        (counts["email"] + counts["ipv4"] + counts["phone"] > 0).alias(
+            "has_pii"
+        ),
+        h64(red).alias("redacted_hash"),
+    )

@@ -130,6 +130,7 @@ def load_all() -> dict[str, QuerySpec]:
     import zarr_datafusion_search_spark.plans.pipeline_ops3  # noqa: F401
     import zarr_datafusion_search_spark.plans.pipeline_ops4  # noqa: F401
     import zarr_datafusion_search_spark.plans.pipeline_ops5  # noqa: F401
+    import zarr_datafusion_search_spark.plans.pipeline_ops6  # noqa: F401
     import zarr_datafusion_search_spark.plans.curation  # noqa: F401
     import zarr_datafusion_search_spark.plans.zarr_queries  # noqa: F401
 
