@@ -334,13 +334,20 @@ def _zarr_scan_bench(spark) -> dict:
 def _measure_fixed_cost(spark) -> float:
     """Median wall-clock of a trivial Spark job — the per-query constant
     (planning + job scheduling + task launch) every bench query pays on
-    top of its actual work."""
+    top of its actual work.
+
+    Measured AFTER a short JIT warm-up burst: on a fresh session the
+    first dozen jobs include interpreter/codegen compilation that real
+    bench queries (each preceded by their own warmup run) never pay, and
+    the resulting constant swung 0.16-0.34 s between same-day runs,
+    moving every section's ratio_net. 10 warm jobs + median of 10."""
+    for _ in range(10):
+        spark.range(8).count()
     times = []
-    for i in range(6):
+    for _ in range(10):
         t0 = time.perf_counter()
         spark.range(8).count()
-        if i > 0:
-            times.append(time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
     return round(statistics.median(times), 4)
 
 
