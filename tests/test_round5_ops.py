@@ -72,3 +72,42 @@ def test_temperature_weights_limits(spark):
     w = {r.src: r for r in mixture_temperature_weights(df, "src", 0.7).collect()}
     assert w["small"].sampling_factor > 1.0 > w["big"].sampling_factor
     assert abs(w["small"].weight + w["big"].weight - 1.0) < 2e-6
+
+
+def test_label_consistency_audit(spark):
+    from zarr_datafusion_search_spark.operators.text import (
+        label_consistency_audit,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is of and", "en"),      # en evidence, en label
+            (2, "the cat is of and", "de"),      # en evidence, de label
+            (3, "der hund ist und das", "de"),   # de evidence, de label
+            (4, "some words here", "zh"),        # unsupported label
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.doc_id: r for r in label_consistency_audit(df).collect()}
+    assert got[1].is_consistent is True and got[1].own_score == 4
+    assert got[2].is_consistent is False
+    assert got[2].best_other_lang == "en" and got[2].best_other_score == 4
+    assert got[3].is_consistent is True
+    assert got[4].label_supported is False
+    assert got[4].is_consistent is None and got[4].own_score is None
+
+
+def test_length_percentile_trim(spark):
+    from zarr_datafusion_search_spark.operators.text import (
+        length_percentile_trim,
+    )
+
+    # lengths 1..100 in one group: p5 = 5.95, p95 = 95.05 (interpolated);
+    # 5 docs fall below, 5 above, keep rate 0.9
+    rows = [("s", i, i) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    r = length_percentile_trim(df).collect()[0]
+    assert r.n_docs == 100
+    assert abs(r.p_lo - 5.95) < 1e-9 and abs(r.p_hi - 95.05) < 1e-9
+    assert r.n_below == 5 and r.n_above == 5
+    assert abs(r.keep_rate - 0.9) < 1e-9

@@ -1486,3 +1486,113 @@ def source_vocab_similarity(
             ),
         )
     )
+
+
+def label_consistency_audit(
+    docs: DataFrame, id_col: str = "doc_id", lang_col: str = "lang"
+) -> DataFrame:
+    """Audit each document's LABELED language against the marker-token
+    evidence in its text — the mislabel detector a multilingual corpus
+    runs before trusting provenance metadata (wrong labels poison both
+    mixing ratios and tokenizer training).
+
+    Per doc: the marker count for its own label, the best-scoring OTHER
+    language and its count, and ``is_consistent`` = own >= best other.
+    Labels outside the marker set (e.g. ``zh`` with a Latin-marker table)
+    get ``label_supported = false`` and NULL consistency — reported, not
+    silently dropped. Pure per-row array expressions over one scan: no
+    shuffle, scales with the corpus like :func:`language_id`.
+    """
+    langs = list(LANG_MARKERS)
+    scored = docs.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang"),
+        *[_marker_score(lang).alias(f"s_{lang}") for lang in langs],
+    )
+    own = F.lit(None).cast("int")
+    for lang in langs:
+        own = F.when(F.col("lang") == lang, F.col(f"s_{lang}")).otherwise(own)
+    # best other: CASE-chain argmax excluding the labeled language, first
+    # lang in priority order wins ties (same convention as language_id)
+    best_name, best_score = F.lit(None).cast("string"), F.lit(None).cast("int")
+    for lang in reversed(langs):
+        is_best = F.col("lang") != lang
+        for other in langs:
+            if other == lang:
+                continue
+            cmp_strict = langs.index(other) < langs.index(lang)
+            other_s = F.when(F.col("lang") == other, F.lit(-1)).otherwise(
+                F.col(f"s_{other}")
+            )
+            is_best = is_best & (
+                F.col(f"s_{lang}") > other_s
+                if cmp_strict
+                else F.col(f"s_{lang}") >= other_s
+            )
+        best_name = F.when(is_best, F.lit(lang)).otherwise(best_name)
+        best_score = F.when(is_best, F.col(f"s_{lang}")).otherwise(best_score)
+    return scored.select(
+        id_col,
+        "lang",
+        F.col("lang").isin(langs).alias("label_supported"),
+        F.when(F.col("lang").isin(langs), own).alias("own_score"),
+        best_name.alias("best_other_lang"),
+        best_score.alias("best_other_score"),
+        F.when(F.col("lang").isin(langs), own >= best_score).alias(
+            "is_consistent"
+        ),
+    )
+
+
+def length_percentile_trim(
+    docs: DataFrame,
+    group_col: str = "source",
+    length_col: str = "n_chars",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group length-percentile trimming report: each group's exact
+    interpolated [lo, hi] length quantiles and how many documents a trim
+    to that band would drop on each side — the outlier gate (truncated
+    fragments below, concatenation accidents above) a corpus applies per
+    SOURCE, because a 90th-percentile book chapter and a 90th-percentile
+    tweet are different lengths.
+
+    One group-by shuffle computes the exact percentiles (groups-sized
+    relation, broadcast back), one more counts the trim decisions — the
+    corpus itself never reshuffles. Percentiles are Spark's exact
+    interpolated ``percentile``, which DuckDB's ``quantile_cont``
+    reproduces bit-for-bit (the established ``percentiles`` parity).
+    """
+    bounds = docs.groupBy(group_col).agg(
+        F.expr(f"percentile({length_col}, {lo})").alias("_plo"),
+        F.expr(f"percentile({length_col}, {hi})").alias("_phi"),
+    )
+    joined = docs.join(F.broadcast(bounds), group_col)
+    return (
+        joined.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.first("_plo"), 6).alias("p_lo"),
+            F.round(F.first("_phi"), 6).alias("p_hi"),
+            F.sum((F.col(length_col) < F.col("_plo")).cast("long")).alias(
+                "n_below"
+            ),
+            F.sum((F.col(length_col) > F.col("_phi")).cast("long")).alias(
+                "n_above"
+            ),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "p_lo",
+            "p_hi",
+            "n_below",
+            "n_above",
+            F.round(
+                (F.col("n_docs") - F.col("n_below") - F.col("n_above"))
+                / F.col("n_docs"),
+                6,
+            ).alias("keep_rate"),
+        )
+    )

@@ -159,3 +159,126 @@ def mixture_temperature_weights_q(spark: SparkSession, sf: str) -> DataFrame:
     return mixture_temperature_weights(
         table(spark, sf, "documents"), "source", alpha=0.7
     )
+
+
+# ---------------------------------------------------------------------------
+# label consistency + length trimming
+# ---------------------------------------------------------------------------
+
+from zarr_datafusion_search_spark.operators.text import LANG_MARKERS  # noqa: E402
+
+_LANGS = list(LANG_MARKERS)
+
+
+def _duck_lang_score(lang: str) -> str:
+    lits = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter(t, x -> list_contains([{lits}], x)))"
+
+
+_LC_SCORES = ",\n             ".join(
+    f"{_duck_lang_score(lang)} AS s_{lang}" for lang in _LANGS
+)
+_LC_OWN = (
+    "CASE d.lang "
+    + " ".join(f"WHEN '{lang}' THEN s_{lang}" for lang in _LANGS)
+    + " ELSE NULL END"
+)
+_LC_CAND_SCORE = (
+    "CASE c.clang "
+    + " ".join(f"WHEN '{lang}' THEN s_{lang}" for lang in _LANGS)
+    + " END"
+)
+_LC_VALUES = ", ".join(f"('{lang}', {i})" for i, lang in enumerate(_LANGS))
+_LC_IN = ", ".join(f"'{lang}'" for lang in _LANGS)
+
+
+@register(
+    "label_consistency_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> len(x) > 0) AS t
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             {_LC_SCORES}
+      FROM toks
+    ),
+    cands AS (
+      SELECT s.doc_id, c.clang, c.pri, {_LC_CAND_SCORE} AS cscore
+      FROM s CROSS JOIN (VALUES {_LC_VALUES}) AS c(clang, pri)
+      WHERE c.clang <> s.lang
+    ),
+    best AS (
+      SELECT doc_id, clang, cscore,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cscore DESC, pri) AS rn
+      FROM cands
+    )
+    SELECT d.doc_id, d.lang,
+           d.lang IN ({_LC_IN}) AS label_supported,
+           CASE WHEN d.lang IN ({_LC_IN}) THEN {_LC_OWN} END AS own_score,
+           b.clang AS best_other_lang,
+           b.cscore AS best_other_score,
+           CASE WHEN d.lang IN ({_LC_IN})
+                THEN {_LC_OWN} >= b.cscore END AS is_consistent
+    FROM s d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+    """,
+    doc="Label-vs-evidence language consistency audit "
+    "(operators/text.py:label_consistency_audit): each document's LABELED "
+    "language scored against the marker evidence in its text — the "
+    "mislabel detector a multilingual corpus runs before trusting "
+    "provenance metadata. Labels outside the marker table (zh here) are "
+    "reported with label_supported = false and NULL consistency, not "
+    "silently dropped. Pure per-row array expressions, no shuffle; the "
+    "oracle replays the identical argmax-with-priority tie-break.",
+)
+def label_consistency_audit_q(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.text import (
+        label_consistency_audit,
+    )
+
+    return label_consistency_audit(table(spark, sf, "documents"))
+
+
+@register(
+    "length_percentile_trim",
+    oracle="""
+    WITH b AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.05) AS plo,
+             quantile_cont(n_chars, 0.95) AS phi
+      FROM documents GROUP BY 1
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           round(any_value(b.plo), 6) AS p_lo,
+           round(any_value(b.phi), 6) AS p_hi,
+           CAST(sum(CASE WHEN d.n_chars < b.plo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(sum(CASE WHEN d.n_chars > b.phi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above,
+           round((count(*)
+                  - sum(CASE WHEN d.n_chars < b.plo THEN 1 ELSE 0 END)
+                  - sum(CASE WHEN d.n_chars > b.phi THEN 1 ELSE 0 END))
+                 * 1.0 / count(*), 6) AS keep_rate
+    FROM documents d JOIN b USING (source)
+    GROUP BY d.source
+    """,
+    doc="Per-source length-percentile trimming report "
+    "(operators/text.py:length_percentile_trim): each source's exact "
+    "interpolated [p5, p95] length band and how many documents a trim "
+    "would drop on each side — the per-source outlier gate (truncated "
+    "fragments below, concatenation accidents above). Two group-sized "
+    "shuffles + a broadcast bounds join; the corpus never reshuffles. "
+    "Spark's exact percentile() and DuckDB's quantile_cont agree "
+    "bit-for-bit (established by the percentiles parity query).",
+)
+def length_percentile_trim_q(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.text import (
+        length_percentile_trim,
+    )
+
+    return length_percentile_trim(table(spark, sf, "documents"))
