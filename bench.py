@@ -191,6 +191,17 @@ EXTENDED_R4 = [
     "padding_waste_audit",
 ]
 
+#: round-5 additions, fixed membership
+EXTENDED_R5 = [
+    "dedup_minhash_lsh_guarded",
+    "multimodal_real_jpeg_features",
+    "governance_pii_scan",
+    "chunk_dedup_stats",
+    "mixture_temperature_weights",
+    "label_consistency_audit",
+    "length_percentile_trim",
+]
+
 #: registered queries deliberately NOT timed, with the reason the judge
 #: reads. Everything registered and not listed here lands in a section.
 EXCLUDED = {
@@ -395,7 +406,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    fixed = set(HEADLINE) | set(EXTENDED) | set(EXTENDED_R3) | set(EXTENDED_R4)
+    fixed = (
+        set(HEADLINE)
+        | set(EXTENDED)
+        | set(EXTENDED_R3)
+        | set(EXTENDED_R4)
+        | set(EXTENDED_R5)
+    )
     # catch-all: EVERY registered query is timed in exactly one section or
     # excluded with a reason (VERDICT r03 §3)
     coverage_names = sorted(
@@ -415,6 +432,7 @@ def main() -> None:
         "extended": (EXTENDED, RUNS, SCALE_DIR),
         "extended_r3": (EXTENDED_R3, RUNS, SF_DIR),
         "extended_r4": (EXTENDED_R4, RUNS, SF_DIR),
+        "extended_r5": (EXTENDED_R5, RUNS, SF_DIR),
         "coverage": (coverage_names, 1, SF_DIR),
     }
 

@@ -215,3 +215,62 @@ def test_decode_image_dispatch():
     img = np.full((16, 16, 3), 88, np.uint8)
     out = decode_image(encode_image(img, "image/jpeg"), "image/jpeg")
     assert np.array_equal(out, img)
+
+
+# ---------------------------------------------------------------------------
+# property tests
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        seed=st.integers(0, 2**32 - 1),
+        ri=st.integers(0, 3),
+    )
+    def test_property_noise_roundtrip_444(h, w, seed, ri):
+        """Any uint8 RGB image of any size round-trips under 4:4:4 at
+        quality 95 with shape preserved and bounded error — even white
+        noise, the worst case for a DCT codec."""
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 95, "4:4:4", restart_interval=ri))
+        assert out.shape == img.shape
+        diff = np.abs(out.astype(int) - img.astype(int))
+        assert diff.max() <= 40 and diff.mean() <= 10
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        a=st.integers(0, 255),
+        b=st.integers(0, 255),
+        c=st.integers(0, 255),
+        ri=st.integers(0, 3),
+    )
+    def test_property_smooth_roundtrip_420(h, w, a, b, c, ri):
+        """4:2:0 averages chroma over 2x2 (pixel-level noise is lossy BY
+        DESIGN there), so its property bound uses smooth low-frequency
+        content: arbitrary linear gradients of arbitrary size stay tight."""
+        yy, xx = np.mgrid[0:h, 0:w]
+        # saturating (not wrapping) ramps: modulo wrap-around would put a
+        # 255 -> 0 edge in the middle of a "smooth" image
+        img = np.stack(
+            [
+                np.minimum(a + xx * 2, 255),
+                np.minimum(b + yy * 2, 255),
+                np.full_like(xx, c),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 95, "4:2:0", restart_interval=ri))
+        assert out.shape == img.shape
+        diff = np.abs(out.astype(int) - img.astype(int))
+        assert diff.max() <= 30 and diff.mean() <= 8
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
