@@ -422,9 +422,15 @@ def main() -> None:
     # the extended (r2) section's official record is the 10x scale-up —
     # sub-second-on-both-engines members measure the fixed job constant at
     # sf0.1, not throughput (VERDICT r04 ask #6). Same deterministic
-    # semantics-preserving builder the scale-trend harness uses.
-    from bench_scale import SCALE_DIR, build_scale_dir
+    # semantics-preserving builder the scale-trend harness uses. The label
+    # derives from bench_scale.SCALE_K so an exported SPARK_GRAFT_SCALE_K
+    # can never make the record misstate its own measurement scale.
+    from bench_scale import SCALE_DIR, SCALE_K, build_scale_dir
 
+    scale_label = (
+        f"{SCALE_K}x pipeline scale-up (bench_scale.build_scale_dir; "
+        "VERDICT r04 ask #6 — official record at throughput-dominant scale)"
+    )
     build_scale_dir()
 
     sections = {
@@ -484,13 +490,7 @@ def main() -> None:
             "ratio_net_of_fixed_cost": net,
             "slowest3_spark": _worst(st),
             "runs_per_query": sections[sec][1],
-            "data": (
-                "10x pipeline scale-up (bench_scale.build_scale_dir; "
-                "VERDICT r04 ask #6 — official record at throughput-"
-                "dominant scale)"
-                if sections[sec][2] != SF_DIR
-                else SF_DIR
-            ),
+            "data": scale_label if sections[sec][2] != SF_DIR else SF_DIR,
         }
 
     headline_total = round(sum(spark_times["headline"].values()), 4)
@@ -528,7 +528,7 @@ def main() -> None:
         "unit": "sec",
         "queries": spark_times["headline"],
         "sections": summary_sections,
-        "extended_data": "10x",
+        "extended_data": f"{SCALE_K}x",
         "fixed_cost_s": fixed_cost_s,
         "duckdb_skipped": sorted(set(duck_skipped)),
         "n_excluded": len(EXCLUDED),

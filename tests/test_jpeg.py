@@ -274,3 +274,33 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_multi_scan_gated_loudly():
+    """A baseline file whose first SOS covers fewer components than the
+    SOF must raise (decoding only the Y scan would silently return
+    color-shifted pixels) — simulate by patching the SOS component count
+    of a real 3-component file down to 1."""
+    b = bytearray(encode_jpeg(_gradient(16, 16), 90))
+    sos = b.index(b"\xff\xda")
+    assert b[sos + 4] == 3  # ns
+    # rewrite the SOS payload: 1 component (Y), keep its 2-byte entry,
+    # then the 3 spectral bytes follow immediately
+    ns_off = sos + 4
+    comp1 = bytes(b[ns_off + 1 : ns_off + 3])
+    spectral = bytes(b[ns_off + 7 : ns_off + 10])
+    new_payload = bytes([1]) + comp1 + spectral
+    b[sos + 2 : sos + 4] = (len(new_payload) + 2).to_bytes(2, "big")
+    b[ns_off : ns_off + 10] = new_payload
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(bytes(b))
+
+
+def test_truncated_entropy_stream_raises_valueerror():
+    """A payload cut mid-scan must fail with ValueError (the loud-failure
+    contract), never a bare IndexError."""
+    b = encode_jpeg(_gradient(32, 32), 90)
+    sos = b.index(b"\xff\xda")
+    for cut in (sos + 20, len(b) - 40):
+        with pytest.raises(ValueError):
+            decode_jpeg(b[:cut])

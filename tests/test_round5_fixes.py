@@ -89,3 +89,30 @@ def test_minhash_guard_trims_pairs(spark, sf_dir):
     assert len(guarded) > 0
     for k, v in guarded.items():
         assert unguarded[k] == v
+
+
+def test_explicit_width_idempotent(spark, sf_dir):
+    """f(f(df)) == f(df): a frame already round-robined to the requested
+    width must come back without another exchange, even though its SOURCE
+    is still a single-row-group parquet file (ADVICE r04 #1 follow-up)."""
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    once = ensure_scan_parallelism(docs, width=7)
+    assert once.rdd.getNumPartitions() == 7
+    twice = ensure_scan_parallelism(once, width=7)
+    assert twice is once
+
+
+def test_distributed_rank_rejects_column_clash(spark):
+    import pytest
+    import pyspark.sql.functions as F
+    from zarr_datafusion_search_spark.operators.packing import (
+        distributed_rank,
+    )
+
+    df = spark.range(4).select(F.col("id"), F.lit(1).alias("_pid"))
+    with pytest.raises(ValueError, match="_pid"):
+        distributed_rank(df, ["id"])

@@ -111,3 +111,21 @@ def test_length_percentile_trim(spark):
     assert abs(r.p_lo - 5.95) < 1e-9 and abs(r.p_hi - 95.05) < 1e-9
     assert r.n_below == 5 and r.n_above == 5
     assert abs(r.keep_rate - 0.9) < 1e-9
+
+
+def test_label_consistency_null_label(spark):
+    """NULL labels are reported (label_supported false, NULL best-other),
+    never dropped — and the oracle replays the same convention."""
+    from zarr_datafusion_search_spark.operators.text import (
+        label_consistency_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat is", "en"), (2, "the cat is", None)],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.doc_id: r for r in label_consistency_audit(df).collect()}
+    assert got[2].label_supported is False
+    assert got[2].own_score is None and got[2].is_consistent is None
+    assert got[2].best_other_lang is None and got[2].best_other_score is None
+    assert got[1].label_supported is True

@@ -215,9 +215,13 @@ class _BitReader:
         self.nbits = 0
 
     def _next_byte(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
             m = self.data[self.pos]
             if m == 0x00:
                 self.pos += 1
@@ -243,6 +247,8 @@ class _BitReader:
     def restart(self) -> None:
         """Byte-align and consume the expected RSTn marker."""
         self.nbits = 0
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream at restart")
         if self.data[self.pos] != 0xFF or not (
             0xD0 <= self.data[self.pos + 1] <= 0xD7
         ):
@@ -561,6 +567,15 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     height, width, comps = sof
     if len(comps) not in (1, 3):
         raise ValueError(f"only 1- or 3-component JPEG supported, got {len(comps)}")
+    if len(scan_comps) != len(comps):
+        # a spec-legal baseline file MAY carry one scan per component
+        # (non-interleaved); decoding only the first scan would silently
+        # return color-shifted pixels, so gate loudly instead
+        raise ValueError(
+            f"multi-scan (non-interleaved) baseline JPEG not supported: "
+            f"first scan covers {len(scan_comps)} of {len(comps)} "
+            "components; only a single interleaved scan is handled"
+        )
     for c in comps:
         if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
             raise ValueError(

@@ -355,9 +355,22 @@ def distributed_rank(
     so the rank is deterministic. Returns ``(ranked_df, total_rows)`` —
     the total falls out of the offsets for free, so callers bucketing by
     rank (``file_id = (rank-1)*n div total``) never pay a second count.
+
+    Input columns must not collide with the helper's working columns
+    (``_pid``/``_lrank``/``out_col``) and must carry plain, DDL-printable
+    names/types (the Arrow pass rebuilds the schema from
+    ``simpleString``) — violated preconditions raise up front rather
+    than failing deep inside the exchange.
     """
     spark = df.sparkSession
     in_schema = df.schema
+    reserved = {"_pid", "_lrank", out_col}
+    clash = reserved & {f.name for f in in_schema.fields}
+    if clash:
+        raise ValueError(
+            f"distributed_rank input columns collide with working "
+            f"columns: {sorted(clash)}; rename them first"
+        )
     prepared = df.repartitionByRange(
         spark.sparkContext.defaultParallelism, *[F.col(c) for c in order_cols]
     ).sortWithinPartitions(*order_cols)

@@ -94,11 +94,22 @@ def ensure_scan_parallelism(df: DataFrame, width: int | None = None) -> DataFram
         if width <= 0:
             raise ValueError(f"width must be positive, got {width}")
         try:
-            if (
-                df.rdd.getNumPartitions() == width
-                and _effective_scan_units(df, width) >= width
-            ):
-                return df
+            if df.rdd.getNumPartitions() == width:
+                if _effective_scan_units(df, width) >= width:
+                    return df
+                # _effective_scan_units inspects SOURCE row groups, which
+                # stay constant through shuffles — if the plan already
+                # contains a row-redistributing exchange, the rows are
+                # spread regardless of the source layout and repartitioning
+                # again would add a redundant shuffle on every call
+                # (idempotency: f(f(df)) must equal f(df))
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                if (
+                    "Exchange RoundRobinPartitioning" in plan
+                    or "Exchange hashpartitioning" in plan
+                    or "Exchange rangepartitioning" in plan
+                ):
+                    return df
         except Exception as exc:  # fall through to the unconditional fix
             _log.warning(
                 "ensure_scan_parallelism width fast-path check failed "

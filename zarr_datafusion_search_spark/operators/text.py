@@ -36,7 +36,11 @@ def _marker_score(lang: str):
 def language_id(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Predict language from marker-token counts; deterministic CASE-chain
     argmax (first language in priority order wins ties); 'und' if no
-    markers matched at all."""
+    markers matched at all.
+
+    The tie-break convention here is replayed by DuckDB oracles AND
+    mirrored by :func:`label_consistency_audit`'s best-other argmax —
+    change all three together or cross-engine parity silently breaks."""
     scored = df.select(
         id_col,
         *[_marker_score(lang).alias(f"score_{lang}") for lang in LANG_MARKERS],
@@ -1499,9 +1503,13 @@ def label_consistency_audit(
     Per doc: the marker count for its own label, the best-scoring OTHER
     language and its count, and ``is_consistent`` = own >= best other.
     Labels outside the marker set (e.g. ``zh`` with a Latin-marker table)
-    get ``label_supported = false`` and NULL consistency — reported, not
-    silently dropped. Pure per-row array expressions over one scan: no
-    shuffle, scales with the corpus like :func:`language_id`.
+    and NULL labels get ``label_supported = false`` and NULL consistency
+    — reported, not silently dropped (a NULL label additionally gets NULL
+    best-other columns, since "other than nothing" is undefined; the
+    oracle replays both conventions). The argmax-with-priority tie-break
+    deliberately mirrors :func:`language_id` (the two must stay in sync —
+    both are replayed exactly by DuckDB oracles). Pure per-row array
+    expressions over one scan: no shuffle.
     """
     langs = list(LANG_MARKERS)
     scored = docs.select(
@@ -1531,16 +1539,15 @@ def label_consistency_audit(
             )
         best_name = F.when(is_best, F.lit(lang)).otherwise(best_name)
         best_score = F.when(is_best, F.col(f"s_{lang}")).otherwise(best_score)
+    supported = F.coalesce(F.col("lang").isin(langs), F.lit(False))
     return scored.select(
         id_col,
         "lang",
-        F.col("lang").isin(langs).alias("label_supported"),
-        F.when(F.col("lang").isin(langs), own).alias("own_score"),
+        supported.alias("label_supported"),
+        F.when(supported, own).alias("own_score"),
         best_name.alias("best_other_lang"),
         best_score.alias("best_other_score"),
-        F.when(F.col("lang").isin(langs), own >= best_score).alias(
-            "is_consistent"
-        ),
+        F.when(supported, own >= best_score).alias("is_consistent"),
     )
 
 

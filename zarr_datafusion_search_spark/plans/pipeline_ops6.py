@@ -207,9 +207,12 @@ _LC_IN = ", ".join(f"'{lang}'" for lang in _LANGS)
       FROM toks
     ),
     cands AS (
+      -- NULL labels produce no candidates ("other than nothing" is
+      -- undefined); the LEFT JOIN below still reports those docs with
+      -- NULL best-other columns, matching the engine
       SELECT s.doc_id, c.clang, c.pri, {_LC_CAND_SCORE} AS cscore
       FROM s CROSS JOIN (VALUES {_LC_VALUES}) AS c(clang, pri)
-      WHERE c.clang <> s.lang
+      WHERE s.lang IS NOT NULL AND c.clang <> s.lang
     ),
     best AS (
       SELECT doc_id, clang, cscore,
@@ -218,13 +221,14 @@ _LC_IN = ", ".join(f"'{lang}'" for lang in _LANGS)
       FROM cands
     )
     SELECT d.doc_id, d.lang,
-           d.lang IN ({_LC_IN}) AS label_supported,
-           CASE WHEN d.lang IN ({_LC_IN}) THEN {_LC_OWN} END AS own_score,
+           COALESCE(d.lang IN ({_LC_IN}), FALSE) AS label_supported,
+           CASE WHEN COALESCE(d.lang IN ({_LC_IN}), FALSE)
+                THEN {_LC_OWN} END AS own_score,
            b.clang AS best_other_lang,
            b.cscore AS best_other_score,
-           CASE WHEN d.lang IN ({_LC_IN})
+           CASE WHEN COALESCE(d.lang IN ({_LC_IN}), FALSE)
                 THEN {_LC_OWN} >= b.cscore END AS is_consistent
-    FROM s d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+    FROM s d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
     """,
     doc="Label-vs-evidence language consistency audit "
     "(operators/text.py:label_consistency_audit): each document's LABELED "
