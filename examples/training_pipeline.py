@@ -58,6 +58,26 @@ def main() -> None:
         .withColumnRenamed("norm_text", "text")
     )
 
+    # 0.7 provenance + release hygiene up front: does the labeled
+    #     language match the text evidence, and is there PII to redact
+    #     before anything else caches a copy of the raw text
+    print("== label consistency (mislabel rate by source) ==")
+    text.label_consistency_audit(docs).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.coalesce("is_consistent", F.lit(True))).cast("long")).alias(
+            "n_mislabeled"
+        ),
+    ).orderBy("lang").show()
+    from zarr_datafusion_search_spark.operators.governance import pii_scan
+
+    print("== PII scan (docs flagged) ==")
+    pii_scan(docs).agg(
+        F.sum(F.col("has_pii").cast("long")).alias("n_with_pii"),
+        F.sum("n_emails").alias("emails"),
+        F.sum("n_ipv4").alias("ipv4"),
+        F.sum("n_phones").alias("phones"),
+    ).show()
+
     # 1. quality gate, CALIBRATED per source: raw scores are not
     #    comparable across domains, so rank-normalize within each source
     #    and apply ONE global threshold to the calibrated score
@@ -209,6 +229,18 @@ def main() -> None:
     ).show()
     print("== language mixture reweighting (Kish ESS) ==")
     mixture_reweight_ess(train.select("lang"), "lang").orderBy("lang").show()
+    from zarr_datafusion_search_spark.operators.evalmetrics import (
+        mixture_temperature_weights,
+    )
+
+    print("== temperature (alpha=0.7) sampling weights by language ==")
+    mixture_temperature_weights(train.select("lang"), "lang").orderBy(
+        "lang"
+    ).show()
+    from zarr_datafusion_search_spark.operators.dedup import chunk_dedup_stats
+
+    print("== chunk-level duplication (RAG-index granularity) ==")
+    chunk_dedup_stats(train).show()
     print("== 3-epoch anneal to uniform ==")
     mixture_anneal_schedule(train.select("lang"), "lang", n_epochs=3).orderBy(
         "epoch", "lang"
