@@ -129,3 +129,23 @@ def test_label_consistency_null_label(spark):
     assert got[2].own_score is None and got[2].is_consistent is None
     assert got[2].best_other_lang is None and got[2].best_other_score is None
     assert got[1].label_supported is True
+
+
+def test_bpe_train_iterative_merges(spark):
+    """Real iterative BPE on a tiny corpus: round 2 must count pairs over
+    round 1's MERGED vocabulary (the 'aa' symbol exists only after merge
+    1), which one-shot pair statistics cannot produce."""
+    from zarr_datafusion_search_spark.operators.text import bpe_train
+
+    # 'aaab' x3, 'ab' x2: pairs (a,a)=6, (a,b)=5 -> merge1 = a+a
+    # after merge: ['aa','a','b'] x3, ['a','b'] x2 -> (aa,a)=3, (a,b)=5
+    # -> merge2 = a+b; after: ['aa','a','b']? no — greedy: 'aa','a','b'
+    # has (a,b) at the tail -> ['aa','ab'] x3, ['ab'] x2
+    # -> merge3 = aa+ab (count 3)
+    rows = [(i, "aaab aaab aaab ab ab") for i in range(1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_train(df, n_merges=3).orderBy("merge_rank").collect()
+    ]
+    assert got == [(1, "a", "a", 6), (2, "a", "b", 5), (3, "aa", "ab", 3)]

@@ -1603,3 +1603,93 @@ def length_percentile_trim(
             ).alias("keep_rate"),
         )
     )
+
+
+def _bpe_merge_fold(sym_col, a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) symbol pairs within
+    one symbol array — the per-word BPE merge step as a JVM array fold
+    (a freshly merged symbol never re-matches as the left side, the
+    standard greedy convention)."""
+    merged = a + b
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Multi-iteration BPE tokenizer training: the ranked merge-rule table
+    ``(merge_rank, lhs, rhs, pair_count)`` for the ``n_merges`` most
+    frequent adjacent symbol pairs, each iteration re-counting over the
+    PREVIOUS iteration's merged vocabulary (this is what distinguishes
+    real BPE training from the single-iteration candidate statistics of
+    :func:`bpe_merge_candidates`).
+
+    Scale shape: the corpus is touched ONCE (tokenize + word-frequency
+    shuffle); every iteration after that runs over the VOCABULARY-sized
+    (word, freq) relation — pair counting is an explode + map-side-
+    combinable aggregation, the argmax is a 1-row collect (bounded by
+    construction), and the merge applies as a JVM array fold. Each round
+    eagerly localCheckpoints the vocab relation so plan depth stays
+    constant across iterations (the same device as PageRank/Lloyd).
+    Ties break deterministically on (count DESC, lhs, rhs) — replayed
+    exactly by the DuckDB oracle's unrolled iteration chain.
+    """
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
+
+    spark = docs.sparkSession
+    words = (
+        ensure_scan_parallelism(docs)
+        .select(F.explode(tokens_col(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.filter(
+                F.split("w", ""), lambda c: F.length(c) > 0
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            words.select(
+                F.explode(
+                    F.zip_with(
+                        F.expr("slice(syms, 1, size(syms) - 1)"),
+                        F.expr("slice(syms, 2, size(syms) - 1)"),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((rank, a, b, n))
+        words = words.select(
+            _bpe_merge_fold(F.col("syms"), a, b).alias("syms"), "freq"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )

@@ -286,3 +286,73 @@ def length_percentile_trim_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return length_percentile_trim(table(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (iterative)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 4
+
+
+def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
+    """Unrolled DuckDB replay of the iterative BPE trainer: per round, an
+    indexed adjacent-pair count over the previous round's vocabulary, a
+    deterministic (count DESC, lhs, rhs) argmax, and the same greedy
+    left-to-right list_reduce merge fold the engine applies."""
+    ctes = [
+        r"""toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> len(x) > 0) AS t
+  FROM documents
+),
+w0 AS (
+  SELECT list_filter(string_split_regex(w, ''), x -> len(x) > 0) AS syms,
+         freq
+  FROM (SELECT w, count(*) AS freq
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w)
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""p{k} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, sum(freq) AS n
+  FROM w{k - 1}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2
+),
+m{k} AS (SELECT a, b, n FROM p{k} ORDER BY n DESC, a, b LIMIT 1)""")
+        if k < n_merges:
+            ctes.append(f"""w{k} AS (
+  SELECT list_reduce(list_transform(syms, s -> [s]),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a
+                             AND x[1] = m.b
+                       THEN list_append(acc[1:len(acc) - 1], m.a || m.b)
+                       ELSE list_append(acc, x[1]) END) AS syms,
+         freq
+  FROM w{k - 1} CROSS JOIN m{k} m
+)""")
+    final = "\n    UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, a AS lhs, b AS rhs, "
+        f"CAST(n AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "\nWITH " + ",\n".join(ctes) + "\n" + final + "\n"
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(),
+    doc="Iterative BPE tokenizer training (operators/text.py:bpe_train): "
+    "the 4 highest-count merge rules, each round re-counting adjacent "
+    "symbol pairs over the PREVIOUS round's merged vocabulary — real BPE "
+    "training, not one-shot pair statistics. Corpus is scanned once "
+    "(word-frequency shuffle); every iteration runs over the vocabulary-"
+    "sized relation with a bounded 1-row argmax collect and a JVM array "
+    "fold for the greedy merge, localCheckpointed per round for constant "
+    "plan depth. The oracle unrolls the identical iteration chain with "
+    "DuckDB list_reduce folds and the same (count DESC, lhs, rhs) "
+    "tie-break.",
+)
+def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators.text import bpe_train
+
+    return bpe_train(table(spark, sf, "documents"), n_merges=_BPE_MERGES)
