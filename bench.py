@@ -200,6 +200,7 @@ EXTENDED_R5 = [
     "mixture_temperature_weights",
     "label_consistency_audit",
     "length_percentile_trim",
+    "bpe_train_merges",
 ]
 
 #: registered queries deliberately NOT timed, with the reason the judge
