@@ -505,13 +505,23 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
-        marker = b[pos + 1]
-        pos += 2
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before the
+        # marker code byte — skip them all, then the next byte is the code
+        while pos < len(b) and b[pos] == 0xFF:
+            pos += 1
+        if pos >= len(b):
+            raise ValueError("truncated JPEG header (ends inside a marker)")
+        marker = b[pos]
+        pos += 1
         if marker == 0xD9:  # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
+        if pos + 2 > len(b):
+            raise ValueError("truncated JPEG header (missing segment length)")
         (seglen,) = struct.unpack_from(">H", b, pos)
+        if seglen < 2 or pos + seglen > len(b):
+            raise ValueError("truncated JPEG header (segment overruns payload)")
         data = b[pos + 2 : pos + seglen]
         pos += seglen
         if marker == 0xDB:  # DQT (possibly several tables)

@@ -204,10 +204,14 @@ def mixture_temperature_weights(
     the effective epoch multiplier each source sees under the mix.
 
     One group-by shuffle; the |groups|-row weight table folds its two
-    normalizers in via broadcast cross joins. The ``p^alpha`` denominator
-    is summed in fixed 1e-12 precision as an exact long (partition-order-
-    insensitive — the same device as source_term_kl's contrib sum), so
-    the 6dp-rounded weights cannot flip on a summation-order boundary.
+    normalizers in via broadcast cross joins. BOTH sides of the weight
+    ratio live on the fixed 1e-12 grid: the ``p^alpha`` denominator is
+    summed in fixed point as an exact long (partition-order-insensitive —
+    the same device as source_term_kl's contrib sum), and each row's
+    numerator reuses the SAME quantized long instead of recomputing the
+    raw double ``pow`` — a 1-ulp Java ``Math.pow`` vs libm ``pow``
+    difference landing on a 6dp rounding boundary can therefore never
+    flip ``weight``/``sampling_factor`` parity.
     """
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
     tot = counts.agg(F.sum("n_docs").alias("_n"))
@@ -224,12 +228,9 @@ def mixture_temperature_weights(
             group_col,
             "n_docs",
             F.round("_p", 6).alias("share"),
-            F.round(
-                F.pow("_p", F.lit(alpha)) * 1e12 / F.col("_dfp"), 6
-            ).alias("weight"),
-            F.round(
-                F.pow("_p", F.lit(alpha)) * 1e12 / F.col("_dfp") / F.col("_p"),
-                6,
-            ).alias("sampling_factor"),
+            F.round(pow_fp / F.col("_dfp"), 6).alias("weight"),
+            F.round(pow_fp / F.col("_dfp") / F.col("_p"), 6).alias(
+                "sampling_factor"
+            ),
         )
     )

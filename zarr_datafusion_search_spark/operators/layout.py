@@ -138,7 +138,13 @@ def zorder_locality_audit(
     production layout WRITE uses ``df.repartitionByRange(n_files,
     F.col("z"))``: sampled range boundaries, fully parallel sort,
     approximately-equal files — same z-band locality, no exact-rank pass
-    at all."""
+    at all.
+
+    NOT a lazy plan builder: ``distributed_rank`` runs an eager
+    ``localCheckpoint`` plus the per-partition-offsets collect at CALL
+    time (same eager-at-build contract as ``text.bpe_train``), and the
+    checkpoint blocks stay pinned until the returned frame is garbage
+    collected."""
     from zarr_datafusion_search_spark.operators.packing import (
         distributed_rank,
     )
@@ -267,7 +273,12 @@ def zone_map_skipping_audit(
     global window — bucketed as ``(rank-1) * n_files div total + 1``,
     which the oracle replays exactly over ``row_number()``. Production
     assignment is ``repartitionByRange``; the audit's exact equal-row
-    bucketing is the oracle-replayable equivalent."""
+    bucketing is the oracle-replayable equivalent.
+
+    NOT a lazy plan builder: ``distributed_rank`` runs TWICE here (one
+    pass per layout), each an eager ``localCheckpoint`` + offsets collect
+    at CALL time (the ``bpe_train`` eager-at-build contract); checkpoint
+    blocks are pinned until the returned frame is garbage collected."""
     from zarr_datafusion_search_spark.operators.packing import (
         distributed_rank,
     )

@@ -140,16 +140,19 @@ def governance_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
     SELECT source,
            CAST(n_docs AS BIGINT) AS n_docs,
            round(p, 6) AS share,
-           round(pow(p, 0.7) * 1e12 / dfp, 6) AS weight,
-           round(pow(p, 0.7) * 1e12 / dfp / p, 6) AS sampling_factor
+           round(CAST(round(pow(p, 0.7) * 1e12) AS BIGINT) / dfp, 6)
+             AS weight,
+           round(CAST(round(pow(p, 0.7) * 1e12) AS BIGINT) / dfp / p, 6)
+             AS sampling_factor
     FROM p CROSS JOIN d
     """,
     doc="Temperature-based (alpha = 0.7) multinomial source-sampling "
     "weights — the mBERT/XLM-R smoothing that up-samples small sources "
     "(operators/evalmetrics.py:mixture_temperature_weights). One group-by "
-    "shuffle + broadcast normalizers; the p^alpha denominator sums in "
-    "fixed 1e-12 precision as an exact long, the same partition-order-"
-    "insensitive device as source_term_kl.",
+    "shuffle + broadcast normalizers; BOTH the p^alpha denominator sum "
+    "AND each row's numerator live on the fixed 1e-12 long grid (the "
+    "partition-order-insensitive device from source_term_kl), so a 1-ulp "
+    "Math.pow vs libm pow gap can never flip the 6dp weights.",
 )
 def mixture_temperature_weights_q(spark: SparkSession, sf: str) -> DataFrame:
     from zarr_datafusion_search_spark.operators.evalmetrics import (
