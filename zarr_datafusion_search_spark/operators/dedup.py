@@ -21,7 +21,7 @@ Scale notes (the 100 TB story):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from zarr_datafusion_search_spark.functions.hashing import h64
 
@@ -132,6 +132,46 @@ def exact_dedup_stats(df: DataFrame, group_col: str = "source") -> DataFrame:
 #: Mersenne prime 2^61-1: modulus of the affine MinHash family.
 MINHASH_PRIME = (1 << 61) - 1
 
+#: "auto" bucket-cap rule: cap = max(FLOOR, exact discrete Q-quantile of the
+#: (band, sig) bucket-size distribution), with the quantile kept in integer
+#: arithmetic (1000*cum >= 999*total) so Spark and the DuckDB oracle derive
+#: the identical cap with zero float involvement. The floor keeps benign
+#: corpora untrimmed (every bucket <= FLOOR passes regardless of the
+#: quantile); the quantile adapts the cap upward when the corpus's natural
+#: bucket sizes are large, so only the degenerate tail is cut.
+MINHASH_AUTO_Q_NUM = 999
+MINHASH_AUTO_Q_DEN = 1000
+MINHASH_AUTO_FLOOR = 8
+
+
+def _auto_bucket_cap(bucket_sizes: DataFrame) -> DataFrame:
+    """1-row (``_cap``) DataFrame with the adaptive degenerate-bucket cap.
+
+    Derived from a HISTOGRAM of bucket sizes (size -> bucket count), which
+    has at most max-bucket-size distinct rows — the global window sort runs
+    over that tiny relation, never over the buckets themselves, so the rule
+    costs one extra agg at any scale. The quantile is the exact discrete
+    one (smallest size whose cumulative bucket count covers 99.9% of
+    buckets), compared in integers so the DuckDB oracle replays it
+    bit-for-bit.
+    """
+    hist = bucket_sizes.groupBy("_bn").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy("_bn")
+    cum = hist.select(
+        "_bn",
+        F.sum("_c").over(w).alias("_cc"),
+        F.sum("_c").over(Window.partitionBy()).alias("_n"),
+    )
+    q = cum.filter(
+        F.col("_cc") * MINHASH_AUTO_Q_DEN >= F.col("_n") * MINHASH_AUTO_Q_NUM
+    ).agg(F.min("_bn").alias("_q"))
+    return q.select(
+        F.greatest(
+            F.lit(MINHASH_AUTO_FLOOR),
+            F.coalesce(F.col("_q"), F.lit(MINHASH_AUTO_FLOOR)),
+        ).alias("_cap")
+    )
+
 
 def minhash_affine_params(i: int) -> tuple[int, int]:
     """Deterministic (a, b) for hash function i: h_i(x) = (a*x32 + b) % P.
@@ -224,7 +264,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     rows_per_band: int = 4,
     jaccard_threshold: float = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH with exact Jaccard verification.
 
@@ -239,26 +279,42 @@ def minhash_lsh_pairs(
     analog of the shingle ``max_df`` guard): a (band, sig) bucket holding
     B members contributes B^2/2 candidate pairs to the exact-verify join,
     so one boilerplate-heavy signature shared by 10^4 docs costs 5x10^7
-    verifications PER BAND. With the cap, buckets above it are dropped
-    from candidate generation; a genuinely near-dup pair inside a dropped
+    verifications PER BAND. Buckets above the cap are dropped from
+    candidate generation; a genuinely near-dup pair inside a dropped
     bucket is still found through any of its other b-1 bands (the standard
     LSH multi-band redundancy argument — only pairs whose EVERY matching
-    band is degenerate are lost). Default ``None`` keeps exact
-    oracle-parity semantics; set it when corpus boilerplate makes bucket
-    sizes heavy-tailed (measured at 30x synthetic scale: the unguarded
-    verify join is the single most expensive stage in the suite on both
-    engines).
+    band is degenerate are lost).
+
+    The DEFAULT is ``"auto"``: cap = max(MINHASH_AUTO_FLOOR, exact 99.9th
+    percentile of the bucket-size distribution), derived from one extra
+    aggregation over the already-built band relation (see
+    ``_auto_bucket_cap``). The floor means benign corpora are never
+    trimmed; the quantile means natural heavy buckets raise the cap with
+    them, so only the degenerate tail is cut. This makes the default path
+    scale-safe: measured at 100x synthetic scale the unguarded verify join
+    costs 321 s vs 5.8 s guarded, and DNFs the DuckDB twin from 30x. Pass
+    an int for a fixed cap, or ``None`` to opt out entirely (exact
+    unguarded semantics — only sensible when the corpus is known to have
+    no boilerplate-degenerate signatures).
     """
     shh = hashed_shingles(df, id_col, text_col)
     sigs = minhash_signatures(shh, num_hashes, id_col)
     bands = lsh_band_signatures(sigs, rows_per_band, num_hashes, id_col)
     if max_bucket_size is not None:
-        small = (
-            bands.groupBy("band", "sig")
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") <= max_bucket_size)
-            .select("band", "sig")
+        sizes = bands.groupBy("band", "sig").agg(
+            F.count(F.lit(1)).alias("_bn")
         )
+        if max_bucket_size == "auto":
+            cap = _auto_bucket_cap(sizes.select("_bn"))
+            small = (
+                sizes.join(F.broadcast(cap))
+                .filter(F.col("_bn") <= F.col("_cap"))
+                .select("band", "sig")
+            )
+        else:
+            small = sizes.filter(F.col("_bn") <= max_bucket_size).select(
+                "band", "sig"
+            )
         bands = bands.join(small, ["band", "sig"], "left_semi")
     a = bands.alias("a")
     b = bands.alias("b")
