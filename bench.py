@@ -47,6 +47,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+#: idle envelope for the warmed fixed-cost measurement (VERDICT r06 ask #2):
+#: idle-host records measure 0.11-0.13 s on this 32-cpu box (BENCH_r05/r06,
+#: recalibrated r7); a fixed cost above this means another workload is
+#: stealing scheduler/CPU time, which inflates EVERY per-query number —
+#: two consecutive rounds of headline movement (1.58->1.92->1.75x) were
+#: fully explained by host weather on unchanged code. Records with
+#: ``contended: true`` are not quotable; BASELINE.md quotes idle runs only.
+IDLE_FIXED_COST_S = float(os.environ.get("SPARK_GRAFT_IDLE_FIXED_COST", "0.15"))
 DETAIL_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
 )
@@ -443,6 +452,7 @@ def main() -> None:
         "coverage": (coverage_names, 1, SF_DIR),
     }
 
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
     fixed_cost_s = _measure_fixed_cost(spark)
 
     spark_times: dict[str, dict] = {}
@@ -496,7 +506,22 @@ def main() -> None:
 
     headline_total = round(sum(spark_times["headline"].values()), 4)
 
+    # host-state stamp (VERDICT r06 ask #2): the warmed fixed-cost probe is
+    # a direct measurement of scheduler latency under whatever else the host
+    # is running; loadavg is recorded for forensics. A record taken while
+    # fixed cost exceeds the idle envelope is marked contended and is NOT a
+    # quotable performance number.
+    host_state = {
+        "loadavg_start": loadavg_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "cpus": os.cpu_count(),
+        "fixed_cost_s": fixed_cost_s,
+        "idle_fixed_cost_envelope_s": IDLE_FIXED_COST_S,
+        "contended": fixed_cost_s > IDLE_FIXED_COST_S,
+    }
+
     detail = {
+        "host_state": host_state,
         "sections": detail_sections,
         "fixed_cost_s": fixed_cost_s,
         "fixed_cost_note": "median trivial-job wall-clock; ratio_net = "
@@ -531,6 +556,8 @@ def main() -> None:
         "sections": summary_sections,
         "extended_data": f"{SCALE_K}x",
         "fixed_cost_s": fixed_cost_s,
+        "load1": loadavg_start[0],
+        "contended": host_state["contended"],
         "duckdb_skipped": sorted(set(duck_skipped)),
         "n_excluded": len(EXCLUDED),
         "detail_file": "BENCH_DETAIL.json",

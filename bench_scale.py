@@ -94,6 +94,11 @@ SCALE_QUERIES = [
     "text_tfidf_search",
     "pagerank_event_types",
     "label_propagation_sources",
+    # fixed-cost-gap members (VERDICT r06 ask #3): sub-second at sf0.1 with
+    # 23x/13x raw ratios that are pure Spark job-constant; scale entries
+    # prove (or refute) that the gap amortizes with data volume
+    "ann_lsh_topk",
+    "bpe_train_merges",
 ]
 
 _P1, _P2 = 1663, 2741  # copy-partner strides, coprime with the base sizes
@@ -374,6 +379,22 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # host-state stamp (same contract as bench.py): warmed trivial-job
+    # median as a direct contention probe, loadavg for forensics. Scale
+    # records marked contended are not quotable.
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    for _ in range(10):
+        spark.range(8).count()
+    _fc = []
+    for _ in range(10):
+        _t0 = time.perf_counter()
+        spark.range(8).count()
+        _fc.append(time.perf_counter() - _t0)
+    fixed_cost_s = round(statistics.median(_fc), 4)
+    idle_envelope_s = float(
+        os.environ.get("SPARK_GRAFT_IDLE_FIXED_COST", "0.15")
+    )
+
     st = _time_spark(spark, registry, SCALE_QUERIES, RUNS)
     release_operator_caches()
     spark.stop()
@@ -382,7 +403,16 @@ def main() -> None:
     paired = [n for n in st if n in dt]
     s_tot = round(sum(st[n] for n in paired), 4)
     d_tot = round(sum(dt[n] for n in paired), 4)
+    host_state = {
+        "loadavg_start": loadavg_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "cpus": os.cpu_count(),
+        "fixed_cost_s": fixed_cost_s,
+        "idle_fixed_cost_envelope_s": idle_envelope_s,
+        "contended": fixed_cost_s > idle_envelope_s,
+    }
     detail = {
+        "host_state": host_state,
         "scale_k": SCALE_K,
         "base_sf_dir": BASE_SF_DIR,
         "row_counts": counts,
@@ -412,6 +442,9 @@ def main() -> None:
                 "n": len(paired),
                 "duckdb_timed_out": timed_out,
                 "duckdb_errored": sorted(errored),
+                "fixed_cost_s": fixed_cost_s,
+                "load1": loadavg_start[0],
+                "contended": host_state["contended"],
                 "detail_file": os.path.basename(DETAIL_PATH),
             },
             separators=(",", ":"),

