@@ -99,6 +99,9 @@ SCALE_QUERIES = [
     # prove (or refute) that the gap amortizes with data volume
     "ann_lsh_topk",
     "bpe_train_merges",
+    # degree-capped LPA variant (VERDICT r06 ask #5): proves the cap
+    # bounds the unguarded superlinear growth
+    "label_propagation_sources_guarded",
 ]
 
 _P1, _P2 = 1663, 2741  # copy-partner strides, coprime with the base sizes

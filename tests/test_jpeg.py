@@ -304,3 +304,45 @@ def test_truncated_entropy_stream_raises_valueerror():
     for cut in (sos + 20, len(b) - 40):
         with pytest.raises(ValueError):
             decode_jpeg(b[:cut])
+
+
+def test_truncated_header_raises_valueerror():
+    """Cuts inside the HEADER region (before the entropy stream) must hit
+    the round-6 guards — ends-inside-a-marker, missing segment length,
+    segment-overruns-payload — each raising the contracted ValueError,
+    never IndexError/struct.error (jpeg.py marker walk)."""
+    b = encode_jpeg(_gradient(16, 16), 90)
+    sos = b.index(b"\xff\xda")
+    # 6 cut points spanning the marker walk: right after SOI, mid-first
+    # segment length, after first marker byte, two mid-header cuts, and
+    # just before SOS
+    for cut in (2, 3, 4, sos // 3, 2 * sos // 3, sos - 1):
+        with pytest.raises(ValueError):
+            decode_jpeg(b[:cut])
+
+
+def test_fill_bytes_before_marker_decode_identically():
+    """T.81 B.1.1.2: any run of 0xFF fill bytes may pad before a marker
+    code; inserting them before each header marker must not change the
+    decoded pixels."""
+    b = encode_jpeg(_gradient(16, 16), 90)
+    ref = decode_jpeg(b)
+    sos = b.index(b"\xff\xda")
+    padded = bytearray()
+    pos = 0
+    while pos < sos:
+        # pad before every post-SOI header marker (never before SOI: the
+        # two SOI bytes must open the payload verbatim)
+        if (
+            pos >= 2
+            and b[pos] == 0xFF
+            and pos + 1 < len(b)
+            and b[pos + 1] != 0x00
+        ):
+            padded += b"\xff\xff\xff"  # fill bytes, then the real marker
+        padded.append(b[pos])
+        pos += 1
+    padded += b[sos:]
+    got = decode_jpeg(bytes(padded))
+    assert got.shape == ref.shape
+    assert (got == ref).all()

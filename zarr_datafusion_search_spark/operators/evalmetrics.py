@@ -210,8 +210,12 @@ def mixture_temperature_weights(
     the same device as source_term_kl's contrib sum), and each row's
     numerator reuses the SAME quantized long instead of recomputing the
     raw double ``pow`` — a 1-ulp Java ``Math.pow`` vs libm ``pow``
-    difference landing on a 6dp rounding boundary can therefore never
-    flip ``weight``/``sampling_factor`` parity.
+    difference landing on a 6dp rounding boundary therefore cannot
+    realistically flip ``weight``/``sampling_factor`` parity. (The
+    residual risk is the quantization itself: ``round(pow * 1e12)`` can
+    differ by ±1 long between engines when the product lands within an
+    ulp of a .5 grid boundary, a ~1e-12 relative slack that would in turn
+    have to land exactly on a 6dp boundary to surface.)
     """
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
     tot = counts.agg(F.sum("n_docs").alias("_n"))

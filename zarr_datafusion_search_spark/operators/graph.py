@@ -203,6 +203,7 @@ def label_propagation(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     weight_col: str = "jaccard",
+    degree_cap: int | None = None,
 ) -> DataFrame:
     """Semi-supervised label propagation over a weighted undirected graph.
 
@@ -222,6 +223,17 @@ def label_propagation(
     :func:`pagerank` — so the plan stays flat at any round count. Weight
     sums are rounded to 6dp before the argmax so the winner is identical
     cross-engine regardless of float summation order.
+
+    ``degree_cap`` bounds each node's out-adjacency to its ``cap``
+    heaviest edges (ties by neighbor id, so the trimmed set is total and
+    oracle-replayable). This is the same scale philosophy as the MinHash
+    degenerate-bucket guard: a hub node of degree D contributes D rows to
+    EVERY round's labeled-edge join, so dense near-dup communities (the
+    quadratic cliques a template family induces) drive the measured
+    superlinear growth — 10x data -> 26x time unguarded at 30x->100x.
+    Capping keeps each round's join linear in node count. A node's
+    heaviest neighbors dominate its weighted-majority vote anyway, so the
+    argmax is usually unchanged; seeds are unaffected (clamped).
     """
     from zarr_datafusion_search_spark.operators.cache import tracked_persist
 
@@ -243,6 +255,18 @@ def label_propagation(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     )
+    if degree_cap is not None:
+        wdeg = Window.partitionBy("src").orderBy(
+            F.col("w").desc(), F.col("dst")
+        )
+        # checkpointed once: without it the cap window (one shuffle on
+        # src) would re-run inside every round's join
+        und = (
+            und.withColumn("_dr", F.row_number().over(wdeg))
+            .filter(F.col("_dr") <= degree_cap)
+            .drop("_dr")
+            .localCheckpoint(eager=True)
+        )
     seeds = tracked_persist(seeds.select("node", "label"))
     labels = seeds
     for _ in range(n_rounds):

@@ -605,7 +605,9 @@ def time_decayed_engagement(spark: SparkSession, sf: str) -> DataFrame:
     return time_decayed_sum(table(spark, sf, "events"), half_life_days=7.0)
 
 
-def _label_propagation_oracle(n_rounds: int = 3) -> str:
+def _label_propagation_oracle(
+    n_rounds: int = 3, degree_cap: int | None = None
+) -> str:
     from zarr_datafusion_search_spark.plans.pipeline_ops import (
         _MH_CTES,
         _MH_SELECT,
@@ -642,14 +644,31 @@ def _label_propagation_oracle(n_rounds: int = 3) -> str:
         AND p.node NOT IN (SELECT node FROM c{r})
     )""")
         prev = f"l{r}"
-    return f"""
-    WITH {_MH_CTES},
-    pairs AS MATERIALIZED ({_MH_SELECT}),
-    und AS MATERIALIZED (
+    if degree_cap is None:
+        und_cte = """und AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst, jaccard AS w FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a, jaccard FROM pairs
+    )"""
+    else:
+        # replay the engine's degree cap exactly: per src, keep the cap
+        # heaviest edges, ties by dst — identical window spec both engines
+        und_cte = f"""und_all AS (
       SELECT doc_a AS src, doc_b AS dst, jaccard AS w FROM pairs
       UNION ALL
       SELECT doc_b, doc_a, jaccard FROM pairs
     ),
+    und AS MATERIALIZED (
+      SELECT src, dst, w FROM (
+        SELECT src, dst, w, row_number() OVER (
+          PARTITION BY src ORDER BY w DESC, dst) AS dr
+        FROM und_all)
+      WHERE dr <= {degree_cap}
+    )"""
+    return f"""
+    WITH {_MH_CTES},
+    pairs AS MATERIALIZED ({_MH_SELECT}),
+    {und_cte},
     seeds AS MATERIALIZED (
       SELECT doc_id AS node, source AS label FROM documents
       WHERE doc_id % 5 = 0
@@ -682,6 +701,41 @@ def label_propagation_sources(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("node"), F.col("source").alias("label")
     )
     out = label_propagation(pairs, seeds, n_rounds=3)
+    return out.select(F.col("node").alias("doc_id"), "label")
+
+
+#: cap low enough to fire on the shipped SFs' near-dup communities while
+#: keeping every sparse node's full adjacency; at 100x synthetic scale it
+#: bounds each round's labeled-edge join to cap*|nodes| rows (the unguarded
+#: growth was 10x data -> 26x time)
+LABEL_PROP_DEGREE_CAP = 8
+
+
+@register(
+    "label_propagation_sources_guarded",
+    oracle=_label_propagation_oracle(degree_cap=LABEL_PROP_DEGREE_CAP),
+    doc="Label propagation WITH the per-node degree cap "
+    "(operators/graph.py:label_propagation degree_cap): each node keeps "
+    "only its 8 heaviest incident edges (ties by neighbor id) before the "
+    "3 propagation rounds, bounding every round's join to cap*|nodes| "
+    "rows — the guard that keeps dense template-family cliques from "
+    "driving superlinear growth at scale. The oracle replays the "
+    "identical cap window.",
+)
+def label_propagation_sources_guarded(spark: SparkSession, sf: str) -> DataFrame:
+    from zarr_datafusion_search_spark.operators import dedup
+    from zarr_datafusion_search_spark.operators.graph import label_propagation
+
+    docs = table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, rows_per_band=4, jaccard_threshold=0.5
+    )
+    seeds = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("node"), F.col("source").alias("label")
+    )
+    out = label_propagation(
+        pairs, seeds, n_rounds=3, degree_cap=LABEL_PROP_DEGREE_CAP
+    )
     return out.select(F.col("node").alias("doc_id"), "label")
 
 

@@ -152,7 +152,9 @@ def governance_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
     "shuffle + broadcast normalizers; BOTH the p^alpha denominator sum "
     "AND each row's numerator live on the fixed 1e-12 long grid (the "
     "partition-order-insensitive device from source_term_kl), so a 1-ulp "
-    "Math.pow vs libm pow gap can never flip the 6dp weights.",
+    "Math.pow vs libm pow gap cannot realistically flip the 6dp weights "
+    "(residual: the 1e-12 quantization itself can differ by ±1 long at "
+    "an exact .5 grid boundary).",
 )
 def mixture_temperature_weights_q(spark: SparkSession, sf: str) -> DataFrame:
     from zarr_datafusion_search_spark.operators.evalmetrics import (
