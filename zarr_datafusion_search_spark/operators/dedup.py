@@ -144,33 +144,31 @@ MINHASH_AUTO_Q_DEN = 1000
 MINHASH_AUTO_FLOOR = 8
 
 
-def _auto_bucket_cap(bucket_sizes: DataFrame) -> DataFrame:
-    """1-row (``_cap``) DataFrame with the adaptive degenerate-bucket cap.
+def _auto_bucket_cap(bucket_sizes: DataFrame) -> int:
+    """The adaptive degenerate-bucket cap, as a plain int.
 
     Derived from a HISTOGRAM of bucket sizes (size -> bucket count), which
-    has at most max-bucket-size distinct rows — the global window sort runs
-    over that tiny relation, never over the buckets themselves, so the rule
-    costs one extra agg at any scale. The quantile is the exact discrete
-    one (smallest size whose cumulative bucket count covers 99.9% of
-    buckets), compared in integers so the DuckDB oracle replays it
-    bit-for-bit.
+    has at most max-bucket-size distinct rows — the collect is bounded by
+    that tiny cardinality, never by bucket or row counts, so the rule
+    costs one extra aggregation job at any scale. (Measured alternative:
+    keeping the cap in-plan as a 1-row broadcast adds two single-partition
+    window exchanges plus a blocking broadcast build — ~1.5 s of pure
+    stage latency at sf0.1 — for zero semantic difference.) The quantile
+    is the exact discrete one (smallest size whose cumulative bucket count
+    covers 99.9% of buckets), compared in integers so the DuckDB oracle
+    replays it bit-for-bit.
     """
     hist = bucket_sizes.groupBy("_bn").agg(F.count(F.lit(1)).alias("_c"))
-    w = Window.orderBy("_bn")
-    cum = hist.select(
-        "_bn",
-        F.sum("_c").over(w).alias("_cc"),
-        F.sum("_c").over(Window.partitionBy()).alias("_n"),
-    )
-    q = cum.filter(
-        F.col("_cc") * MINHASH_AUTO_Q_DEN >= F.col("_n") * MINHASH_AUTO_Q_NUM
-    ).agg(F.min("_bn").alias("_q"))
-    return q.select(
-        F.greatest(
-            F.lit(MINHASH_AUTO_FLOOR),
-            F.coalesce(F.col("_q"), F.lit(MINHASH_AUTO_FLOOR)),
-        ).alias("_cap")
-    )
+    rows = sorted(hist.collect(), key=lambda r: r["_bn"])
+    n = sum(r["_c"] for r in rows)
+    q = None
+    cum = 0
+    for r in rows:
+        cum += r["_c"]
+        if cum * MINHASH_AUTO_Q_DEN >= n * MINHASH_AUTO_Q_NUM:
+            q = r["_bn"]
+            break
+    return max(MINHASH_AUTO_FLOOR, q if q is not None else MINHASH_AUTO_FLOOR)
 
 
 def minhash_affine_params(i: int) -> tuple[int, int]:
@@ -305,16 +303,16 @@ def minhash_lsh_pairs(
             F.count(F.lit(1)).alias("_bn")
         )
         if max_bucket_size == "auto":
-            cap = _auto_bucket_cap(sizes.select("_bn"))
-            small = (
-                sizes.join(F.broadcast(cap))
-                .filter(F.col("_bn") <= F.col("_cap"))
-                .select("band", "sig")
-            )
+            # persisted because the auto rule reads it twice across two
+            # actions (histogram collect now, semi-join filter in the main
+            # job); without the pin the second action re-aggregates bands
+            # and re-materializes its band/minhash lineage — measured
+            # ~1 s/query at sf0.1 (2.9 s -> 1.9 s with the pin)
+            sizes = _tracked_persist(sizes)
+            cap: int = _auto_bucket_cap(sizes.select("_bn"))
         else:
-            small = sizes.filter(F.col("_bn") <= max_bucket_size).select(
-                "band", "sig"
-            )
+            cap = max_bucket_size
+        small = sizes.filter(F.col("_bn") <= cap).select("band", "sig")
         bands = bands.join(small, ["band", "sig"], "left_semi")
     a = bands.alias("a")
     b = bands.alias("b")
