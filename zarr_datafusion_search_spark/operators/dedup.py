@@ -134,12 +134,12 @@ MINHASH_PRIME = (1 << 61) - 1
 
 #: "auto" bucket-cap rule: cap = max(FLOOR, exact discrete Q-quantile of the
 #: (band, sig) bucket-size distribution), with the quantile kept in integer
-#: arithmetic (1000*cum >= 999*total) so Spark and the DuckDB oracle derive
+#: arithmetic (1000*cum >= 995*total) so Spark and the DuckDB oracle derive
 #: the identical cap with zero float involvement. The floor keeps benign
 #: corpora untrimmed (every bucket <= FLOOR passes regardless of the
 #: quantile); the quantile adapts the cap upward when the corpus's natural
 #: bucket sizes are large, so only the degenerate tail is cut.
-MINHASH_AUTO_Q_NUM = 999
+MINHASH_AUTO_Q_NUM = 995
 MINHASH_AUTO_Q_DEN = 1000
 MINHASH_AUTO_FLOOR = 8
 
@@ -155,7 +155,7 @@ def _auto_bucket_cap(bucket_sizes: DataFrame) -> int:
     window exchanges plus a blocking broadcast build — ~1.5 s of pure
     stage latency at sf0.1 — for zero semantic difference.) The quantile
     is the exact discrete one (smallest size whose cumulative bucket count
-    covers 99.9% of buckets), compared in integers so the DuckDB oracle
+    covers 99.5% of buckets), compared in integers so the DuckDB oracle
     replays it bit-for-bit.
     """
     hist = bucket_sizes.groupBy("_bn").agg(F.count(F.lit(1)).alias("_c"))
@@ -283,7 +283,7 @@ def minhash_lsh_pairs(
     LSH multi-band redundancy argument — only pairs whose EVERY matching
     band is degenerate are lost).
 
-    The DEFAULT is ``"auto"``: cap = max(MINHASH_AUTO_FLOOR, exact 99.9th
+    The DEFAULT is ``"auto"``: cap = max(MINHASH_AUTO_FLOOR, exact 99.5th
     percentile of the bucket-size distribution), derived from one extra
     aggregation over the already-built band relation (see
     ``_auto_bucket_cap``). The floor means benign corpora are never

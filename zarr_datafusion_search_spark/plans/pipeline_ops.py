@@ -95,7 +95,7 @@ def _minhash_pairs_sql(
     (band, sig) buckets holding more members are dropped from candidate
     generation before the self-join. The default replays the engine's
     default ``"auto"`` rule — cap = max(floor, exact integer-arithmetic
-    99.9th percentile of bucket sizes) — via the identical histogram +
+    99.5th percentile of bucket sizes) — via the identical histogram +
     cumulative-count derivation (dedup._auto_bucket_cap), so every oracle
     composed from this helper tracks the engine default in lockstep."""
     mins = ",\n         ".join(
@@ -229,7 +229,7 @@ FROM reach GROUP BY a
     "Jaccard verification at >= 0.5. Candidates come from band-signature "
     "equality joins only — the O(n^2) pair space is never materialized. "
     "DEFAULT path carries the adaptive 'auto' degenerate-bucket cap "
-    "(max(floor=8, exact p99.9 of bucket sizes) — dedup._auto_bucket_cap), "
+    "(max(floor=8, exact p99.5 of bucket sizes) — dedup._auto_bucket_cap), "
     "so the scale-killer B^2/2 verify blowup is guarded out of the box; "
     "the oracle derives the identical cap from the identical histogram.",
 )
