@@ -443,16 +443,24 @@ def main() -> None:
     )
     build_scale_dir()
 
+    # section ORDER is part of the protocol: all sf0.1 sections run before
+    # the 10x ones. Measured r7: with the 10x extended section running
+    # before extended_r3, the sf0.1 r3 members ran up to 3x their
+    # fresh-session warm time (frequent_itemset_pairs 6.0 s in-bench vs
+    # 1.9 s fresh — old-gen heap pressure from the 10x section), inflating
+    # the section ratio for reasons unrelated to any plan. The 10x
+    # sections (extended, extended_r4) are the throughput records and run
+    # last; a System.gc() nudge between sections bounds the carry-over.
     sections = {
         "headline": (HEADLINE, RUNS, SF_DIR),
-        "extended": (EXTENDED, RUNS, SCALE_DIR),
         "extended_r3": (EXTENDED_R3, RUNS, SF_DIR),
+        "extended_r5": (EXTENDED_R5, RUNS, SF_DIR),
+        "coverage": (coverage_names, 1, SF_DIR),
+        "extended": (EXTENDED, RUNS, SCALE_DIR),
         # official record at 10x like the r2 section (VERDICT r06 ask #6):
         # 53 sub-second members at sf0.1 measured 53x the fixed job
         # constant (~6 s of a 25.5 s section), not throughput
         "extended_r4": (EXTENDED_R4, RUNS, SCALE_DIR),
-        "extended_r5": (EXTENDED_R5, RUNS, SF_DIR),
-        "coverage": (coverage_names, 1, SF_DIR),
     }
 
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
@@ -462,6 +470,9 @@ def main() -> None:
     for sec, (names, runs, data_dir) in sections.items():
         spark_times[sec] = _time_section(spark, registry, names, runs, data_dir)
         release_operator_caches()
+        # reclaim the released cache blocks' old-gen now, not during the
+        # next section's timed runs (part of the section-order protocol)
+        spark.sparkContext._jvm.System.gc()
 
     zarr_micro = _zarr_scan_bench(spark)
 
