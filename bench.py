@@ -454,13 +454,16 @@ def main() -> None:
     sections = {
         "headline": (HEADLINE, RUNS, SF_DIR),
         "extended_r3": (EXTENDED_R3, RUNS, SF_DIR),
-        "extended_r5": (EXTENDED_R5, RUNS, SF_DIR),
         "coverage": (coverage_names, 1, SF_DIR),
         "extended": (EXTENDED, RUNS, SCALE_DIR),
-        # official record at 10x like the r2 section (VERDICT r06 ask #6):
-        # 53 sub-second members at sf0.1 measured 53x the fixed job
-        # constant (~6 s of a 25.5 s section), not throughput
+        # official records at 10x like the r2 section (VERDICT r06 ask #6):
+        # extended_r4's 53 sub-second members at sf0.1 measured 53x the
+        # fixed job constant (~6 s of a 25.5 s section), not throughput;
+        # extended_r5's 8 members flip-flopped 1.74-2.14x raw at sf0.1 on
+        # ~1 s of fixed cost in a 5 s section (at 10x Spark wins it
+        # outright: 11.7 s vs 22.0 s measured r7)
         "extended_r4": (EXTENDED_R4, RUNS, SCALE_DIR),
+        "extended_r5": (EXTENDED_R5, RUNS, SCALE_DIR),
     }
 
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
