@@ -325,10 +325,6 @@ def lsh_topk(
     ]
 
     def with_buckets(df: DataFrame, idal: str, vecal: str) -> DataFrame:
-        # no repartition: the SRP fold is ~dim*planes flops per row, cheap
-        # enough to ride the scan partitioning; an extra shuffle per side
-        # costs more than it balances (measured at sf0.1, and at cluster
-        # scale the parquet scan already spreads rows across executors)
         out = df.select(
             F.col(id_col).alias(idal), F.col(vec_col).alias(vecal),
             *[
@@ -351,7 +347,17 @@ def lsh_topk(
             ).alias("tb"),
         ).select(idal, vecal, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
-    c = with_buckets(corpus, "neighbor_id", "c_vec")
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
+
+    # the corpus side folds n_tables x planes x dim flops per row AND
+    # explodes x n_tables before the bucket join — a single-row-group
+    # parquet input (one scan task) serializes all of it on one core,
+    # the measured 18x-vs-DuckDB gap at 10x/30x scale. The gate is a
+    # no-op once the input is already split. The tiny query side rides
+    # its scan partitioning (it is broadcast anyway).
+    c = with_buckets(ensure_scan_parallelism(corpus), "neighbor_id", "c_vec")
     q = with_buckets(queries, "query_id", "q_vec")
     cand = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
