@@ -802,6 +802,12 @@ def duplicated_spans(
             h64(F.col("g.gram")).alias("g_h"),
         )
     )
+    # the gram relation feeds BOTH the occurrence count and the join back;
+    # without the pin the k-gram explode + md5 (the dominant cost — ~36M
+    # grams at 100x synthetic scale) runs twice: measured 27 s -> 16 s at
+    # 100x with the persist. All-long columnar rows, MEMORY_AND_DISK —
+    # spills rather than OOMs at cluster scale.
+    grams = _tracked_persist(grams)
     dup_hashes = (
         grams.groupBy("g_h")
         .agg(F.count(F.lit(1)).alias("_occ"))
