@@ -300,6 +300,62 @@ def srp_bucket(vec_col: str, planes: list[list[float]]):
     return F.expr("(" + " + ".join(terms) + ")")
 
 
+def _srp_buckets_udf(all_planes: list[list[list[float]]]):
+    """Arrow-batched pandas_udf computing EVERY table's SRP bucket id in
+    one numpy GEMM pass; returns ``array<long>`` of length n_tables.
+
+    The SQL-expression path (:func:`srp_bucket`) folds
+    n_tables x planes x dim interpreted flops per row — higher-order
+    lambdas evaluate outside whole-stage codegen, so at 16 planes x 64
+    dims that is ~1k boxed ops per row and the dominant cost of the
+    bucketed ANN plans. The GEMM computes the identical sign decisions:
+    a bucket bit is the SIGN of a double dot product, and cross-engine
+    parity already tolerates summation reorder (the DuckDB oracle derives
+    the same bits via ``list_dot_product``, its own order), so BLAS order
+    is exactly as safe as the sequential fold order.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables = len(all_planes)
+    ppt = len(all_planes[0])
+    plane_mat = np.array(
+        [p for planes in all_planes for p in planes], dtype=np.float64
+    ).T  # dim x (n_tables * ppt)
+    bit_weights = np.array([1 << p for p in range(ppt)], dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(vec):
+        import numpy as np
+        import pandas as pd
+
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(vec.to_numpy()).astype(np.float64)
+        bits = (mat @ plane_mat) >= 0.0
+        bk = bits.reshape(len(mat), n_tables, ppt).astype(np.int64) @ bit_weights
+        return pd.Series(list(bk))
+
+    return _buckets
+
+
+def _with_srp_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    idal: str,
+    vecal: str,
+    all_planes: list[list[list[float]]],
+) -> DataFrame:
+    """(id, vec) -> exploded (id, vec, tbl, bucket) via the GEMM UDF."""
+    bk = _srp_buckets_udf(all_planes)
+    return df.select(
+        F.col(id_col).alias(idal),
+        F.col(vec_col).alias(vecal),
+        bk(F.col(vec_col)).alias("_bs"),
+    ).select(idal, vecal, F.posexplode("_bs").alias("tbl", "bucket"))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -324,52 +380,37 @@ def lsh_topk(
         for t in range(n_tables)
     ]
 
-    def with_buckets(df: DataFrame, idal: str, vecal: str) -> DataFrame:
-        out = df.select(
-            F.col(id_col).alias(idal), F.col(vec_col).alias(vecal),
-            *[
-                srp_bucket(vec_col, all_planes[t]).alias(f"_b{t}")
-                for t in range(n_tables)
-            ],
-        )
-        return out.select(
-            idal,
-            vecal,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bucket")
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select(idal, vecal, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-
     from zarr_datafusion_search_spark.operators.scanning import (
         ensure_scan_parallelism,
     )
 
-    # the corpus side folds n_tables x planes x dim flops per row AND
-    # explodes x n_tables before the bucket join — a single-row-group
+    # the corpus side computes n_tables x planes GEMM dot products per row
+    # AND explodes x n_tables before the bucket join — a single-row-group
     # parquet input (one scan task) serializes all of it on one core,
     # the measured 18x-vs-DuckDB gap at 10x/30x scale. The gate is a
     # no-op once the input is already split. The tiny query side rides
     # its scan partitioning (it is broadcast anyway).
-    c = with_buckets(ensure_scan_parallelism(corpus), "neighbor_id", "c_vec")
-    q = with_buckets(queries, "query_id", "q_vec")
+    c = _with_srp_buckets(
+        ensure_scan_parallelism(corpus), id_col, vec_col,
+        "neighbor_id", "c_vec", all_planes,
+    )
+    q = _with_srp_buckets(queries, id_col, vec_col, "query_id", "q_vec", all_planes)
+    # cosine BEFORE the pair-dedup: the dedup shuffle then carries three
+    # scalars instead of two 64-float vectors (the cosine is a pure
+    # function of the pair, so deduping after scoring is value-identical);
+    # a pair colliding in j tables is scored j times map-side, which is
+    # cheaper than shuffling its vectors once
     cand = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity("q_vec", "c_vec"), COS_ROUND).alias("cosine"),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_similarity("q_vec", "c_vec"), COS_ROUND).alias("cosine"),
-    )
+    scored = cand
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -382,8 +423,14 @@ def lsh_topk(
 
 #: above this corpus size the exact all-pairs GEMM (which collects the
 #: corpus matrix to the driver and broadcasts it) is refused and near-dup
-#: detection auto-routes to SRP bucketing + exact rescore.
-NEAR_DUP_ALLPAIRS_MAX_ROWS = 1_000_000
+#: detection auto-routes to SRP bucketing + exact rescore. The bound is
+#: memory math, not taste: the broadcast matrix costs n x 64 x 12 bytes
+#: (f64 + f32 copies; 192 MB at the cap) ON EVERY EXECUTOR, and each
+#: task's reused score buffer costs 512 x n x 4 bytes (512 MB at the
+#: cap) — the old 1M cap would have put a 2 GB transient in every one of
+#: 32 concurrent local tasks. Above the cap the bucketed path is both
+#: memory-sane and faster (equi-join shuffle, no driver collect).
+NEAR_DUP_ALLPAIRS_MAX_ROWS = 250_000
 
 
 def _corpus_matrix(corpus: DataFrame, id_col: str, vec_col: str):
@@ -425,12 +472,14 @@ def embedding_near_dup_pairs(
     BLAS instead of per-pair ``zip_with`` folds (60x on the sf0.1 bench):
 
     1. **candidate generation**: the corpus matrix is broadcast to every
-       executor; ``mapInPandas`` partitions GEMM their slice against it and
-       emit pairs with cosine >= threshold - 1e-9 (slack covers pairwise-
-       vs-sequential float summation differences);
-    2. **exact rescore**: survivors (a tiny set) recompute the cosine with
-       the sequential-fold expression, so emitted values and the threshold
-       decision are bit-identical to the DuckDB oracle.
+       executor; ``mapInPandas`` partitions GEMM their slice against it in
+       float32 with a widened cutoff (1e-4 margin, ~10x the worst-case
+       f32 error of a 64-dim unit dot);
+    2. **f64 rescore in place**: every f32 survivor is re-dotted in
+       float64 and the threshold decides on that value — the same
+       summation-order tolerance class the DuckDB oracle already sits in
+       (it dots via ``list_dot_product``, its own order). No join-back:
+       the pair's cosine leaves the UDF with the pair.
     """
     n_rows = metadata_row_count(corpus)
     if n_rows is None:
@@ -448,37 +497,58 @@ def embedding_near_dup_pairs(
 
     ids, mat = _corpus_matrix(corpus, id_col, vec_col)
     sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast((ids, mat))
+    bc = sc.broadcast((ids, mat, mat.astype("float32")))
 
     def gemm_candidates(batches):
         import numpy as np
         import pandas as pd
 
-        all_ids, all_mat = bc.value
+        all_ids, m64, m32 = bc.value
         pos = {v: i for i, v in enumerate(all_ids)}
+        n = len(all_ids)
+        sblk = 512
+        s32 = np.empty((sblk, n), dtype=np.float32)
+        cut32 = np.float32(threshold - 1e-9 - 1e-4)
         for pdf in batches:
             idx = pdf[id_col].map(pos).to_numpy()
-            block = all_mat[idx]  # (b, d)
-            sims = block @ all_mat.T  # (b, n)
-            ai, bj = np.nonzero(sims >= threshold - 1e-9)
-            va = pdf[id_col].to_numpy()[ai]
-            vb = all_ids[bj]
-            keep = va < vb  # upper triangle only
-            yield pd.DataFrame({"vec_a": va[keep], "vec_b": vb[keep]})
+            out_a, out_b, out_c = [], [], []
+            # f32 find + f64 einsum rescore with a reused score buffer —
+            # same memory-bound rationale (and widened-cutoff safety
+            # argument) as semantic_dedup_pairs.gemm_cell; the sub-block
+            # keeps the transient at sblk x n x 4 bytes regardless of the
+            # Arrow batch size the runner picked
+            for s in range(0, len(idx), sblk):
+                sub = idx[s : s + sblk]
+                sv = s32[: len(sub)]
+                np.dot(m32[sub], m32.T, out=sv)
+                ai, bj = np.nonzero(sv >= cut32)
+                gi = sub[ai]
+                keep = all_ids[gi] < all_ids[bj]  # upper triangle once
+                gi, bj = gi[keep], bj[keep]
+                c64 = np.einsum("ij,ij->i", m64[gi], m64[bj])
+                ok = c64 >= threshold - 1e-9
+                out_a.append(all_ids[gi[ok]])
+                out_b.append(all_ids[bj[ok]])
+                out_c.append(c64[ok])
+            yield pd.DataFrame(
+                {
+                    "vec_a": np.concatenate(out_a) if out_a else np.array([], "int64"),
+                    "vec_b": np.concatenate(out_b) if out_b else np.array([], "int64"),
+                    "_cos": np.concatenate(out_c) if out_c else np.array([], "float64"),
+                }
+            )
 
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    cand = (
+    # the UDF emits the f64 GEMM cosine itself; earlier rounds joined the
+    # survivors back against the corpus twice to re-fold it — the same
+    # summation-order tolerance argument as semantic_dedup_pairs applies
+    # (the DuckDB oracle dots in its own order), so the joins bought bits
+    # below the 6dp round for two shuffles of vector payloads
+    return (
         corpus.select(id_col)
         .repartition(par)  # spread the GEMM blocks across all cores
-        .mapInPandas(gemm_candidates, "vec_a long, vec_b long")
-    )
-    a = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
-    return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select("vec_a", "vec_b", cosine_similarity("va", "vb").alias("_cos"))
-        .filter(F.col("_cos") >= threshold)  # exact sequential-fold decision
+        .mapInPandas(gemm_candidates, "vec_a long, vec_b long, _cos double")
+        .filter(F.col("_cos") >= threshold)
         .select("vec_a", "vec_b", F.round("_cos", COS_ROUND).alias("cosine"))
     )
 
@@ -507,45 +577,21 @@ def embedding_near_dup_pairs_bucketed(
         for t in range(n_tables)
     ]
 
-    def with_buckets(df: DataFrame, idal: str, vecal: str) -> DataFrame:
-        out = df.select(
-            F.col(id_col).alias(idal),
-            F.col(vec_col).alias(vecal),
-            *[
-                srp_bucket(vec_col, all_planes[t]).alias(f"_b{t}")
-                for t in range(n_tables)
-            ],
-        )
-        return out.select(
-            idal,
-            vecal,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bucket")
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select(
-            idal, vecal, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
-        )
-
-    a = with_buckets(corpus, "vec_a", "va")
-    b = with_buckets(corpus, "vec_b", "vb")
+    a = _with_srp_buckets(corpus, id_col, vec_col, "vec_a", "va", all_planes)
+    b = _with_srp_buckets(corpus, id_col, vec_col, "vec_b", "vb", all_planes)
+    # cosine BEFORE the pair-dedup, same reorder as lsh_topk: the dedup
+    # shuffle carries (id, id, double) instead of two 64-float vectors;
+    # the threshold still compares the UNROUNDED fold cosine
     cand = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "va", "vb")
+        .select(
+            "vec_a", "vec_b", cosine_similarity("va", "vb").alias("_cos")
+        )
         .dropDuplicates(["vec_a", "vec_b"])
     )
     return (
-        cand.select(
-            "vec_a", "vec_b", cosine_similarity("va", "vb").alias("_cos")
-        )
-        .filter(F.col("_cos") >= threshold)
+        cand.filter(F.col("_cos") >= threshold)
         .select("vec_a", "vec_b", F.round("_cos", COS_ROUND).alias("cosine"))
     )
 
@@ -798,12 +844,14 @@ def semantic_dedup_pairs(
 
     Scale shape: centroids broadcast; assignment is one crossJoin against
     the k-row centroid table collapsed by a map-side-combinable ``max_by``
-    (the shuffle moves n rows, not n*k). Pair generation runs in two
-    phases like :func:`embedding_near_dup_pairs`: a per-cell vectorized
-    GEMM emits candidates with 1e-6 slack, then the survivors (tiny) are
-    rescored with the exact sequential-fold cosine so the emitted values
-    and threshold decision match the DuckDB oracle bit-for-bit. Work is
-    sum over cells of |cell|^2, bounded two ways:
+    (the shuffle moves n rows, not n*k). Pair generation is one per-cell
+    vectorized GEMM that emits candidate pairs WITH their cosine; the 6dp
+    round + threshold filter then run on that value directly. (Earlier
+    rounds re-folded every candidate "exactly" through two corpus joins —
+    at 100x synthetic scale that rescore was ~40 s of a 78 s query for a
+    summation-order difference the 6dp round already absorbs: the DuckDB
+    oracle's list_dot_product uses its own order too.) Work is sum over
+    cells of |cell|^2, bounded two ways:
 
     - ``n_centroids="auto"`` sizes the quantizer from the corpus row count
       (parquet-footer metadata when available, zero Spark jobs) so the
@@ -869,8 +917,13 @@ def semantic_dedup_pairs(
 
         if not len(pdf):
             return pd.DataFrame(
-                {"id_a": [], "id_b": [], "centroid_id": []}
-            ).astype("int64")
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "centroid_id": pd.Series([], dtype="int64"),
+                    "_cos": pd.Series([], dtype="float64"),
+                }
+            )
         if len(pdf) > max_cell_rows:
             # hot-cell cap: deterministic downsample by splitmix64(id)
             h = _splitmix64(pdf[id_col].to_numpy().astype(np.uint64))
@@ -878,40 +931,71 @@ def semantic_dedup_pairs(
             pdf = pdf.iloc[np.sort(keep_idx)]
         V = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
         norms = np.maximum(np.linalg.norm(V, axis=1, keepdims=True), NORM_EPS)
-        N = V / norms
+        n64 = V / norms
+        # candidate FINDING runs in float32 with a widened cutoff; every
+        # survivor is then re-dotted in float64, so emitted values are
+        # identical to an all-f64 GEMM (verified bit-level on the 100x
+        # fixture). Why: this stage is memory-bound, not flop-bound — N
+        # concurrent workers each streaming block x |cell| f64 score
+        # blocks run ~8x slower than solo (measured 40 s vs 4.9 s/cell at
+        # 100x), and halving the block bytes plus reusing one
+        # preallocated buffer cuts the concurrent wall ~4x. The 1e-4
+        # widening is ~10x the worst-case f32 error of a 64-dim unit dot
+        # (~1e-5), so no true candidate can be lost to f32 rounding.
+        n32 = n64.astype(np.float32)
         ids = pdf[id_col].to_numpy()
         cell = int(pdf["cell"].iloc[0])
-        out_a, out_b = [], []
-        # row-blocked GEMM: peak memory block x |cell|, never |cell|^2
-        for s in range(0, len(N), gemm_block_rows):
-            S = N[s : s + gemm_block_rows] @ N.T
-            ii, jj = np.nonzero(S >= cutoff)
-            a, b = ids[s + ii], ids[jj]
-            keep = a < b
-            out_a.append(a[keep])
-            out_b.append(b[keep])
+        n = len(n64)
+        blk = min(gemm_block_rows, n)
+        s32 = np.empty((blk, n), dtype=np.float32)
+        cut32 = np.float32(cutoff - 1e-4)
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n, gemm_block_rows):
+            rows = n32[s : s + gemm_block_rows]
+            sv = s32[: len(rows)]
+            np.dot(rows, n32.T, out=sv)
+            ii, jj = np.nonzero(sv >= cut32)
+            # position upper-triangle: each unordered pair extracted once
+            keep = jj > (s + ii)
+            ii, jj = ii[keep], jj[keep]
+            c64 = np.einsum("ij,ij->i", n64[s + ii], n64[jj])
+            ok = c64 >= cutoff
+            gi, gj = s + ii[ok], jj[ok]
+            a, b = ids[gi], ids[gj]
+            sw = a > b
+            out_a.append(np.where(sw, b, a))
+            out_b.append(np.where(sw, a, b))
+            out_c.append(c64[ok])
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
         return pd.DataFrame(
-            {"id_a": a, "id_b": b, "centroid_id": np.full(len(a), cell)}
+            {
+                "id_a": a,
+                "id_b": b,
+                "centroid_id": np.full(len(a), cell),
+                "_cos": np.concatenate(out_c),
+            }
         )
 
+    # the cell GEMM emits the cosine itself (round 7): the previous plan
+    # joined the (at 100x synthetic scale) ~10M candidate pairs back
+    # against the corpus TWICE to re-fold an "exact" cosine — ~40 s of the
+    # query's 78 s. The BLAS value differs from the sequential fold only
+    # in summation order, the SAME tolerance class the cross-engine parity
+    # already absorbs (the DuckDB oracle folds via list_dot_product, its
+    # own order), so rounding the GEMM value with the identical F.round
+    # keeps the oracle hash-green while deleting both joins and the per-
+    # pair re-folds. Threshold semantics unchanged: candidates carry 1e-6
+    # slack; the final filter compares the 6dp-ROUNDED cosine.
     cand = assigned.groupBy("cell").applyInPandas(
-        gemm_cell, "id_a long, id_b long, centroid_id long"
+        gemm_cell, "id_a long, id_b long, centroid_id long, _cos double"
     )
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "centroid_id",
-            F.round(cosine_similarity("_va", "_vb"), COS_ROUND).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        "centroid_id",
+        F.round(F.col("_cos"), COS_ROUND).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
 
 
 def random_projection(
