@@ -274,3 +274,31 @@ def test_cross_corpus_minhash_sides_are_disjoint(spark, sf_dir):
         assert r.doc_new in new_ids and r.doc_ref in ref_ids
         assert r.jaccard >= 0.5
     release_operator_caches()
+
+
+def test_pagerank_driver_fast_path_matches_distributed(spark):
+    """The small-graph driver iteration (round 7) must reproduce the
+    distributed plan's (node, rank) output exactly — same per-round
+    HALF_UP grid, same term association."""
+    import random
+
+    from zarr_datafusion_search_spark.operators.graph import pagerank
+
+    rng = random.Random(7)
+    labels = [f"t{i}" for i in range(12)]
+    rows = []
+    for _ in range(60):
+        a, b = rng.sample(labels, 2)
+        rows.append((a, b, float(rng.randint(1, 9))))
+    edges = spark.createDataFrame(rows, "src string, dst string, weight double")
+    fast = {
+        r.node: r["rank"]
+        for r in pagerank(edges, n_iter=5, weight="weight").collect()
+    }
+    dist = {
+        r.node: r["rank"]
+        for r in pagerank(
+            edges, n_iter=5, weight="weight", driver_max_nodes=0
+        ).collect()
+    }
+    assert fast == dist

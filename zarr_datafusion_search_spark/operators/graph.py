@@ -20,7 +20,12 @@ power iteration expressed as pure DataFrame ops:
 
 At 100 TB the rank vector is a distributed (node, rank) relation; the only
 per-round synchronization is the 1-row dangling-mass aggregate, exactly the
-shape the classic MapReduce/Pregel formulations use.
+shape the classic MapReduce/Pregel formulations use. When the COLLAPSED
+graph is small (bounded by the domain's label vocabulary, not the corpus —
+event-type transitions, source-to-source links), the iteration instead
+runs driver-side over the collected edge list (:func:`_pagerank_driver`),
+replaying the identical arithmetic and rounding grid: ten scheduler-bound
+micro-jobs per query collapse into one collect.
 """
 
 from __future__ import annotations
@@ -33,6 +38,81 @@ from pyspark.sql import DataFrame, Window
 #: lose no meaningful precision before the final 6-decimal rounding
 RANK_ROUND = 10
 
+#: the driver fast path fires when the COLLAPSED graph is at most this
+#: big. The collapsed (node, node) transition graph's size is a property
+#: of the DOMAIN (event types, source labels), not the corpus — it stops
+#: growing long before the data does — while the distributed path pays
+#: ~10 tiny scheduler-bound jobs per query (2 per round: the dangling
+#: broadcast and the rank checkpoint). Measured at 100x synthetic scale:
+#: 14.5 s distributed vs ~4 s with the fast path, on a graph of a few
+#: dozen nodes. Above the bound (doc-level graphs) the distributed
+#: iteration is the only shape that works, and is kept verbatim.
+PAGERANK_DRIVER_MAX_NODES = 20_000
+PAGERANK_DRIVER_MAX_EDGES = 500_000
+
+
+def _spark_round(x: float, scale: int) -> float:
+    """Spark's ROUND on DoubleType, exactly: HALF_UP over the SHORTEST
+    decimal representation of the double (Scala ``BigDecimal.decimal`` is
+    ``java.math.BigDecimal.valueOf`` is ``Double.toString``; Python's
+    ``repr`` produces the same shortest round-trip decimal)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-scale), ROUND_HALF_UP))
+
+
+def _pagerank_driver(
+    e: DataFrame, nodes: DataFrame, n_nodes: int, n_iter: int, damping: float
+) -> DataFrame:
+    """Driver-side power iteration over the (small) collapsed edge list.
+
+    Replays the distributed plan's arithmetic term-for-term — same
+    ``base`` literal, same ``base + d * (contrib + dm/n)`` association,
+    same per-round :data:`RANK_ROUND` HALF_UP grid (:func:`_spark_round`)
+    — so the only divergence from the distributed path is float summation
+    order inside ``contrib``/``ow``, the class the per-round grid exists
+    to absorb. Output schema and values match the distributed path and
+    the DuckDB oracle."""
+    import numpy as np
+    from decimal import Decimal
+
+    spark = e.sparkSession
+    node_rows = nodes.collect()
+    node_vals = [r["node"] for r in node_rows]
+    idx = {v: i for i, v in enumerate(node_vals)}
+    erows = e.collect()
+    src_i = np.array([idx[r["_src"]] for r in erows], dtype=np.int64)
+    dst_i = np.array([idx[r["_dst"]] for r in erows], dtype=np.int64)
+    w = np.array([r["_w"] for r in erows], dtype=np.float64)
+    ow = np.zeros(n_nodes)
+    np.add.at(ow, src_i, w)
+    frac = w / ow[src_i]
+    no_out = np.ones(n_nodes, dtype=bool)
+    no_out[src_i] = False
+
+    ranks = np.full(n_nodes, 1.0 / n_nodes)
+    base = float(Decimal(1) - Decimal(str(damping))) / n_nodes
+    for _ in range(n_iter):
+        dm = float(ranks[no_out].sum()) if no_out.any() else 0.0
+        contrib = np.zeros(n_nodes)
+        np.add.at(contrib, dst_i, ranks[src_i] * frac)
+        ranks = np.array(
+            [
+                _spark_round(base + damping * (c + dm / n_nodes), RANK_ROUND)
+                for c in contrib
+            ]
+        )
+    out = [(v, _spark_round(r, 6)) for v, r in zip(node_vals, ranks)]
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("node", nodes.schema["node"].dataType, True),
+            StructField("rank", DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
 
 def pagerank(
     edges: DataFrame,
@@ -41,6 +121,8 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = None,
+    driver_max_nodes: int = PAGERANK_DRIVER_MAX_NODES,
+    driver_max_edges: int = PAGERANK_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` damped power-iteration rounds.
 
@@ -76,6 +158,8 @@ def pagerank(
         # empty edge list -> empty ranking (matches the oracle, which
         # yields zero rows), not a ZeroDivisionError at plan build
         return nodes.select("node", F.lit(0.0).alias("rank"))
+    if n_nodes <= driver_max_nodes and e.count() <= driver_max_edges:
+        return _pagerank_driver(e, nodes, n_nodes, n_iter, damping)
     outw = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
     # out-weight folded into the edge relation once: every round's join
     # then touches a single pre-divided edge list
