@@ -1018,30 +1018,44 @@ def random_projection(
     component, values in double precision rounded to 6 decimals (the
     oracle's pairwise summation differs from the JVM fold at ~1e-13).
 
-    Built as one SQL expression per component (single expr parse; the
-    Column-DSL equivalent costs seconds of py4j round-trips per plan).
-    The ``d_out`` x ``dim`` fold per row runs inside the scan stage, so an
-    under-split input is repaired first.
+    The ``d_out`` x ``dim`` projection is one Arrow-batched numpy GEMM
+    (round 7 — previously d_out interpreted ``zip_with`` fold expressions
+    per row, 40x the DuckDB twin at 100x synthetic scale); the BLAS
+    summation order sits in the same tolerance class as the oracle's
+    ``list_dot_product``, and the 6dp round is applied by the identical
+    ``F.round`` JVM-side. The per-row GEMM runs inside the scan stage, so
+    an under-split input is repaired first.
     """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     from zarr_datafusion_search_spark.operators.scanning import (
         ensure_scan_parallelism,
     )
 
     corpus = ensure_scan_parallelism(corpus)
-    planes = [_hyperplane(dim, 7000 + p) for p in range(d_out)]
-    dots = []
-    for plane in planes:
-        arr = ", ".join(f"{x!r}D" for x in plane)
-        dots.append(
-            f"round(aggregate(zip_with({vec_col}, array({arr}), "
-            f"(x, y) -> cast(x AS double) * y), 0.0D, (acc, x) -> acc + x), 6)"
-        )
+    plane_mat = np.array(
+        [_hyperplane(dim, 7000 + p) for p in range(d_out)], dtype=np.float64
+    ).T  # dim x d_out
+
+    @pandas_udf("array<double>")
+    def _proj(vec):
+        import numpy as np
+        import pandas as pd
+
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(vec.to_numpy()).astype(np.float64)
+        return pd.Series(list(mat @ plane_mat))
+
     return corpus.select(
         F.col(id_col),
-        F.posexplode(F.expr("array(" + ", ".join(dots) + ")")).alias(
-            "component", "value"
-        ),
-    ).select(id_col, F.col("component").cast("int").alias("component"), "value")
+        F.posexplode(_proj(F.col(vec_col))).alias("component", "value"),
+    ).select(
+        id_col,
+        F.col("component").cast("int").alias("component"),
+        F.round("value", 6).alias("value"),
+    )
 
 
 def duckdb_random_projection_sql(
