@@ -372,6 +372,30 @@ def _measure_fixed_cost(spark) -> float:
     return round(statistics.median(times), 4)
 
 
+#: pre-flight contention gate (VERDICT r07 ask #2 — the r7 driver record
+#: ran while builder sweeps still occupied the box and self-declared
+#: contended, leaving the round with no quotable idle headline): before any
+#: timing, the warmed fixed-cost probe is polled until it returns inside
+#: the idle envelope or this wait budget (seconds) is exhausted.
+CONTENTION_WAIT_S = float(os.environ.get("SPARK_GRAFT_CONTENTION_WAIT_S", "240"))
+#: total Spark measurement attempts: if a completed pass is still
+#: contended (start OR end probe over the envelope), the Spark sections are
+#: re-run from scratch once before the record is written with whatever the
+#: final pass measured (and an honest `contended` stamp).
+BENCH_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
+
+
+def _wait_for_idle(spark) -> float:
+    """Poll the fixed-cost probe until idle or the wait budget runs out;
+    returns the last probe value (the record's fixed_cost_s)."""
+    deadline = time.monotonic() + CONTENTION_WAIT_S
+    fc = _measure_fixed_cost(spark)
+    while fc > IDLE_FIXED_COST_S and time.monotonic() < deadline:
+        time.sleep(15)
+        fc = _measure_fixed_cost(spark)
+    return fc
+
+
 def _time_section(
     spark, registry, section_names, runs: int, data_dir: str
 ) -> dict:
@@ -472,18 +496,34 @@ def main() -> None:
         "extended_r5": (EXTENDED_R5, RUNS, SCALE_DIR),
     }
 
-    loadavg_start = [round(x, 2) for x in os.getloadavg()]
-    fixed_cost_s = _measure_fixed_cost(spark)
+    # contention-gated measurement (VERDICT r07 ask #2): wait for an idle
+    # probe before timing, re-probe AFTER the suite, and re-run the Spark
+    # sections once if either probe says the pass ran on a loaded host —
+    # a contended record is not quotable, so one retry is cheaper than a
+    # round without an arms-length number.
+    for attempt in range(1, BENCH_ATTEMPTS + 1):
+        loadavg_start = [round(x, 2) for x in os.getloadavg()]
+        fixed_cost_s = _wait_for_idle(spark)
 
-    spark_times: dict[str, dict] = {}
-    for sec, (names, runs, data_dir) in sections.items():
-        spark_times[sec] = _time_section(spark, registry, names, runs, data_dir)
-        release_operator_caches()
-        # reclaim the released cache blocks' old-gen now, not during the
-        # next section's timed runs (part of the section-order protocol)
-        spark.sparkContext._jvm.System.gc()
+        spark_times: dict[str, dict] = {}
+        for sec, (names, runs, data_dir) in sections.items():
+            spark_times[sec] = _time_section(
+                spark, registry, names, runs, data_dir
+            )
+            release_operator_caches()
+            # reclaim the released cache blocks' old-gen now, not during
+            # the next section's timed runs (part of the section-order
+            # protocol)
+            spark.sparkContext._jvm.System.gc()
 
-    zarr_micro = _zarr_scan_bench(spark)
+        zarr_micro = _zarr_scan_bench(spark)
+        fixed_cost_end_s = _measure_fixed_cost(spark)
+        contended = (
+            fixed_cost_s > IDLE_FIXED_COST_S
+            or fixed_cost_end_s > IDLE_FIXED_COST_S
+        )
+        if not contended:
+            break
 
     # paired DuckDB measurement: identical SQL over the same parquet, same
     # warmup+median protocol, run AFTER all Spark timing so DuckDB never
@@ -531,16 +571,19 @@ def main() -> None:
 
     # host-state stamp (VERDICT r06 ask #2): the warmed fixed-cost probe is
     # a direct measurement of scheduler latency under whatever else the host
-    # is running; loadavg is recorded for forensics. A record taken while
-    # fixed cost exceeds the idle envelope is marked contended and is NOT a
-    # quotable performance number.
+    # is running (probed before AND after the suite); loadavg is recorded
+    # for forensics. A record taken while either probe exceeds the idle
+    # envelope is marked contended and is NOT a quotable performance number.
     host_state = {
         "loadavg_start": loadavg_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "cpus": os.cpu_count(),
         "fixed_cost_s": fixed_cost_s,
+        "fixed_cost_end_s": fixed_cost_end_s,
         "idle_fixed_cost_envelope_s": IDLE_FIXED_COST_S,
-        "contended": fixed_cost_s > IDLE_FIXED_COST_S,
+        "contended": contended,
+        "attempts": attempt,
+        "contention_wait_s": CONTENTION_WAIT_S,
     }
 
     detail = {

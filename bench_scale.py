@@ -102,6 +102,9 @@ SCALE_QUERIES = [
     # degree-capped LPA variant (VERDICT r06 ask #5): proves the cap
     # bounds the unguarded superlinear growth
     "label_propagation_sources_guarded",
+    # explicit degree_cap=None opt-out (round 8: the DEFAULT became
+    # 'auto', so the unguarded trend now lives under its own name)
+    "label_propagation_sources_unguarded",
 ]
 
 _P1, _P2 = 1663, 2741  # copy-partner strides, coprime with the base sizes
@@ -303,7 +306,7 @@ def _time_spark(spark, registry, names, runs) -> dict:
     return out
 
 
-def _time_duck(registry, names, runs) -> tuple[dict, list]:
+def _time_duck(registry, names, runs) -> tuple[dict, list, dict]:
     import threading
 
     import duckdb

@@ -302,6 +302,11 @@ def minhash_lsh_pairs(
         sizes = bands.groupBy("band", "sig").agg(
             F.count(F.lit(1)).alias("_bn")
         )
+        if isinstance(max_bucket_size, str) and max_bucket_size != "auto":
+            raise ValueError(
+                "max_bucket_size must be an int, None, or 'auto'; got "
+                f"{max_bucket_size!r}"
+            )
         if max_bucket_size == "auto":
             # persisted because the auto rule reads it twice across two
             # actions (histogram collect now, semi-join filter in the main

@@ -55,10 +55,15 @@ def _spark_round(x: float, scale: int) -> float:
     """Spark's ROUND on DoubleType, exactly: HALF_UP over the SHORTEST
     decimal representation of the double (Scala ``BigDecimal.decimal`` is
     ``java.math.BigDecimal.valueOf`` is ``Double.toString``; Python's
-    ``repr`` produces the same shortest round-trip decimal)."""
+    ``repr`` produces the same shortest round-trip decimal). ``x`` is
+    coerced through :class:`float` first so numpy scalars format as plain
+    decimals (numpy>=2 reprs ``np.float64(0.1)`` as ``'np.float64(0.1)'``,
+    which ``Decimal`` rejects)."""
     from decimal import ROUND_HALF_UP, Decimal
 
-    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-scale), ROUND_HALF_UP))
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal(1).scaleb(-scale), ROUND_HALF_UP)
+    )
 
 
 def _pagerank_driver(
@@ -280,6 +285,44 @@ r{i} AS (
     return sql
 
 
+#: the auto degree cap's exact discrete quantile (p99.5 of node degrees)
+#: and floor — same constants and same integer-exact rule as the MinHash
+#: auto bucket cap, so the two default guards share one philosophy: benign
+#: sparse graphs are never trimmed (every node below the floor keeps its
+#: full adjacency), and naturally dense graphs raise the cap with them so
+#: only the degenerate hub tail is cut.
+LPA_AUTO_Q_NUM = 995
+LPA_AUTO_Q_DEN = 1000
+LPA_AUTO_FLOOR = 8
+
+
+def _auto_degree_cap(und: DataFrame) -> int:
+    """Adaptive per-node degree cap from the out-degree HISTOGRAM.
+
+    The collect is bounded by the number of DISTINCT degree values (at
+    most max-degree rows, typically a few hundred), never by node or edge
+    counts — one extra aggregation job at any scale. Exact integer
+    arithmetic (smallest degree whose cumulative node count covers 99.5%
+    of nodes) so the DuckDB oracle replays the rule bit-for-bit.
+    """
+    hist = (
+        und.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .groupBy("_d")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    rows = sorted(hist.collect(), key=lambda r: r["_d"])
+    n = sum(r["_c"] for r in rows)
+    q = None
+    cum = 0
+    for r in rows:
+        cum += r["_c"]
+        if cum * LPA_AUTO_Q_DEN >= n * LPA_AUTO_Q_NUM:
+            q = r["_d"]
+            break
+    return max(LPA_AUTO_FLOOR, q if q is not None else LPA_AUTO_FLOOR)
+
+
 def label_propagation(
     edges: DataFrame,
     seeds: DataFrame,
@@ -287,7 +330,7 @@ def label_propagation(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     weight_col: str = "jaccard",
-    degree_cap: int | None = None,
+    degree_cap: int | str | None = "auto",
 ) -> DataFrame:
     """Semi-supervised label propagation over a weighted undirected graph.
 
@@ -318,6 +361,16 @@ def label_propagation(
     Capping keeps each round's join linear in node count. A node's
     heaviest neighbors dominate its weighted-majority vote anyway, so the
     argmax is usually unchanged; seeds are unaffected (clamped).
+
+    The DEFAULT is ``"auto"`` (the same graduation the MinHash guard made
+    in round 7): cap = max(:data:`LPA_AUTO_FLOOR`, exact 99.5th percentile
+    of the node out-degree distribution), derived from one bounded
+    histogram collect (:func:`_auto_degree_cap`) over the symmetrized edge
+    list. A direct caller handing in an independently built heavy-tailed
+    edge list is now protected by default, not only when the upstream
+    minhash bucket cap happens to have trimmed the pairs. Pass an int for
+    a fixed cap, or ``None`` to opt out entirely (exact unguarded
+    semantics).
     """
     from zarr_datafusion_search_spark.operators.cache import tracked_persist
 
@@ -340,6 +393,12 @@ def label_propagation(
         )
     )
     if degree_cap is not None:
+        if isinstance(degree_cap, str) and degree_cap != "auto":
+            raise ValueError(
+                "degree_cap must be an int, None, or 'auto'; got "
+                f"{degree_cap!r}"
+            )
+        cap = _auto_degree_cap(und) if degree_cap == "auto" else degree_cap
         wdeg = Window.partitionBy("src").orderBy(
             F.col("w").desc(), F.col("dst")
         )
@@ -347,7 +406,7 @@ def label_propagation(
         # src) would re-run inside every round's join
         und = (
             und.withColumn("_dr", F.row_number().over(wdeg))
-            .filter(F.col("_dr") <= degree_cap)
+            .filter(F.col("_dr") <= cap)
             .drop("_dr")
             .localCheckpoint(eager=True)
         )

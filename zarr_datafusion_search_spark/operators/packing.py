@@ -120,13 +120,20 @@ def shard_by_token_budget(
        exclusive prefix sums from a window over that TINY relation (rows =
        partition count, never data rows), broadcast back onto the rows.
 
-    Single action, no Python, no checkpoint, no collect: the pid-hash
-    exchange under the window is shared by the totals branch and the probe
-    branch via ReuseExchange, so the token counting runs once. The result
-    is independent of the partitioning: shard_id =
-    floor((global_cumsum - n_tokens) / budget), the same grid convention
-    as :func:`pack_documents_cumsum`.
+    Single action, no Python, no checkpoint, no collect: the token
+    counting runs once because ``local`` is (lazily) persisted — the
+    totals branch materializes the cache while building its broadcast and
+    the probe branch reads the SAME pid/local_cum rows back, so the
+    ``spark_partition_id()`` stamp cannot diverge between the two
+    branches under a task retry or an AQE replan that defeats
+    ReuseExchange (nondeterministic upstream lineage would otherwise let
+    rows land in different pids per branch and silently corrupt the
+    global cumsum). The result is independent of the partitioning:
+    shard_id = floor((global_cumsum - n_tokens) / budget), the same grid
+    convention as :func:`pack_documents_cumsum`.
     """
+    from .cache import tracked_persist
+
     prepared = (
         docs.select(F.col(id_col), _token_count(text_col).alias("n_tokens"))
         .repartitionByRange(
@@ -135,11 +142,13 @@ def shard_by_token_budget(
         .withColumn("pid", F.spark_partition_id())
     )
     w_cum = Window.partitionBy("pid").orderBy(id_col)
-    local = prepared.select(
-        id_col,
-        "n_tokens",
-        "pid",
-        F.sum("n_tokens").over(w_cum).alias("local_cum"),
+    local = tracked_persist(
+        prepared.select(
+            id_col,
+            "n_tokens",
+            "pid",
+            F.sum("n_tokens").over(w_cum).alias("local_cum"),
+        )
     )
     tot = local.groupBy("pid").agg(F.max("local_cum").alias("ptotal"))
     w_off = Window.orderBy("pid").rowsBetween(
@@ -173,20 +182,32 @@ def global_cumsum(
     on ``spark_partition_id()``, exclusive prefix offsets from a window
     over the partition-totals relation (rows = partition count, never data
     rows), broadcast back. Never the single-task global-window cumsum, and
-    no Python in the row path.
+    no Python in the row path. ``local`` is (lazily) persisted so the
+    totals branch and the probe branch read the same frozen pid
+    assignment (see :func:`shard_by_token_budget`).
+
+    PRECONDITION: ``order_col`` values must be unique. The per-partition
+    window's default RANGE frame gives tied order keys their tied-group
+    total, and ties that straddle a range-partition boundary would split
+    nondeterministically — both only matter when keys repeat. Every
+    caller in this repo orders by a unique id.
     """
+    from .cache import tracked_persist
+
     in_schema = df.schema
     prepared = df.repartitionByRange(
         df.sparkSession.sparkContext.defaultParallelism, F.col(order_col)
     ).withColumn("pid", F.spark_partition_id())
     w_cum = Window.partitionBy("pid").orderBy(order_col)
-    local = prepared.select(
-        *[F.col(f.name) for f in in_schema.fields],
-        "pid",
-        *[
-            F.sum(F.col(c)).over(w_cum).cast("long").alias(f"cum_{c}")
-            for c in value_cols
-        ],
+    local = tracked_persist(
+        prepared.select(
+            *[F.col(f.name) for f in in_schema.fields],
+            "pid",
+            *[
+                F.sum(F.col(c)).over(w_cum).cast("long").alias(f"cum_{c}")
+                for c in value_cols
+            ],
+        )
     )
     tot = local.groupBy("pid").agg(
         *[F.max(f"cum_{c}").alias(f"t_{c}") for c in value_cols]

@@ -1269,10 +1269,22 @@ def source_ngram_diversity(
     one stamping out templates (low ratio = the same trigrams over and
     over, a proxy for low-entropy generation or boilerplate farms).
 
-    One exact distinct per group: shuffle keyed on (group, gram), partial
-    counts map-side; the ratio is a two-aggregate division rounded 6dp.
-    The ~80x row amplification of the gram explode runs in the scan stage,
-    so an under-split input file serializes it — repair parallelism first.
+    The distinct shuffles ``xxhash64(gram)`` LONGS, not the ~80x-amplified
+    gram strings: the string is built and hashed inside the scan-stage
+    codegen and dropped before the exchange, so every shuffle row is a
+    fixed (group, 8-byte hash, 8-byte count) triple — measured 16.4 s ->
+    under the 2x gate at 100x, where the string shuffle was the entire
+    over-gate cost. Distinct-counting hashes instead of strings undercounts
+    only on a 64-bit collision (P ~ n^2/2^65; ~7e-5 for 50M distinct grams
+    — far below any quality-audit signal); the DuckDB oracle counts the
+    exact strings, so a collision would surface as a hash mismatch rather
+    than hide. Two-step aggregation instead of ``countDistinct`` keeps the
+    plan to ONE data-sized exchange with map-side combine (the
+    distinct-rewrite would Expand every row 2x pre-shuffle): first
+    (group, gram_h) partial counts, then a per-group rollup over the
+    already-distinct relation. The ~80x row amplification of the gram
+    explode runs in the scan stage, so an under-split input file
+    serializes it — repair parallelism first.
     """
     from zarr_datafusion_search_spark.operators.dedup import tokens_col
     from zarr_datafusion_search_spark.operators.scanning import (
@@ -1293,12 +1305,13 @@ def source_ngram_diversity(
     ).otherwise(F.array().cast("array<string>"))
     g = docs.select(
         F.col(group_col).alias("grp"), F.explode(grams).alias("gram")
-    )
+    ).select("grp", F.xxhash64("gram").alias("gram_h"))
+    per_gram = g.groupBy("grp", "gram_h").agg(F.count(F.lit(1)).alias("_c"))
     return (
-        g.groupBy("grp")
+        per_gram.groupBy("grp")
         .agg(
-            F.count(F.lit(1)).alias("total_ngrams"),
-            F.countDistinct("gram").alias("distinct_ngrams"),
+            F.sum("_c").alias("total_ngrams"),
+            F.count(F.lit(1)).alias("distinct_ngrams"),
         )
         .select(
             F.col("grp").alias(group_col),

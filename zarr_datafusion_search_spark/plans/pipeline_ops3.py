@@ -606,7 +606,7 @@ def time_decayed_engagement(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _label_propagation_oracle(
-    n_rounds: int = 3, degree_cap: int | None = None
+    n_rounds: int = 3, degree_cap: int | str | None = "auto"
 ) -> str:
     from zarr_datafusion_search_spark.plans.pipeline_ops import (
         _MH_CTES,
@@ -651,19 +651,45 @@ def _label_propagation_oracle(
       SELECT doc_b, doc_a, jaccard FROM pairs
     )"""
     else:
+        from zarr_datafusion_search_spark.operators.graph import (
+            LPA_AUTO_FLOOR,
+            LPA_AUTO_Q_DEN,
+            LPA_AUTO_Q_NUM,
+        )
+
+        if degree_cap == "auto":
+            # replay the engine's integer-exact adaptive rule
+            # (graph._auto_degree_cap): smallest degree whose cumulative
+            # node count covers 99.5% of nodes, floored
+            cap_expr = "(SELECT cap FROM dcap)"
+            cap_ctes = f"""dhist AS (
+      SELECT d, count(*) AS c FROM (
+        SELECT src, count(*) AS d FROM und_all GROUP BY 1) GROUP BY 1
+    ),
+    dcap AS (
+      SELECT greatest({LPA_AUTO_FLOOR}, coalesce(min(d), {LPA_AUTO_FLOOR}))
+               AS cap
+      FROM (SELECT d, sum(c) OVER (ORDER BY d) AS cumc FROM dhist)
+      WHERE cumc * {LPA_AUTO_Q_DEN}
+            >= (SELECT sum(c) FROM dhist) * {LPA_AUTO_Q_NUM}
+    ),
+    """
+        else:
+            cap_expr = str(degree_cap)
+            cap_ctes = ""
         # replay the engine's degree cap exactly: per src, keep the cap
         # heaviest edges, ties by dst — identical window spec both engines
-        und_cte = f"""und_all AS (
+        und_cte = f"""und_all AS MATERIALIZED (
       SELECT doc_a AS src, doc_b AS dst, jaccard AS w FROM pairs
       UNION ALL
       SELECT doc_b, doc_a, jaccard FROM pairs
     ),
-    und AS MATERIALIZED (
+    {cap_ctes}und AS MATERIALIZED (
       SELECT src, dst, w FROM (
         SELECT src, dst, w, row_number() OVER (
           PARTITION BY src ORDER BY w DESC, dst) AS dr
         FROM und_all)
-      WHERE dr <= {degree_cap}
+      WHERE dr <= {cap_expr}
     )"""
     return f"""
     WITH {_MH_CTES},
@@ -686,8 +712,11 @@ def _label_propagation_oracle(
     "clamped, 6dp-rounded weight sums so the argmax is identical "
     "cross-engine. Per round: one labeled-edge join + one (node, label) "
     "agg + one argmax window, label relation localCheckpoint-ed (flat "
-    "plan at any round count). Oracle: the identical 3 rounds unrolled "
-    "as CTEs.",
+    "plan at any round count). DEFAULT path — the per-node degree cap is "
+    "'auto' (p99.5 of the out-degree histogram, floor 8, integer-exact), "
+    "so direct callers with heavy-tailed edge lists are guarded without "
+    "opting in. Oracle: the identical 3 rounds unrolled as CTEs, with "
+    "the identical quantile cap CTE.",
 )
 def label_propagation_sources(spark: SparkSession, sf: str) -> DataFrame:
     from zarr_datafusion_search_spark.operators import dedup
@@ -701,6 +730,31 @@ def label_propagation_sources(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("node"), F.col("source").alias("label")
     )
     out = label_propagation(pairs, seeds, n_rounds=3)
+    return out.select(F.col("node").alias("doc_id"), "label")
+
+
+@register(
+    "label_propagation_sources_unguarded",
+    oracle=_label_propagation_oracle(degree_cap=None),
+    doc="Label propagation with degree_cap=None — the explicit opt-out "
+    "from the default 'auto' per-node degree cap (exact unguarded "
+    "semantics, every incident edge votes). Registered so the opt-out "
+    "path stays oracled, mirroring dedup_minhash_lsh_unguarded.",
+)
+def label_propagation_sources_unguarded(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from zarr_datafusion_search_spark.operators import dedup
+    from zarr_datafusion_search_spark.operators.graph import label_propagation
+
+    docs = table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, rows_per_band=4, jaccard_threshold=0.5
+    )
+    seeds = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("node"), F.col("source").alias("label")
+    )
+    out = label_propagation(pairs, seeds, n_rounds=3, degree_cap=None)
     return out.select(F.col("node").alias("doc_id"), "label")
 
 

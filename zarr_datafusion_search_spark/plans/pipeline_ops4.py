@@ -458,8 +458,10 @@ def span_corruption_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="Per-source trigram diversity (distinct/total) — the "
     "self-repetition audit separating varied sources from template "
-    "stampers. One exact distinct keyed on (source, gram), partial "
-    "counts map-side.",
+    "stampers. The distinct shuffles xxhash64(gram) longs (strings are "
+    "hashed and dropped inside the scan stage); the oracle counts the "
+    "exact strings, equal modulo the 2^-64 per-pair collision bound "
+    "(~7e-5 cumulative at 50M distinct grams).",
 )
 def source_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:
     from zarr_datafusion_search_spark.operators.text import (
