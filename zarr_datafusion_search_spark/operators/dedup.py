@@ -48,6 +48,32 @@ def tokens_col(text_col: str = "text"):
     )
 
 
+def word_ngrams_col(tokens, n: int):
+    """``array<string>`` of space-joined word n-grams over an already
+    tokenized array column — ``[]`` when fewer than ``n`` tokens.
+
+    Built as n-1 ``zip_with`` concats over shifted slices instead of the
+    natural ``transform(sequence(1, k), i -> array_join(slice(t, i, n)))``:
+    the per-element ``slice`` allocates a fresh sub-array per gram and the
+    construction dominated the whole gram-exploding query class — measured
+    at 100x scale, ``source_ngram_diversity`` drops 15 s -> 4.7 s from
+    this swap alone (identical output strings). Pass a PROJECTED column
+    (``.select(tokens_col(...).alias("_toks"))`` first), not the raw
+    tokenizer expression: expressions referenced inside lambda bodies are
+    re-evaluated per element, turning the tokenizer into an O(grams)
+    cost (measured 39 s for the same query).
+    """
+    kk = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+    acc = F.slice(tokens, 1, kk)
+    for j in range(2, n + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(tokens, j, kk),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    return acc
+
+
 def spread(df: DataFrame, key: str) -> DataFrame:
     """Repartition a compute-heavy input across all cores.
 

@@ -1166,21 +1166,19 @@ def crosslingual_align_candidates(
     generates pairs. Pairs are canonical (``doc_a < doc_b``).
     """
     from zarr_datafusion_search_spark.operators.cache import tracked_persist
-    from zarr_datafusion_search_spark.operators.dedup import tokens_col
+    from zarr_datafusion_search_spark.operators.dedup import (
+        tokens_col,
+        word_ngrams_col,
+    )
 
-    t = tokens_col(text_col)
-    k = F.size(t) - (n - 1)
-    grams = F.when(
-        k >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.array_join(F.slice(t, i, n), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     toks = docs.select(
-        F.col(id_col), F.col(lang_col), F.explode(grams).alias("term")
+        F.col(id_col), F.col(lang_col), tokens_col(text_col).alias("_toks")
+    ).select(
+        id_col,
+        lang_col,
+        F.explode(
+            F.array_distinct(word_ngrams_col(F.col("_toks"), n))
+        ).alias("term"),
     )
     dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     rare = tracked_persist(
@@ -1286,26 +1284,24 @@ def source_ngram_diversity(
     explode runs in the scan stage, so an under-split input file
     serializes it — repair parallelism first.
     """
-    from zarr_datafusion_search_spark.operators.dedup import tokens_col
+    from zarr_datafusion_search_spark.operators.dedup import (
+        tokens_col,
+        word_ngrams_col,
+    )
     from zarr_datafusion_search_spark.operators.scanning import (
         ensure_scan_parallelism,
     )
 
     docs = ensure_scan_parallelism(docs)
-    t = tokens_col(text_col)
-    k = F.size(t) - (n - 1)
-    # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of being
-    # empty, so short docs must take the empty-array branch explicitly
-    grams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(t, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = docs.select(
-        F.col(group_col).alias("grp"), F.explode(grams).alias("gram")
-    ).select("grp", F.xxhash64("gram").alias("gram_h"))
+    g = (
+        docs.select(
+            F.col(group_col).alias("grp"), tokens_col(text_col).alias("_toks")
+        )
+        .select(
+            "grp", F.explode(word_ngrams_col(F.col("_toks"), n)).alias("gram")
+        )
+        .select("grp", F.xxhash64("gram").alias("gram_h"))
+    )
     per_gram = g.groupBy("grp", "gram_h").agg(F.count(F.lit(1)).alias("_c"))
     return (
         per_gram.groupBy("grp")
