@@ -212,6 +212,37 @@ EXTENDED_R5 = [
     "bpe_train_merges",
 ]
 
+#: the coverage catch-all's heavy members (VERDICT r07 ask #7): the
+#: iterative / amplifying queries that dominated the section every round
+#: (IVF-Lloyd, connected components, the LPA and minhash opt-out
+#: variants, the fake-media embed pipeline). All touch only the scaled
+#: tables, so like extended/r3/r4/r5 their official record moves to the
+#: 10x scale-up where per-query work dominates the fixed job constant.
+#: 1 timed run like the rest of coverage (bounding total bench
+#: wall-clock); the remaining sf0.1 coverage members are the genuinely
+#: light per-query tail.
+COVERAGE_HEAVY_10X = [
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_recall",
+    "label_propagation_sources_guarded",
+    "label_propagation_sources_unguarded",
+    "dedup_minhash_lsh_unguarded",
+    "dedup_components",
+    "dedup_cluster_survivors",
+    "multimodal_embed_ann",
+]
+
+#: timed Spark-only, reported WITHOUT a DuckDB ratio (VERDICT r07 ask #7):
+#: these run the real Structured Streaming micro-batch harness
+#: (readStream -> sink -> table), so the wall-clock includes stream
+#: startup/commit machinery; the DuckDB "twin" is the equivalent BATCH
+#: aggregate — a correctness oracle, not an engine peer — and pairing the
+#: two as a throughput ratio misstates both engines.
+UNPAIRED_STREAMING = {
+    "streaming_tumbling_counts": "real micro-batch harness vs batch-only "
+    "oracle; timed spark-only",
+}
+
 #: registered queries deliberately NOT timed, with the reason the judge
 #: reads. Everything registered and not listed here lands in a section.
 EXCLUDED = {
@@ -447,10 +478,16 @@ def main() -> None:
         | set(EXTENDED_R4)
         | set(EXTENDED_R5)
     )
-    # catch-all: EVERY registered query is timed in exactly one section or
-    # excluded with a reason (VERDICT r03 §3)
+    # catch-all: EVERY registered query is timed in exactly one section
+    # (coverage, coverage_heavy at 10x, or unpaired-streaming) or excluded
+    # with a reason (VERDICT r03 §3)
     coverage_names = sorted(
-        n for n in registry if n not in fixed and n not in EXCLUDED
+        n
+        for n in registry
+        if n not in fixed
+        and n not in EXCLUDED
+        and n not in COVERAGE_HEAVY_10X
+        and n not in UNPAIRED_STREAMING
     )
 
     # the extended (r2) section's official record is the 10x scale-up —
@@ -494,6 +531,7 @@ def main() -> None:
         "extended_r3": (EXTENDED_R3, RUNS, SCALE_DIR),
         "extended_r4": (EXTENDED_R4, RUNS, SCALE_DIR),
         "extended_r5": (EXTENDED_R5, RUNS, SCALE_DIR),
+        "coverage_heavy": (COVERAGE_HEAVY_10X, 1, SCALE_DIR),
     }
 
     # contention-gated measurement (VERDICT r07 ask #2): wait for an idle
@@ -515,6 +553,13 @@ def main() -> None:
             # the next section's timed runs (part of the section-order
             # protocol)
             spark.sparkContext._jvm.System.gc()
+
+        # spark-only unpaired members (no DuckDB peer — see
+        # UNPAIRED_STREAMING); 1 warmup + 1 timed run at sf-dir scale
+        unpaired_times = _time_section(
+            spark, registry, sorted(UNPAIRED_STREAMING), 1, SF_DIR
+        )
+        release_operator_caches()
 
         zarr_micro = _zarr_scan_bench(spark)
         fixed_cost_end_s = _measure_fixed_cost(spark)
@@ -595,6 +640,10 @@ def main() -> None:
         "amortizes at scale, the raw ratio is what sf0.1 users see",
         "zarr_microbench": zarr_micro,
         "zarr_microbench_total": round(sum(zarr_micro.values()), 4),
+        "unpaired_streaming": {
+            "spark_queries": unpaired_times,
+            "reasons": UNPAIRED_STREAMING,
+        },
         "duckdb_skipped": sorted(set(duck_skipped)),
         "excluded": EXCLUDED,
         "duck_timeout_s": DUCK_TIMEOUT_S,
@@ -624,6 +673,7 @@ def main() -> None:
         "fixed_cost_s": fixed_cost_s,
         "load1": loadavg_start[0],
         "contended": host_state["contended"],
+        "unpaired_streaming_s": unpaired_times,
         "duckdb_skipped": sorted(set(duck_skipped)),
         "n_excluded": len(EXCLUDED),
         "detail_file": "BENCH_DETAIL.json",

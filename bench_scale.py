@@ -107,6 +107,16 @@ SCALE_QUERIES = [
     "label_propagation_sources_unguarded",
 ]
 
+#: optional comma-separated subset of SCALE_QUERIES (for extreme scale
+#: points where only the heaviest survivors are worth the build), and a
+#: Spark-only switch (at 300x DuckDB DNFs the survivors anyway; an empty
+#: duckdb section records that honestly instead of burning 3x120 s per
+#: query on watchdog kills)
+_Q_FILTER = os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "")
+if _Q_FILTER:
+    SCALE_QUERIES = [q for q in SCALE_QUERIES if q in _Q_FILTER.split(",")]
+SKIP_DUCK = os.environ.get("SPARK_GRAFT_SKIP_DUCK", "") == "1"
+
 _P1, _P2 = 1663, 2741  # copy-partner strides, coprime with the base sizes
 
 
@@ -404,11 +414,14 @@ def main() -> None:
     st = _time_spark(spark, registry, SCALE_QUERIES, RUNS)
     release_operator_caches()
     spark.stop()
-    dt, timed_out, errored = _time_duck(registry, SCALE_QUERIES, RUNS)
+    if SKIP_DUCK:
+        dt, timed_out, errored = {}, [], {}
+    else:
+        dt, timed_out, errored = _time_duck(registry, SCALE_QUERIES, RUNS)
 
-    paired = [n for n in st if n in dt]
+    paired = list(st) if SKIP_DUCK else [n for n in st if n in dt]
     s_tot = round(sum(st[n] for n in paired), 4)
-    d_tot = round(sum(dt[n] for n in paired), 4)
+    d_tot = round(sum(dt[n] for n in paired if n in dt), 4)
     host_state = {
         "loadavg_start": loadavg_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
@@ -420,13 +433,14 @@ def main() -> None:
     detail = {
         "host_state": host_state,
         "scale_k": SCALE_K,
+        "spark_only": SKIP_DUCK,
         "base_sf_dir": BASE_SF_DIR,
         "row_counts": counts,
         "spark_queries": st,
         "duckdb_queries": dt,
         "spark_total": s_tot,
         "duckdb_total": d_tot,
-        "ratio": round(s_tot / max(d_tot, 1e-9), 2),
+        "ratio": None if SKIP_DUCK else round(s_tot / max(d_tot, 1e-9), 2),
         "duckdb_timed_out": timed_out,
         "duckdb_errored": errored,
         "duck_timeout_s": DUCK_TIMEOUT_S,
@@ -441,6 +455,7 @@ def main() -> None:
             {
                 "metric": f"scale-trend suite wall-clock ({SCALE_K}x "
                 "pipeline tables)",
+                "spark_only": SKIP_DUCK,
                 "value": s_tot,
                 "unit": "sec",
                 "duckdb_s": d_tot,

@@ -51,9 +51,22 @@ def spark_result(df) -> tuple[list[str], list[tuple]]:
 
 
 def duckdb_result(con, sql: str) -> tuple[list[str], list[tuple]]:
-    cur = con.execute(sql)
+    # materialize-then-fetch: DuckDB's streaming result path can be
+    # pathologically slow for large window/join results (measured at 30x
+    # scale: dedup_semantic full fetch >570 s streamed vs 8.6 s as
+    # CREATE TABLE + SELECT *, identical rows). Fall back to the direct
+    # cursor if materialization is impossible (e.g. duplicate column
+    # names).
+    try:
+        con.execute(f"CREATE OR REPLACE TEMP TABLE _zdss_cmp AS ({sql})")
+    except Exception:
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        return cols, cur.fetchall()
+    cur = con.execute("SELECT * FROM _zdss_cmp")
     cols = [d[0] for d in cur.description]
     rows = cur.fetchall()
+    con.execute("DROP TABLE _zdss_cmp")
     return cols, rows
 
 
