@@ -48,14 +48,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
-#: idle envelope for the warmed fixed-cost measurement (VERDICT r06 ask #2):
-#: idle-host records measure 0.11-0.13 s on this 32-cpu box (BENCH_r05/r06,
-#: recalibrated r7); a fixed cost above this means another workload is
-#: stealing scheduler/CPU time, which inflates EVERY per-query number —
-#: two consecutive rounds of headline movement (1.58->1.92->1.75x) were
-#: fully explained by host weather on unchanged code. Records with
-#: ``contended: true`` are not quotable; BASELINE.md quotes idle runs only.
-IDLE_FIXED_COST_S = float(os.environ.get("SPARK_GRAFT_IDLE_FIXED_COST", "0.15"))
+#: contention gating (probe envelope, load1 ceiling, wait budget, retry
+#: count) lives in benchutil so all three harnesses (bench / bench_scale /
+#: bench_skew) share ONE protocol — VERDICT r08 ask #4. History: idle-host
+#: fixed-cost probes measure 0.11-0.13 s on this 32-cpu box; two rounds of
+#: headline movement (1.58->1.92->1.75x) were fully explained by host
+#: weather, and the r8 record passed the probe at load1=4.18 yet drifted
+#: +15-30 % on untouched queries — hence the added load1 ceiling (r08
+#: "what's wrong" #4). Records with ``contended: true`` are not quotable.
+from zarr_datafusion_search_spark.benchutil import (  # noqa: E402
+    BENCH_ATTEMPTS,
+    CONTENTION_WAIT_S,
+    IDLE_FIXED_COST_S,
+    host_state_stamp,
+    is_contended,
+    measure_fixed_cost as _measure_fixed_cost,
+    wait_for_idle as _wait_for_idle,
+)
 DETAIL_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
 )
@@ -383,50 +392,6 @@ def _zarr_scan_bench(spark) -> dict:
     return out
 
 
-def _measure_fixed_cost(spark) -> float:
-    """Median wall-clock of a trivial Spark job — the per-query constant
-    (planning + job scheduling + task launch) every bench query pays on
-    top of its actual work.
-
-    Measured AFTER a short JIT warm-up burst: on a fresh session the
-    first dozen jobs include interpreter/codegen compilation that real
-    bench queries (each preceded by their own warmup run) never pay, and
-    the resulting constant swung 0.16-0.34 s between same-day runs,
-    moving every section's ratio_net. 10 warm jobs + median of 10."""
-    for _ in range(10):
-        spark.range(8).count()
-    times = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        spark.range(8).count()
-        times.append(time.perf_counter() - t0)
-    return round(statistics.median(times), 4)
-
-
-#: pre-flight contention gate (VERDICT r07 ask #2 — the r7 driver record
-#: ran while builder sweeps still occupied the box and self-declared
-#: contended, leaving the round with no quotable idle headline): before any
-#: timing, the warmed fixed-cost probe is polled until it returns inside
-#: the idle envelope or this wait budget (seconds) is exhausted.
-CONTENTION_WAIT_S = float(os.environ.get("SPARK_GRAFT_CONTENTION_WAIT_S", "240"))
-#: total Spark measurement attempts: if a completed pass is still
-#: contended (start OR end probe over the envelope), the Spark sections are
-#: re-run from scratch once before the record is written with whatever the
-#: final pass measured (and an honest `contended` stamp).
-BENCH_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
-
-
-def _wait_for_idle(spark) -> float:
-    """Poll the fixed-cost probe until idle or the wait budget runs out;
-    returns the last probe value (the record's fixed_cost_s)."""
-    deadline = time.monotonic() + CONTENTION_WAIT_S
-    fc = _measure_fixed_cost(spark)
-    while fc > IDLE_FIXED_COST_S and time.monotonic() < deadline:
-        time.sleep(15)
-        fc = _measure_fixed_cost(spark)
-    return fc
-
-
 def _time_section(
     spark, registry, section_names, runs: int, data_dir: str
 ) -> dict:
@@ -540,8 +505,8 @@ def main() -> None:
     # a contended record is not quotable, so one retry is cheaper than a
     # round without an arms-length number.
     for attempt in range(1, BENCH_ATTEMPTS + 1):
+        fixed_cost_s, load1_start = _wait_for_idle(spark)
         loadavg_start = [round(x, 2) for x in os.getloadavg()]
-        fixed_cost_s = _wait_for_idle(spark)
 
         spark_times: dict[str, dict] = {}
         for sec, (names, runs, data_dir) in sections.items():
@@ -563,9 +528,8 @@ def main() -> None:
 
         zarr_micro = _zarr_scan_bench(spark)
         fixed_cost_end_s = _measure_fixed_cost(spark)
-        contended = (
-            fixed_cost_s > IDLE_FIXED_COST_S
-            or fixed_cost_end_s > IDLE_FIXED_COST_S
+        contended = is_contended(
+            fixed_cost_s, fixed_cost_end_s, load1_start
         )
         if not contended:
             break
@@ -611,25 +575,44 @@ def main() -> None:
             "runs_per_query": sections[sec][1],
             "data": scale_label if sections[sec][2] != SF_DIR else SF_DIR,
         }
+        if sec == "coverage":
+            # the residual coverage section is ~100 sub-second queries at
+            # sf0.1: Spark pays its ~0.1-0.4 s job constant per query while
+            # DuckDB pays ~0.01-0.09 s, so the section RAW ratio measures
+            # that constant n times over, not engine throughput (VERDICT
+            # r08 ask #6). Flag it explicitly and publish per-query
+            # net-of-fixed-cost ratios so the floor is inspectable; the
+            # throughput statements live in the 10x+ sections and the
+            # BENCH_SCALE records, where per-query work dominates.
+            per_q_net = {
+                n: round(
+                    max(st[n] - fixed_cost_s, 0.0) / max(dtm[n], 1e-9), 2
+                )
+                for n in paired
+            }
+            floor_note = (
+                "raw ratio is n_queries x Spark's fixed job constant over "
+                "sub-second queries, not throughput; see per-query net "
+                "ratios and the 10x/scale sections for throughput"
+            )
+            summary_sections[sec]["fixed_cost_floor"] = True
+            summary_sections[sec]["ratio_net_median_per_query"] = round(
+                statistics.median(per_q_net.values()), 2
+            )
+            detail_sections[sec]["fixed_cost_floor"] = True
+            detail_sections[sec]["fixed_cost_floor_note"] = floor_note
+            detail_sections[sec]["per_query_net_ratio"] = per_q_net
 
     headline_total = round(sum(spark_times["headline"].values()), 4)
 
-    # host-state stamp (VERDICT r06 ask #2): the warmed fixed-cost probe is
-    # a direct measurement of scheduler latency under whatever else the host
-    # is running (probed before AND after the suite); loadavg is recorded
-    # for forensics. A record taken while either probe exceeds the idle
-    # envelope is marked contended and is NOT a quotable performance number.
-    host_state = {
-        "loadavg_start": loadavg_start,
-        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-        "cpus": os.cpu_count(),
-        "fixed_cost_s": fixed_cost_s,
-        "fixed_cost_end_s": fixed_cost_end_s,
-        "idle_fixed_cost_envelope_s": IDLE_FIXED_COST_S,
-        "contended": contended,
-        "attempts": attempt,
-        "contention_wait_s": CONTENTION_WAIT_S,
-    }
+    # host-state stamp (VERDICT r06 ask #2, load1 ceiling added r9): the
+    # warmed fixed-cost probe is a direct measurement of scheduler latency
+    # under whatever else the host is running (probed before AND after the
+    # suite); load1 at suite start guards the drift the probe alone missed
+    # in r8. A record breaching either is contended and NOT quotable.
+    host_state = host_state_stamp(
+        loadavg_start, fixed_cost_s, fixed_cost_end_s, contended, attempt
+    )
 
     detail = {
         "host_state": host_state,

@@ -123,12 +123,17 @@ def shard_by_token_budget(
     Single action, no Python, no checkpoint, no collect: the token
     counting runs once because ``local`` is (lazily) persisted — the
     totals branch materializes the cache while building its broadcast and
-    the probe branch reads the SAME pid/local_cum rows back, so the
-    ``spark_partition_id()`` stamp cannot diverge between the two
-    branches under a task retry or an AQE replan that defeats
-    ReuseExchange (nondeterministic upstream lineage would otherwise let
-    rows land in different pids per branch and silently corrupt the
-    global cumsum). The result is independent of the partitioning:
+    the probe branch reads the SAME pid/local_cum rows back, which makes
+    pid divergence between the branches unlikely, not impossible
+    (ADVICE r8): ``persist`` is a soft guarantee — an evicted/lost block
+    is RECOMPUTED, and ``repartitionByRange`` resamples its boundaries on
+    recompute, so under memory pressure plus a task retry the two branches
+    could still observe different pid stamps. The hard freeze is
+    ``localCheckpoint(eager=True)``, which this plan deliberately does not
+    pay (~70% of the old variant's wall-clock); local[] runs with 128 GiB
+    never evict these few-KB blocks, and a cluster deployment that cannot
+    tolerate the residual risk should swap the ``tracked_persist`` below
+    for a checkpoint. The result is independent of the partitioning:
     shard_id = floor((global_cumsum - n_tokens) / budget), the same grid
     convention as :func:`pack_documents_cumsum`.
     """

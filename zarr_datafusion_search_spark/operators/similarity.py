@@ -393,8 +393,28 @@ def _lsh_topk_small_queries(
         )
     ).collect()
     if not qrows:
+        # schema must mirror the non-empty path (ADVICE r8): id columns
+        # keep their INPUT types (byte/short/int ids are legal elsewhere),
+        # cosine is a nullable round() double, rank a non-null row_number
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        qf = queries.schema[id_col]
+        cf = corpus.schema[id_col]
         return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rank int"
+            [],
+            StructType(
+                [
+                    StructField("query_id", qf.dataType, qf.nullable),
+                    StructField("neighbor_id", cf.dataType, cf.nullable),
+                    StructField("cosine", DoubleType(), True),
+                    StructField("rank", IntegerType(), False),
+                ]
+            ),
         )
     from pyspark.sql.types import ArrayType
 
@@ -909,8 +929,19 @@ SEMDEDUP_MAX_CELL_ROWS = 100_000
 #: |cell|^2 (80 GB at the cap) — a hot cell streams instead of OOMing.
 SEMDEDUP_GEMM_BLOCK_ROWS = 4096
 
-#: target mean cell population used by ``n_centroids="auto"``.
-SEMDEDUP_TARGET_CELL_ROWS = 50_000
+#: target mean cell population used by ``n_centroids="auto"``. Why 8192
+#: and not bigger: within-cell pair work is (mean cell) x n rows, so the
+#: mean cell size IS the per-row cost — it must stay constant as the
+#: corpus grows for total work to stay linear. The original 50k target
+#: plus the 16-cell floor meant auto did not produce MORE than 16 cells
+#: until 800k rows, so every corpus under that grew quadratically exactly
+#: like a pinned n_centroids=16 (the r8 300x record: 600k vectors, 16
+#: cells, 361.8 s — 14.6x the 100x time for 3x the data). 8192 engages
+#: the linear regime from 131k rows, and keeps each GEMM score block
+#: (4096 x cell x 4B f32) ~128 MB — cache-friendly under 32 concurrent
+#: workers, where the measured failure mode of big cells is memory-bound
+#: GEMM contention, not flops.
+SEMDEDUP_TARGET_CELL_ROWS = 8_192
 
 
 def _splitmix64(x):
@@ -962,7 +993,17 @@ def semantic_dedup_pairs(
     - ``n_centroids="auto"`` sizes the quantizer from the corpus row count
       (parquet-footer metadata when available, zero Spark jobs) so the
       MEAN cell stays ~:data:`SEMDEDUP_TARGET_CELL_ROWS` as the corpus
-      grows; an explicit int keeps exact cross-engine reproducibility.
+      grows — constant per-row pair work, linear total. The auto rule is a
+      pure function of the row count (``max(16, ceil(n / target))``), so a
+      SQL oracle can replay it exactly; an explicit int keeps the quantizer
+      pinned across differently-sized corpora instead. Boundary worth
+      knowing: with k growing linearly in n, the ASSIGNMENT term (n x k
+      broadcast-cosine) turns quadratic with a tiny constant — it crosses
+      the pair-GEMM term around n ~ target^2 rows (~67M at 8192). Beyond
+      that a production deployment would grow k as sqrt(n) or go
+      hierarchical (coarse 16-way split, auto within each); at every scale
+      this engine records (<=600k vectors) the linear-k rule is the right
+      plan and the assignment term is noise.
     - a HOT cell is capped the way SemDeDup caps clusters: above
       ``max_cell_rows`` the cell is deterministically downsampled (keep
       the ``max_cell_rows`` members with smallest splitmix64(id) — a

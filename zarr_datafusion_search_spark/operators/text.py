@@ -1276,7 +1276,12 @@ def source_ngram_diversity(
     only on a 64-bit collision (P ~ n^2/2^65; ~7e-5 for 50M distinct grams
     — far below any quality-audit signal); the DuckDB oracle counts the
     exact strings, so a collision would surface as a hash mismatch rather
-    than hide. Two-step aggregation instead of ``countDistinct`` keeps the
+    than hide. TRIAGE NOTE (ADVICE r8): if this query's oracle compare
+    ever goes red with the Spark distinct count exactly N lower than the
+    oracle's, that IS the collision mode — it means N colliding gram
+    pairs, not a logic bug; verify by re-counting distinct on the exact
+    strings before touching the plan. Two-step aggregation instead of
+    ``countDistinct`` keeps the
     plan to ONE data-sized exchange with map-side combine (the
     distinct-rewrite would Expand every row 2x pre-shuffle): first
     (group, gram_h) partial counts, then a per-group rollup over the

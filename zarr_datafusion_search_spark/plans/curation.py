@@ -230,13 +230,36 @@ def _duck_cos(a: str, b: str) -> str:
     )
 
 
-def _semantic_oracle(n_centroids: int = 16, threshold: float = 0.4) -> str:
+def _semantic_oracle(
+    n_centroids: int | str = 16,
+    threshold: float = 0.4,
+    target_cell_rows: int = similarity.SEMDEDUP_TARGET_CELL_ROWS,
+) -> str:
+    """DuckDB twin of :func:`similarity.semantic_dedup_pairs`.
+
+    ``n_centroids="auto"`` replays the operator's deterministic sizing
+    rule — ``max(16, ceil(count(*) / target_cell_rows))`` — inside the SQL
+    (integer arithmetic, no float division), exactly like the minhash
+    bucket-cap and LPA degree-cap oracles replay theirs: the rule is a
+    pure function of the corpus row count, so both engines derive the
+    identical quantizer at every scale factor."""
     cos_ec = _duck_cos("e.embedding", "c.cent_vec")
     cos_ab = _duck_cos("a._va", "b._vb")
-    return f"""
-    WITH cents AS (
+    if n_centroids == "auto":
+        cents = f"""
       SELECT vec_id AS centroid_id, embedding AS cent_vec
-      FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+      FROM embeddings
+      QUALIFY row_number() OVER (ORDER BY vec_id) <= (
+        SELECT GREATEST(16, (COUNT(*) + {target_cell_rows - 1})
+                            // {target_cell_rows})
+        FROM embeddings
+      )"""
+    else:
+        cents = f"""
+      SELECT vec_id AS centroid_id, embedding AS cent_vec
+      FROM embeddings ORDER BY vec_id LIMIT {n_centroids}"""
+    return f"""
+    WITH cents AS ({cents}
     ),
     scored AS (
       SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -270,4 +293,22 @@ def _semantic_oracle(n_centroids: int = 16, threshold: float = 0.4) -> str:
 def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.semantic_dedup_pairs(
         table(spark, sf, "embeddings"), threshold=0.4, n_centroids=16
+    )
+
+
+@register(
+    "dedup_semantic_auto",
+    oracle=_semantic_oracle(n_centroids="auto"),
+    doc="SemDeDup with the corpus-sized quantizer: n_centroids = "
+    "max(16, ceil(n / SEMDEDUP_TARGET_CELL_ROWS)), so the mean cell "
+    "population — and with it the per-row pair work — stays constant as "
+    "the corpus grows. This is the scale-suite member (VERDICT r08 ask "
+    "#1): the pinned-16 twin above is quadratic in corpus size by "
+    "construction (361.8 s at 300x vs 24.7 s at 100x in the r8 record), "
+    "while this plan's total work is linear. The sizing rule is a pure "
+    "function of the row count; the DuckDB oracle replays it in SQL.",
+)
+def dedup_semantic_auto(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.semantic_dedup_pairs(
+        table(spark, sf, "embeddings"), threshold=0.4, n_centroids="auto"
     )
