@@ -929,19 +929,24 @@ SEMDEDUP_MAX_CELL_ROWS = 100_000
 #: |cell|^2 (80 GB at the cap) — a hot cell streams instead of OOMing.
 SEMDEDUP_GEMM_BLOCK_ROWS = 4096
 
-#: target mean cell population used by ``n_centroids="auto"``. Why 8192
+#: target mean cell population used by ``n_centroids="auto"``. Why 4096
 #: and not bigger: within-cell pair work is (mean cell) x n rows, so the
 #: mean cell size IS the per-row cost — it must stay constant as the
 #: corpus grows for total work to stay linear. The original 50k target
 #: plus the 16-cell floor meant auto did not produce MORE than 16 cells
 #: until 800k rows, so every corpus under that grew quadratically exactly
 #: like a pinned n_centroids=16 (the r8 300x record: 600k vectors, 16
-#: cells, 361.8 s — 14.6x the 100x time for 3x the data). 8192 engages
-#: the linear regime from 131k rows, and keeps each GEMM score block
-#: (4096 x cell x 4B f32) ~128 MB — cache-friendly under 32 concurrent
-#: workers, where the measured failure mode of big cells is memory-bound
-#: GEMM contention, not flops.
-SEMDEDUP_TARGET_CELL_ROWS = 8_192
+#: cells, 361.8 s — 14.6x the 100x time for 3x the data). Two measured
+#: reasons 4096 specifically (100x fixture, 200k vectors, 32 cores):
+#: (1) cell count should EXCEED the executor core count at any scale
+#: worth benching — an 8192 target gave k=25 cells at 200k rows, which
+#: under-subscribed 32 cores and swung run-to-run 49-88 s, while k=49
+#: at 4096 packs every core and repeats at 26.8-27.1 s; (2) a 4096-row
+#: cell is exactly one :data:`SEMDEDUP_GEMM_BLOCK_ROWS` score block, so
+#: the per-task f32 working set (~67 MB) stays cache-friendly under full
+#: 32-way concurrency, where the measured failure mode of big cells is
+#: memory-bound GEMM contention, not flops.
+SEMDEDUP_TARGET_CELL_ROWS = 4_096
 
 
 def _splitmix64(x):
@@ -999,7 +1004,7 @@ def semantic_dedup_pairs(
       pinned across differently-sized corpora instead. Boundary worth
       knowing: with k growing linearly in n, the ASSIGNMENT term (n x k
       broadcast-cosine) turns quadratic with a tiny constant — it crosses
-      the pair-GEMM term around n ~ target^2 rows (~67M at 8192). Beyond
+      the pair-GEMM term around n ~ target^2 rows (~17M at 4096). Beyond
       that a production deployment would grow k as sqrt(n) or go
       hierarchical (coarse 16-way split, auto within each); at every scale
       this engine records (<=600k vectors) the linear-k rule is the right
