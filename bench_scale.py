@@ -75,8 +75,13 @@ SCALE_QUERIES = [
     # the corpus-sized quantizer is the scale-suite member (VERDICT r08
     # ask #1): the pinned-16 twin's within-cell pair work is quadratic in
     # corpus size by construction (361.8 s at 300x vs 24.7 s at 100x in
-    # the r8 record); the auto rule keeps mean cells constant -> linear
+    # the r8 record); the auto rule keeps mean cells constant -> linear.
+    # Two thresholds: at 0.4 the OUTPUT is quadratic on these scale
+    # tables by data construction (midpoint copies couple below cos 0.7),
+    # so the strict 0.75 twin is the one whose time isolates the
+    # operator's own scaling — see its registration doc.
     "dedup_semantic_auto",
+    "dedup_semantic_auto_strict",
     "dedup_duplicate_spans",
     "dedup_remove_spans",
     "text_vocab_coverage",
