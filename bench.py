@@ -536,7 +536,16 @@ def main() -> None:
 
     # paired DuckDB measurement: identical SQL over the same parquet, same
     # warmup+median protocol, run AFTER all Spark timing so DuckDB never
-    # contends with executors
+    # contends with executors. The pass is bracketed by its own probes
+    # (ADVICE r9): contention arriving DURING the denominator timing
+    # flatters every ratio while the Spark-side gate stamps
+    # contended:false — a breach folds into the record's contended flag.
+    from zarr_datafusion_search_spark.benchutil import (
+        duck_pass_stamp,
+        measure_duck_probe,
+    )
+
+    duck_probe_s = measure_duck_probe()
     duck_times: dict[str, dict] = {}
     duck_skipped: list[str] = []
     for sec, (names, runs, data_dir) in sections.items():
@@ -545,6 +554,7 @@ def main() -> None:
         )
         duck_times[sec] = dt
         duck_skipped.extend(sk)
+    duck_pass = duck_pass_stamp(duck_probe_s, measure_duck_probe())
 
     summary_sections = {}
     detail_sections = {}
@@ -596,8 +606,13 @@ def main() -> None:
                 "ratios and the 10x/scale sections for throughput"
             )
             summary_sections[sec]["fixed_cost_floor"] = True
-            summary_sections[sec]["ratio_net_median_per_query"] = round(
-                statistics.median(per_q_net.values()), 2
+            # per_q_net can be empty if every coverage member was skipped
+            # or timed out on the DuckDB side (ADVICE r9) — a null median
+            # beats aborting the whole record write
+            summary_sections[sec]["ratio_net_median_per_query"] = (
+                round(statistics.median(per_q_net.values()), 2)
+                if per_q_net
+                else None
             )
             detail_sections[sec]["fixed_cost_floor"] = True
             detail_sections[sec]["fixed_cost_floor_note"] = floor_note
@@ -611,7 +626,13 @@ def main() -> None:
     # suite); load1 at suite start guards the drift the probe alone missed
     # in r8. A record breaching either is contended and NOT quotable.
     host_state = host_state_stamp(
-        loadavg_start, fixed_cost_s, fixed_cost_end_s, contended, attempt
+        loadavg_start,
+        fixed_cost_s,
+        fixed_cost_end_s,
+        contended,
+        attempt,
+        load1_start_gated=load1_start,
+        duck_pass=duck_pass,
     )
 
     detail = {

@@ -135,6 +135,30 @@ if _Q_FILTER:
     SCALE_QUERIES = [q for q in SCALE_QUERIES if q in _wanted]
 SKIP_DUCK = os.environ.get("SPARK_GRAFT_SKIP_DUCK", "") == "1"
 
+#: per-query runs overrides (VERDICT r09 ask #2): the SemDeDup pair stage
+#: is memory-bound GEMM with measured ±40% same-code spread at 100x
+#: (BASELINE.md: 17.0/27.0/31.5 s across three uncontended runs), so a
+#: runs_per_query=1 median is not a quotable scale denominator. Named
+#: members run median-of-3 on BOTH engines; everything else in the suite
+#: is stable enough at the default. Env format: "name=3,other=5".
+RUNS_OVERRIDE: dict[str, int] = {
+    "dedup_semantic_auto": 3,
+    "dedup_semantic_auto_strict": 3,
+}
+_R_OVERRIDE_ENV = os.environ.get("SPARK_GRAFT_SCALE_RUNS_PER_QUERY", "")
+if _R_OVERRIDE_ENV:
+    RUNS_OVERRIDE = {}
+    for part in _R_OVERRIDE_ENV.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name, _, val = part.partition("=")
+        RUNS_OVERRIDE[name.strip()] = int(val)
+
+
+def _runs_for(name: str) -> int:
+    return max(RUNS, RUNS_OVERRIDE.get(name, RUNS))
+
 _P1, _P2 = 1663, 2741  # copy-partner strides, coprime with the base sizes
 
 
@@ -318,20 +342,27 @@ def _time_spark(spark, registry, names, runs) -> dict:
     )
 
     out = {}
+    raw: dict[str, list[float]] = {}
     for name in names:
         spec = registry[name]
         times = []
-        for i in range(runs + 1):
+        n_runs = _runs_for(name)
+        for i in range(n_runs + 1):
             t0 = time.perf_counter()
             spec.spark(spark, SCALE_DIR).count()
             if i > 0:
                 times.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(times), 4)
+        if name in RUNS_OVERRIDE:
+            # the override exists BECAUSE these members have large same-
+            # code spread — publish the individual runs so the median's
+            # trustworthiness is inspectable in the record
+            raw[name] = [round(t, 4) for t in times]
         # drop this query's tracked persists before the next query runs:
         # 23 queries x 10x-scale postings/shingle indexes would otherwise
         # accumulate in storage memory and perturb later measurements
         release_operator_caches()
-    return out
+    return out, raw
 
 
 def _time_duck(registry, names, runs) -> tuple[dict, list, dict]:
@@ -347,6 +378,7 @@ def _time_duck(registry, names, runs) -> tuple[dict, list, dict]:
             f"CREATE VIEW {t} AS SELECT * FROM '{SCALE_DIR}/{t}.parquet'"
         )
     out: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     timed_out: list[str] = []
     errored: dict[str, str] = {}
     for name in names:
@@ -354,7 +386,7 @@ def _time_duck(registry, names, runs) -> tuple[dict, list, dict]:
         counted = f"SELECT count(*) FROM ({sql}) AS _q"
         times = []
         ok = True
-        for i in range(runs + 1):
+        for i in range(_runs_for(name) + 1):
             fired: list[int] = []
 
             def _interrupt():
@@ -388,8 +420,10 @@ def _time_duck(registry, names, runs) -> tuple[dict, list, dict]:
                 times.append(time.perf_counter() - t0)
         if ok:
             out[name] = round(statistics.median(times), 4)
+            if name in RUNS_OVERRIDE:
+                raw[name] = [round(t, 4) for t in times]
     con.close()
-    return out, timed_out, errored
+    return out, raw, timed_out, errored
 
 
 def main() -> None:
@@ -425,7 +459,7 @@ def main() -> None:
     for attempt in range(1, benchutil.BENCH_ATTEMPTS + 1):
         fixed_cost_s, load1_start = benchutil.wait_for_idle(spark)
         loadavg_start = [round(x, 2) for x in os.getloadavg()]
-        st = _time_spark(spark, registry, SCALE_QUERIES, RUNS)
+        st, s_raw = _time_spark(spark, registry, SCALE_QUERIES, RUNS)
         release_operator_caches()
         fixed_cost_end_s = benchutil.measure_fixed_cost(spark)
         contended = benchutil.is_contended(
@@ -435,15 +469,31 @@ def main() -> None:
             break
     spark.stop()
     if SKIP_DUCK:
-        dt, timed_out, errored = {}, [], {}
+        dt, d_raw, timed_out, errored = {}, {}, [], {}
+        duck_pass = None
     else:
-        dt, timed_out, errored = _time_duck(registry, SCALE_QUERIES, RUNS)
+        # bracket the denominator pass with its own probes (ADVICE r9):
+        # contention during the DuckDB timing flatters every ratio while
+        # the Spark-side gate still stamps contended:false
+        duck_probe_s = benchutil.measure_duck_probe()
+        dt, d_raw, timed_out, errored = _time_duck(
+            registry, SCALE_QUERIES, RUNS
+        )
+        duck_pass = benchutil.duck_pass_stamp(
+            duck_probe_s, benchutil.measure_duck_probe()
+        )
 
     paired = list(st) if SKIP_DUCK else [n for n in st if n in dt]
     s_tot = round(sum(st[n] for n in paired), 4)
     d_tot = round(sum(dt[n] for n in paired if n in dt), 4)
     host_state = benchutil.host_state_stamp(
-        loadavg_start, fixed_cost_s, fixed_cost_end_s, contended, attempt
+        loadavg_start,
+        fixed_cost_s,
+        fixed_cost_end_s,
+        contended,
+        attempt,
+        load1_start_gated=load1_start,
+        duck_pass=duck_pass,
     )
     detail = {
         "host_state": host_state,
@@ -460,6 +510,9 @@ def main() -> None:
         "duckdb_errored": errored,
         "duck_timeout_s": DUCK_TIMEOUT_S,
         "runs_per_query": RUNS,
+        "runs_per_query_overrides": RUNS_OVERRIDE,
+        "spark_runs_raw": s_raw,
+        "duckdb_runs_raw": d_raw,
         "protocol": "1 warmup + median of runs; count(*) over the full "
         "query on both engines; DuckDB timed after Spark exits",
     }

@@ -334,8 +334,16 @@ def main() -> None:
         for ds in (uniform, skew)
         for c in ds["oracle_checks"].values()
     )
+    # no separate duck_pass bracket here: this harness runs its DuckDB
+    # compares INSIDE the gated attempt (before the end-side fixed-cost
+    # re-probe), so the Spark-side probes already bound the denominator
     host_state = benchutil.host_state_stamp(
-        loadavg_start, fixed_cost_s, fixed_cost_end_s, contended, attempt
+        loadavg_start,
+        fixed_cost_s,
+        fixed_cost_end_s,
+        contended,
+        attempt,
+        load1_start_gated=load1_start,
     )
     detail = {
         "host_state": host_state,

@@ -100,16 +100,76 @@ def is_contended(
     )
 
 
+#: idle envelope for the DuckDB-side probe (ADVICE r9: the DuckDB timing
+#: pass — the ratio DENOMINATOR — ran after spark.stop() with no probe, so
+#: contention arriving during it silently inflated duck_s and flattered
+#: every ratio while the record still said contended:false). The probe is
+#: a fixed parallel aggregation, ~0.07-0.10 s idle on this 32-cpu host;
+#: like the Spark probe it inflates directly under contention.
+DUCK_PROBE_ENVELOPE_S = float(
+    os.environ.get("SPARK_GRAFT_DUCK_PROBE_ENVELOPE", "0.2")
+)
+
+_DUCK_PROBE_SQL = "SELECT sum(range % 7) FROM range(60000000)"
+
+
+def measure_duck_probe() -> float:
+    """Median wall-clock of a fixed parallel DuckDB aggregation — the
+    denominator-side twin of :func:`measure_fixed_cost`. Runs on its own
+    connection (default thread pool = all cores) so it measures the same
+    CPU availability the timed oracle queries see."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute(_DUCK_PROBE_SQL).fetchall()  # JIT/alloc warm-up
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            con.execute(_DUCK_PROBE_SQL).fetchall()
+            times.append(time.perf_counter() - t0)
+    finally:
+        con.close()
+    return round(statistics.median(times), 4)
+
+
+def duck_pass_stamp(probe_start_s: float, probe_end_s: float) -> dict:
+    """Auditable host-state block bracketing the DuckDB timing pass. A
+    breach of either probe marks the DENOMINATOR contended — load1 is
+    stamped for forensics only (it still carries our own decaying
+    post-suite self-load, so it is not gated)."""
+    return {
+        "duck_probe_s": probe_start_s,
+        "duck_probe_end_s": probe_end_s,
+        "duck_probe_envelope_s": DUCK_PROBE_ENVELOPE_S,
+        "load1_after_duck": round(os.getloadavg()[0], 2),
+        "duck_contended": (
+            probe_start_s > DUCK_PROBE_ENVELOPE_S
+            or probe_end_s > DUCK_PROBE_ENVELOPE_S
+        ),
+    }
+
+
 def host_state_stamp(
     loadavg_start: list[float],
     fixed_cost_s: float,
     fixed_cost_end_s: float,
     contended: bool,
     attempts: int,
+    load1_start_gated: float | None = None,
+    duck_pass: dict | None = None,
 ) -> dict:
-    """The common ``host_state`` block every bench record carries."""
-    return {
+    """The common ``host_state`` block every bench record carries.
+
+    ``load1_start_gated`` is the load1 value :func:`wait_for_idle`
+    actually gated on (ADVICE r9: the re-read ``loadavg_start`` can drift
+    from it, so borderline records were not reconstructible).
+    ``duck_pass`` is the :func:`duck_pass_stamp` block; its breach folds
+    into the top-level ``contended`` — a flattered denominator is just as
+    unquotable as an inflated numerator."""
+    out = {
         "loadavg_start": loadavg_start,
+        "load1_start_gated": load1_start_gated,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "cpus": os.cpu_count(),
         "fixed_cost_s": fixed_cost_s,
@@ -120,3 +180,8 @@ def host_state_stamp(
         "attempts": attempts,
         "contention_wait_s": CONTENTION_WAIT_S,
     }
+    if duck_pass is not None:
+        out["duck_pass"] = duck_pass
+        out["contended_spark_side"] = contended
+        out["contended"] = contended or duck_pass["duck_contended"]
+    return out
