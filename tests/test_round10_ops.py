@@ -196,6 +196,58 @@ def test_semdedup_strict_threshold_emits_and_matches_oracle(
 
 
 # ---------------------------------------------------------------------------
+# LPA auto-cap no-op skip on uniform-density graphs (VERDICT r09 ask #4)
+# ---------------------------------------------------------------------------
+
+
+def test_lpa_auto_cap_skips_noop_trim_on_uniform_clique(spark):
+    # a pure clique has UNIFORM degree, so p99.5 == max and the auto rule
+    # deliberately trims nothing; round 10 makes that case skip the trim
+    # window + eager checkpoint of the untrimmed C^2 relation entirely
+    # (on a 12k clique the no-op checkpoint was 144M rows and died in GC
+    # while unguarded finished). Labels must equal the unguarded run AND
+    # an explicit cap == maxdeg run.
+    import pyspark.sql.functions as F
+
+    from zarr_datafusion_search_spark.operators.graph import (
+        _auto_degree_cap,
+        label_propagation,
+    )
+
+    n = 12
+    ids = spark.range(n)
+    edges = (
+        ids.select(F.col("id").alias("doc_a"))
+        .crossJoin(ids.select(F.col("id").alias("doc_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.lit(0.9))
+    )
+    und = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    cap, maxdeg = _auto_degree_cap(und)
+    assert cap == maxdeg == n - 1  # uniform: the rule keeps everything
+    seeds = spark.createDataFrame(
+        [(0, "a"), (5, "b")], "node long, label string"
+    )
+    runs = {
+        tag: sorted(
+            map(
+                tuple,
+                label_propagation(
+                    edges, seeds, n_rounds=2, degree_cap=dc
+                ).collect(),
+            )
+        )
+        for tag, dc in (("auto", "auto"), ("none", None), ("explicit", cap))
+    }
+    assert runs["auto"] == runs["none"] == runs["explicit"]
+    assert len(runs["auto"]) == n
+
+
+# ---------------------------------------------------------------------------
 # small-query dispatch probe cache (VERDICT r09 ask #5)
 # ---------------------------------------------------------------------------
 

@@ -79,7 +79,10 @@ def test_auto_degree_cap_floor_and_quantile(spark):
     ).unionByName(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    assert _auto_degree_cap(und) == LPA_AUTO_FLOOR
+    cap0, maxdeg0 = _auto_degree_cap(und)
+    assert cap0 == LPA_AUTO_FLOOR
+    # every degree is under the floor, so the caller skips the trim
+    assert cap0 >= maxdeg0
 
     # heavy hub: p99.5 of node degrees stays at the sparse mass, so the cap
     # keeps the floor while the hub (degree 200 >> floor) gets trimmed
@@ -89,8 +92,9 @@ def test_auto_degree_cap_floor_and_quantile(spark):
     ).unionByName(
         heavy.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    cap = _auto_degree_cap(und_h)
+    cap, maxdeg = _auto_degree_cap(und_h)
     assert LPA_AUTO_FLOOR <= cap < 200
+    assert maxdeg == 200  # the hub: cap < maxdeg -> the trim engages
 
 
 def test_auto_cap_default_matches_explicit_cap(spark):
@@ -105,7 +109,7 @@ def test_auto_cap_default_matches_explicit_cap(spark):
     ).unionByName(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    cap = _auto_degree_cap(und)
+    cap, _maxdeg = _auto_degree_cap(und)
     auto = sorted(
         map(tuple, label_propagation(edges, seeds, n_rounds=2).collect())
     )

@@ -296,7 +296,7 @@ LPA_AUTO_Q_DEN = 1000
 LPA_AUTO_FLOOR = 8
 
 
-def _auto_degree_cap(und: DataFrame) -> int:
+def _auto_degree_cap(und: DataFrame) -> tuple[int, int]:
     """Adaptive per-node degree cap from the out-degree HISTOGRAM.
 
     The collect is bounded by the number of DISTINCT degree values (at
@@ -304,6 +304,16 @@ def _auto_degree_cap(und: DataFrame) -> int:
     counts — one extra aggregation job at any scale. Exact integer
     arithmetic (smallest degree whose cumulative node count covers 99.5%
     of nodes) so the DuckDB oracle replays the rule bit-for-bit.
+
+    Returns ``(cap, max_degree)``: the max degree falls out of the same
+    histogram for free, and the caller uses it to SKIP the trim window
+    entirely when ``cap >= max_degree`` (the filter would keep every row).
+    That skip matters on uniform-density graphs, where the percentile rule
+    deliberately trims nothing — a pure C-member clique has every degree
+    equal, so p99.5 == max — and the window + eager checkpoint of the
+    untrimmed C^2 edge relation was measured round 10 to be strictly
+    worse than the unguarded plan (C=12,000: unguarded 36 s, "guarded"
+    no-op checkpoint of 144M rows died in GC on a 16 GB local heap).
     """
     hist = (
         und.groupBy("src")
@@ -312,6 +322,8 @@ def _auto_degree_cap(und: DataFrame) -> int:
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     rows = sorted(hist.collect(), key=lambda r: r["_d"])
+    if not rows:
+        return LPA_AUTO_FLOOR, 0
     n = sum(r["_c"] for r in rows)
     q = None
     cum = 0
@@ -320,7 +332,8 @@ def _auto_degree_cap(und: DataFrame) -> int:
         if cum * LPA_AUTO_Q_DEN >= n * LPA_AUTO_Q_NUM:
             q = r["_d"]
             break
-    return max(LPA_AUTO_FLOOR, q if q is not None else LPA_AUTO_FLOOR)
+    cap = max(LPA_AUTO_FLOOR, q if q is not None else LPA_AUTO_FLOOR)
+    return cap, rows[-1]["_d"]
 
 
 def label_propagation(
@@ -398,18 +411,29 @@ def label_propagation(
                 "degree_cap must be an int, None, or 'auto'; got "
                 f"{degree_cap!r}"
             )
-        cap = _auto_degree_cap(und) if degree_cap == "auto" else degree_cap
-        wdeg = Window.partitionBy("src").orderBy(
-            F.col("w").desc(), F.col("dst")
-        )
-        # checkpointed once: without it the cap window (one shuffle on
-        # src) would re-run inside every round's join
-        und = (
-            und.withColumn("_dr", F.row_number().over(wdeg))
-            .filter(F.col("_dr") <= cap)
-            .drop("_dr")
-            .localCheckpoint(eager=True)
-        )
+        if degree_cap == "auto":
+            cap, max_deg = _auto_degree_cap(und)
+            # when the percentile rule trims nothing (uniform-density
+            # graph: p99.5 == max degree), the filter keeps every row —
+            # skip the window AND the eager checkpoint of the untrimmed
+            # relation (round 10: on a 12k-clique that no-op checkpoint
+            # was a 144M-row materialization, strictly worse than the
+            # unguarded plan). Semantics identical either way.
+            trim = cap < max_deg
+        else:
+            cap, trim = degree_cap, True
+        if trim:
+            wdeg = Window.partitionBy("src").orderBy(
+                F.col("w").desc(), F.col("dst")
+            )
+            # checkpointed once: without it the cap window (one shuffle
+            # on src) would re-run inside every round's join
+            und = (
+                und.withColumn("_dr", F.row_number().over(wdeg))
+                .filter(F.col("_dr") <= cap)
+                .drop("_dr")
+                .localCheckpoint(eager=True)
+            )
     seeds = tracked_persist(seeds.select("node", "label"))
     labels = seeds
     for _ in range(n_rounds):
