@@ -1018,6 +1018,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     max_cell_rows: int = SEMDEDUP_MAX_CELL_ROWS,
     gemm_block_rows: int = SEMDEDUP_GEMM_BLOCK_ROWS,
+    instrument: dict | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster, then exact cosine
     pairs WITHIN each cluster only.
@@ -1075,6 +1076,15 @@ def semantic_dedup_pairs(
       block x |cell|, never |cell|^2. Pairs both of whose endpoints were
       sampled out of a hot cell are not emitted — the standard SemDeDup
       recall trade, taken only above the cap.
+
+    ``instrument`` (optional) is a dict of Spark accumulators — keys
+    ``assign_s, prep_s, gemm_s, emit_s, cells, rows, pairs`` — that the
+    Python stages add their wall-clock / counts to, summed across tasks.
+    It exists for the pair-stage wall decomposition harness
+    (``bench_semdedup_decompose.py``): Python compute seconds measured
+    here, subtracted from the JVM stage's executorRunTime, isolate the
+    Arrow/pandas-assembly/shuffle share. ``None`` (the default) costs one
+    branch per cell.
     """
     if n_centroids == "auto":
         n_rows = metadata_row_count(corpus)
@@ -1124,8 +1134,11 @@ def semantic_dedup_pairs(
     # the DuckDB oracle each fold in their own order); zero-norm vectors
     # divide by NORM_EPS like every other GEMM path here.
     def _assign_cell_fn(vecs):
+        import time as _time
+
         if not len(vecs):
             return pd.Series([], dtype="int64")
+        _t0 = _time.perf_counter()
         V = np.vstack(vecs.to_numpy()).astype(np.float64)
         Vn = V / np.maximum(
             np.linalg.norm(V, axis=1, keepdims=True), NORM_EPS
@@ -1134,7 +1147,10 @@ def semantic_dedup_pairs(
         # round half-away-from-zero at 6dp, kept scaled by 1e6 (monotone,
         # so the argmax is identical to comparing the rounded cosines)
         R = np.copysign(np.floor(np.abs(S) * 1e6 + 0.5), S)
-        return pd.Series(cent_ids[np.argmax(R, axis=1)], dtype="int64")
+        out = pd.Series(cent_ids[np.argmax(R, axis=1)], dtype="int64")
+        if instrument:
+            instrument["assign_s"] += _time.perf_counter() - _t0
+        return out
 
     # explicit pandas_udf call (not the decorator): `from __future__ import
     # annotations` stringifies type hints, which the decorator's signature
@@ -1168,6 +1184,9 @@ def semantic_dedup_pairs(
                     "_cos": pd.Series([], dtype="float64"),
                 }
             )
+        import time as _time
+
+        _t0 = _time.perf_counter()
         if len(pdf) > max_cell_rows:
             # hot-cell cap: deterministic downsample by splitmix64(id)
             h = _splitmix64(pdf[id_col].to_numpy().astype(np.uint64))
@@ -1193,6 +1212,7 @@ def semantic_dedup_pairs(
         blk = min(gemm_block_rows, n)
         s32 = np.empty((blk, n), dtype=np.float32)
         cut32 = np.float32(cutoff - 1e-4)
+        _t1 = _time.perf_counter()
         out_a, out_b, out_c = [], [], []
         for s in range(0, n, gemm_block_rows):
             rows = n32[s : s + gemm_block_rows]
@@ -1210,9 +1230,10 @@ def semantic_dedup_pairs(
             out_a.append(np.where(sw, b, a))
             out_b.append(np.where(sw, a, b))
             out_c.append(c64[ok])
+        _t2 = _time.perf_counter()
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
-        return pd.DataFrame(
+        res = pd.DataFrame(
             {
                 "id_a": a,
                 "id_b": b,
@@ -1220,6 +1241,15 @@ def semantic_dedup_pairs(
                 "_cos": np.concatenate(out_c),
             }
         )
+        if instrument:
+            _t3 = _time.perf_counter()
+            instrument["prep_s"] += _t1 - _t0
+            instrument["gemm_s"] += _t2 - _t1
+            instrument["emit_s"] += _t3 - _t2
+            instrument["cells"] += 1
+            instrument["rows"] += n
+            instrument["pairs"] += len(a)
+        return res
 
     # the cell GEMM emits the cosine itself (round 7): the previous plan
     # joined the (at 100x synthetic scale) ~10M candidate pairs back
