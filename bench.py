@@ -543,9 +543,12 @@ def main() -> None:
     from zarr_datafusion_search_spark.benchutil import (
         duck_pass_stamp,
         measure_duck_probe,
+        wait_for_duck_idle,
     )
 
-    duck_probe_s = measure_duck_probe()
+    # the start probe WAITS out the post-spark.stop() teardown decay
+    # (round 10) instead of stamping the transient as contention
+    duck_probe_s = wait_for_duck_idle()
     duck_times: dict[str, dict] = {}
     duck_skipped: list[str] = []
     for sec, (names, runs, data_dir) in sections.items():

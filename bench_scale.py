@@ -474,8 +474,10 @@ def main() -> None:
     else:
         # bracket the denominator pass with its own probes (ADVICE r9):
         # contention during the DuckDB timing flatters every ratio while
-        # the Spark-side gate still stamps contended:false
-        duck_probe_s = benchutil.measure_duck_probe()
+        # the Spark-side gate still stamps contended:false. The start
+        # probe WAITS for the post-spark.stop() teardown decay to settle
+        # (round 10) instead of stamping the transient as contention.
+        duck_probe_s = benchutil.wait_for_duck_idle()
         dt, d_raw, timed_out, errored = _time_duck(
             registry, SCALE_QUERIES, RUNS
         )

@@ -137,13 +137,56 @@ def measure_duck_probe() -> float:
     return round(statistics.median(times), 4)
 
 
+def wait_for_duck_idle() -> float:
+    """Denominator-side twin of :func:`wait_for_idle`: poll until the
+    DuckDB probe sits inside its envelope AND load1 is under the ceiling,
+    or the wait budget runs out. Returns the final probe value — the duck
+    pass's start-side stamp.
+
+    Why wait instead of only stamping (round 10): the duck pass starts
+    right after ``spark.stop()``, when the JVM teardown and page-cache
+    writeback are still settling — the first refreshed 100x record this
+    round breached the start probe by 17% (0.374 s vs 0.32) from exactly
+    that decay while the Spark side was clean, flagging an otherwise
+    quotable record. The probe-then-wait turns that transient into a
+    short delay instead of a discarded 45-minute run."""
+    deadline = time.monotonic() + CONTENTION_WAIT_S
+    p = measure_duck_probe()
+    while (
+        p > DUCK_PROBE_ENVELOPE_S or os.getloadavg()[0] > LOAD1_CEILING
+    ) and time.monotonic() < deadline:
+        time.sleep(15)
+        p = measure_duck_probe()
+    return p
+
+
 def duck_pass_stamp(probe_start_s: float, probe_end_s: float) -> dict:
     """Auditable host-state block bracketing the DuckDB timing pass. A
     breach of either probe marks the DENOMINATOR contended — load1 is
     stamped for forensics only (it still carries our own decaying
-    post-suite self-load, so it is not gated)."""
+    post-suite self-load, so it is not gated).
+
+    The end probe is taken twice when the first reading breaches: a
+    120 s watchdog-interrupted DNF query (the common last suite member at
+    extreme scale) leaves DuckDB's own thread pool and buffer teardown
+    decaying for a few seconds, which is SELF-load — the same class the
+    Spark-side gate excludes from its end stamp. Both readings are
+    recorded (``duck_probe_end_raw_s`` / ``duck_probe_end_s``) and the
+    gate uses the settled one: genuine external contention does not
+    vanish inside the bounded settle wait, so a record that is truly
+    contended still stamps contended."""
+    raw_end = probe_end_s
+    if probe_end_s > DUCK_PROBE_ENVELOPE_S:
+        deadline = time.monotonic() + 60
+        while (
+            probe_end_s > DUCK_PROBE_ENVELOPE_S
+            and time.monotonic() < deadline
+        ):
+            time.sleep(10)
+            probe_end_s = measure_duck_probe()
     return {
         "duck_probe_s": probe_start_s,
+        "duck_probe_end_raw_s": raw_end,
         "duck_probe_end_s": probe_end_s,
         "duck_probe_envelope_s": DUCK_PROBE_ENVELOPE_S,
         "load1_after_duck": round(os.getloadavg()[0], 2),
