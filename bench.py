@@ -546,9 +546,13 @@ def main() -> None:
         wait_for_duck_idle,
     )
 
-    # the start probe WAITS out the post-spark.stop() teardown decay
-    # (round 10) instead of stamping the transient as contention
-    duck_probe_s = wait_for_duck_idle()
+    # the start probe WAITS for external load / post-suite executor
+    # idle-down to settle instead of stamping the transient as contention
+    # (round 10). NOTE: unlike bench_scale.py, this harness times the
+    # DuckDB pass with the Spark JVM still alive (spark.stop() runs after
+    # the duck pass) — the wait absorbs post-suite thread-pool decay, not
+    # stop() teardown (ADVICE r10).
+    duck_probe_s, duck_load1 = wait_for_duck_idle()
     duck_times: dict[str, dict] = {}
     duck_skipped: list[str] = []
     for sec, (names, runs, data_dir) in sections.items():
@@ -557,7 +561,9 @@ def main() -> None:
         )
         duck_times[sec] = dt
         duck_skipped.extend(sk)
-    duck_pass = duck_pass_stamp(duck_probe_s, measure_duck_probe())
+    duck_pass = duck_pass_stamp(
+        duck_probe_s, measure_duck_probe(), load1_start_gated=duck_load1
+    )
 
     summary_sections = {}
     detail_sections = {}

@@ -33,15 +33,22 @@ Graph (all JVM-side ``spark.range`` expressions, no Python in the build):
 Shape matters, and the record keeps both regimes honest: hub edges have
 TWO endpoints, so total hub mass M spread uniformly over the population
 raises MEAN degree by ~M/N — push M past ~N*degree and the p99.5 rule
-itself inflates (the 41M-edge hub run: cap 106, trim saves too little
-for its window+checkpoint cost at 3 rounds and auto LOSES to unguarded).
-The clique concentrates the same quadratic mass on <0.5% of nodes, which
-is the shape the cap is FOR — and the shape near-dup graphs actually
-produce. The trade is explicit and documented: trimmed edges do not
-vote, so labels may differ from unguarded (that is the point —
-SemDeDup-style bounded work); value parity of the trim machinery itself
-is pinned by the uniform-clique parity test in
-``tests/test_round10_ops.py``.
+itself inflates (the round-10 41M-edge hub record: cap 106, trim saved
+too little for its window+checkpoint cost at 3 rounds and auto LOST to
+unguarded by 1.33x). Round 11 answers that regime with the COST GATE
+(graph.label_propagation): from the same degree histogram, trim only
+when ``n_rounds * removed_rows > LPA_TRIM_COST_FACTOR * (heavy_rows +
+kept_rows)`` — the
+dense-hub shapes skip (auto == unguarded semantics, full vote coverage,
+only the bounded rule-derivation aggregation as overhead), while the
+clique shapes the cap is FOR (quadratic near-dup communities: removal
+is ~all rows) still trim, now via the heavy/light broadcast split that
+sorts only heavy-node rows. The trade when trimming remains explicit:
+trimmed edges do not vote, so labels may differ from unguarded (that is
+the point — SemDeDup-style bounded work); value parity of the trim
+machinery itself is pinned by the uniform-clique parity test in
+``tests/test_round10_ops.py`` and the split-vs-window parity test in
+``tests/test_round11_ops.py``.
 
 Writes ``BENCH_LPA_GUARD.json`` and prints one summary JSON line.
 """
@@ -74,7 +81,8 @@ def main() -> None:
     from zarr_datafusion_search_spark import benchutil
     from zarr_datafusion_search_spark.engine import build_session
     from zarr_datafusion_search_spark.operators.graph import (
-        _auto_degree_cap,
+        LPA_TRIM_COST_FACTOR,
+        _cap_from_hist,
         label_propagation,
     )
 
@@ -163,7 +171,20 @@ def main() -> None:
             F.col("dst").alias("src"), F.col("src").alias("dst"), "jaccard"
         )
     ).withColumnRenamed("jaccard", "w")
-    cap, max_deg = _auto_degree_cap(und)
+    hist = (
+        und.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .groupBy("_d")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    cap, max_deg, heavy_nodes, heavy_rows, removed, total = _cap_from_hist(
+        hist.collect()
+    )
+    # the round-11 cost gate's decision on this shape (graph.py replays
+    # the identical integer arithmetic inside label_propagation)
+    dotrim = ROUNDS * removed > LPA_TRIM_COST_FACTOR * (
+        heavy_rows + (total - removed)
+    )
 
     variants = {"unguarded": None, "auto": "auto", "explicit_32": 32}
     times: dict[str, float] = {}
@@ -190,7 +211,15 @@ def main() -> None:
             "seeds": n_seeds,
             "rounds": ROUNDS,
         },
-        "auto_rule": {"cap": cap, "max_degree": max_deg},
+        "auto_rule": {
+            "cap": cap,
+            "max_degree": max_deg,
+            "heavy_nodes": heavy_nodes,
+            "heavy_rows": heavy_rows,
+            "removed_rows": removed,
+            "total_rows": total,
+            "cost_gate_trims": dotrim,
+        },
         "host_state": {
             "fixed_cost_s": round(fixed_cost_s, 4),
             "load1_start": load1_start,
@@ -220,6 +249,7 @@ def main() -> None:
                 "explicit_s": times.get("explicit_32"),
                 "auto_cap": cap,
                 "max_degree": max_deg,
+                "cost_gate_trims": dotrim,
                 "edges": n_edges,
             }
         )

@@ -52,10 +52,18 @@ RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
 SCALE_K = int(os.environ.get("SPARK_GRAFT_SCALE_K", "10"))
 SCALE_DIR = os.path.join("/tmp", f"zdss_scale_{SCALE_K}x")
 #: default (10x) runs own the canonical BENCH_SCALE.json; other K values
-#: write their own artifact so scale points never overwrite each other
+#: write their own artifact so scale points never overwrite each other.
+#: SPARK_GRAFT_SCALE_TAG suffixes the artifact name for side records
+#: (e.g. a Spark-only median-of-3 denominator pass) that must not
+#: replace the canonical per-K record.
+_TAG = os.environ.get("SPARK_GRAFT_SCALE_TAG", "")
 DETAIL_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
-    "BENCH_SCALE.json" if SCALE_K == 10 else f"BENCH_SCALE_{SCALE_K}x.json",
+    (
+        "BENCH_SCALE.json"
+        if SCALE_K == 10 and not _TAG
+        else f"BENCH_SCALE_{SCALE_K}x{('_' + _TAG) if _TAG else ''}.json"
+    ),
 )
 DUCK_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_DUCK_TIMEOUT", "120"))
 
@@ -477,12 +485,14 @@ def main() -> None:
         # the Spark-side gate still stamps contended:false. The start
         # probe WAITS for the post-spark.stop() teardown decay to settle
         # (round 10) instead of stamping the transient as contention.
-        duck_probe_s = benchutil.wait_for_duck_idle()
+        duck_probe_s, duck_load1 = benchutil.wait_for_duck_idle()
         dt, d_raw, timed_out, errored = _time_duck(
             registry, SCALE_QUERIES, RUNS
         )
         duck_pass = benchutil.duck_pass_stamp(
-            duck_probe_s, benchutil.measure_duck_probe()
+            duck_probe_s,
+            benchutil.measure_duck_probe(),
+            load1_start_gated=duck_load1,
         )
 
     paired = list(st) if SKIP_DUCK else [n for n in st if n in dt]

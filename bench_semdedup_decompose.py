@@ -119,7 +119,10 @@ def main() -> None:
     # and let the reader bucket by shape (scan+assign writes shuffle;
     # the pair stage reads it)
     stage_rows = []
+    failed_tasks = killed_tasks = 0
     for st in stages:
+        failed_tasks += st.get("numFailedTasks", 0)
+        killed_tasks += st.get("numKilledTasks", 0)
         stage_rows.append(
             {
                 "stage_id": st["stageId"],
@@ -160,6 +163,13 @@ def main() -> None:
         "python_compute_core_s": round(
             py["assign_s"] + py["prep_s"] + py["gemm_s"] + py["emit_s"], 3
         ),
+        # accumulator updates in pandas UDFs are transformation-side, NOT
+        # exactly-once under task retries/speculation (ADVICE r10) — a
+        # retried task double-counts. Zero failed/killed tasks across the
+        # run is the precondition for reading them as exact.
+        "failed_tasks": failed_tasks,
+        "killed_tasks": killed_tasks,
+        "accumulators_exact": failed_tasks == 0 and killed_tasks == 0,
         "stages": stage_rows,
         "note": (
             "stages cover warmup+measured runs (two identical jobs, most "

@@ -98,8 +98,13 @@ def test_auto_degree_cap_floor_and_quantile(spark):
 
 
 def test_auto_cap_default_matches_explicit_cap(spark):
-    """The default ('auto') run must equal an explicit run at the derived
-    cap — the rule is a cap DERIVATION, not a semantics change."""
+    """Above the round-11 cost gate's payoff point the default ('auto')
+    run must equal an explicit run at the derived cap (the rule is a cap
+    DERIVATION); below it — too few rounds to amortize the trim — auto
+    must keep exact unguarded semantics. Star fixture: hub degree 200,
+    cap 8, removed=192 of 480 rows -> the gate (n_rounds * removed >
+    LPA_TRIM_COST_FACTOR * (heavy_rows + kept_rows), i.e. 192r > 976)
+    engages at r >= 6."""
     edges = _star_plus_chain(spark, hub_degree=200)
     seeds = spark.createDataFrame(
         [(1, "a"), (10_000, "b")], "node long, label string"
@@ -111,17 +116,30 @@ def test_auto_cap_default_matches_explicit_cap(spark):
     )
     cap, _maxdeg = _auto_degree_cap(und)
     auto = sorted(
-        map(tuple, label_propagation(edges, seeds, n_rounds=2).collect())
+        map(tuple, label_propagation(edges, seeds, n_rounds=8).collect())
     )
     explicit = sorted(
         map(
             tuple,
             label_propagation(
-                edges, seeds, n_rounds=2, degree_cap=cap
+                edges, seeds, n_rounds=8, degree_cap=cap
             ).collect(),
         )
     )
     assert auto == explicit
+    # below the gate: trim doesn't pay at 2 rounds -> unguarded semantics
+    auto2 = sorted(
+        map(tuple, label_propagation(edges, seeds, n_rounds=2).collect())
+    )
+    unguarded2 = sorted(
+        map(
+            tuple,
+            label_propagation(
+                edges, seeds, n_rounds=2, degree_cap=None
+            ).collect(),
+        )
+    )
+    assert auto2 == unguarded2
 
 
 def test_auto_cap_sparse_graph_equals_unguarded(spark):

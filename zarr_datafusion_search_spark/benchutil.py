@@ -137,11 +137,14 @@ def measure_duck_probe() -> float:
     return round(statistics.median(times), 4)
 
 
-def wait_for_duck_idle() -> float:
+def wait_for_duck_idle() -> tuple[float, float]:
     """Denominator-side twin of :func:`wait_for_idle`: poll until the
     DuckDB probe sits inside its envelope AND load1 is under the ceiling,
-    or the wait budget runs out. Returns the final probe value — the duck
-    pass's start-side stamp.
+    or the wait budget runs out. Returns ``(probe_s, load1)`` — the final
+    probe value and the load1 reading it was gated with, both stamped so
+    a budget-timeout start (probe clean, load1 still high) is
+    reconstructible from the record (ADVICE r10, the denominator twin of
+    ``load1_start_gated``).
 
     Why wait instead of only stamping (round 10): the duck pass starts
     right after ``spark.stop()``, when the JVM teardown and page-cache
@@ -152,15 +155,28 @@ def wait_for_duck_idle() -> float:
     short delay instead of a discarded 45-minute run."""
     deadline = time.monotonic() + CONTENTION_WAIT_S
     p = measure_duck_probe()
+    load1 = os.getloadavg()[0]
     while (
-        p > DUCK_PROBE_ENVELOPE_S or os.getloadavg()[0] > LOAD1_CEILING
+        p > DUCK_PROBE_ENVELOPE_S or load1 > LOAD1_CEILING
     ) and time.monotonic() < deadline:
         time.sleep(15)
         p = measure_duck_probe()
-    return p
+        load1 = os.getloadavg()[0]
+    return p, round(load1, 2)
 
 
-def duck_pass_stamp(probe_start_s: float, probe_end_s: float) -> dict:
+#: an end-probe breach this large is no longer attributable to DuckDB's
+#: own few-second teardown decay — the settle loop may still bring the
+#: reading down, but the record stays contended (ADVICE r10: the settle
+#: wait must not be able to launder a genuinely contended denominator)
+DUCK_RAW_BREACH_FACTOR = 1.5
+
+
+def duck_pass_stamp(
+    probe_start_s: float,
+    probe_end_s: float,
+    load1_start_gated: float | None = None,
+) -> dict:
     """Auditable host-state block bracketing the DuckDB timing pass. A
     breach of either probe marks the DENOMINATOR contended — load1 is
     stamped for forensics only (it still carries our own decaying
@@ -172,27 +188,37 @@ def duck_pass_stamp(probe_start_s: float, probe_end_s: float) -> dict:
     decaying for a few seconds, which is SELF-load — the same class the
     Spark-side gate excludes from its end stamp. Both readings are
     recorded (``duck_probe_end_raw_s`` / ``duck_probe_end_s``) and the
-    gate uses the settled one: genuine external contention does not
-    vanish inside the bounded settle wait, so a record that is truly
-    contended still stamps contended."""
+    gate uses the settled one, with two ADVICE-r10 hardenings: a raw
+    breach beyond :data:`DUCK_RAW_BREACH_FACTOR` x the envelope stays
+    contended even if it settles (teardown decay is a ~10-20% effect;
+    a 50%+ breach is external), and the settle wait's duration is
+    stamped so auditors can distinguish instant-clean from
+    decayed-to-clean. ``load1_start_gated`` is the load1 reading
+    :func:`wait_for_duck_idle` gated its start on."""
     raw_end = probe_end_s
+    settle_wait_s = 0.0
     if probe_end_s > DUCK_PROBE_ENVELOPE_S:
-        deadline = time.monotonic() + 60
+        t0 = time.monotonic()
+        deadline = t0 + 60
         while (
             probe_end_s > DUCK_PROBE_ENVELOPE_S
             and time.monotonic() < deadline
         ):
             time.sleep(10)
             probe_end_s = measure_duck_probe()
+        settle_wait_s = round(time.monotonic() - t0, 1)
     return {
         "duck_probe_s": probe_start_s,
         "duck_probe_end_raw_s": raw_end,
         "duck_probe_end_s": probe_end_s,
+        "duck_probe_end_settle_wait_s": settle_wait_s,
         "duck_probe_envelope_s": DUCK_PROBE_ENVELOPE_S,
+        "duck_load1_start_gated": load1_start_gated,
         "load1_after_duck": round(os.getloadavg()[0], 2),
         "duck_contended": (
             probe_start_s > DUCK_PROBE_ENVELOPE_S
             or probe_end_s > DUCK_PROBE_ENVELOPE_S
+            or raw_end > DUCK_RAW_BREACH_FACTOR * DUCK_PROBE_ENVELOPE_S
         ),
     }
 

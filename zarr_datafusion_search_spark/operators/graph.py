@@ -296,6 +296,65 @@ LPA_AUTO_Q_DEN = 1000
 LPA_AUTO_FLOOR = 8
 
 
+#: the trim cost gate's weight (see :func:`label_propagation`): trim only
+#: when ``n_rounds * removed_rows > FACTOR * (heavy_rows + kept_rows)``.
+#: The factor prices one window-sorted-or-checkpointed row at FACTOR
+#: per-round-join rows. Calibration on the four BENCH_LPA_GUARD shapes:
+#: the dense-hub regime sits far below the gate at 2 (41M hub: est.
+#: benefit/cost 0.73, where round 10's ungated trim measured 1.33x
+#: WORSE) and the 10-round clique far above it (est. 3.9, measured 3x
+#: win); the 6k-clique/3-round point straddles it (est. 1.18, measured
+#: within the fixture's own ±20% run spread BOTH ways — trim 23.5 vs
+#: unguarded 21.9 in one session, skip 29.4 vs 18.0 in another). On a
+#: marginal shape the gate deliberately errs toward TRIMMING: bounded
+#: worst-case join rows per round is the guard's purpose, and the
+#: quadratic near-dup community is exactly the shape it exists for —
+#: so the factor stays at 2 rather than a larger margin that would
+#: hand marginal cliques back to unbounded growth.
+LPA_TRIM_COST_FACTOR = 2
+
+#: the heavy/light split trim (see :func:`label_propagation`) broadcasts
+#: the heavy-node id set to filter the edge list without shuffling it; by
+#: the p99.5 construction heavy nodes are <=0.5% of nodes, but a direct
+#: caller on a billion-node graph could still exceed a sane broadcast, so
+#: above this bound the trim falls back to the full row_number window
+#: (identical trimmed set either way — the bound is purely physical and
+#: needs no oracle replay)
+LPA_HEAVY_SPLIT_MAX = 1_000_000
+
+
+def _cap_from_hist(rows) -> tuple[int, int, int, int, int, int]:
+    """Exact integer quantile cap from collected (degree, node-count) rows.
+
+    Returns ``(cap, max_degree, heavy_nodes, heavy_rows, removed_rows,
+    total_rows)``: ``heavy_nodes`` is the number of nodes whose degree
+    EXCEEDS the cap (the population the trim window actually touches),
+    ``heavy_rows`` their total adjacency rows, ``removed_rows`` how many
+    of those the cap would cut. ``heavy_nodes == 0`` iff
+    ``cap >= max_degree`` (the trim would keep every row). All integer
+    arithmetic so the DuckDB oracle replays every derived decision
+    bit-for-bit."""
+    rows = sorted(rows, key=lambda r: r["_d"])
+    if not rows:
+        return LPA_AUTO_FLOOR, 0, 0, 0, 0, 0
+    n = sum(r["_c"] for r in rows)
+    q = None
+    cum = 0
+    for r in rows:
+        cum += r["_c"]
+        if cum * LPA_AUTO_Q_DEN >= n * LPA_AUTO_Q_NUM:
+            q = r["_d"]
+            break
+    cap = max(LPA_AUTO_FLOOR, q if q is not None else LPA_AUTO_FLOOR)
+    heavy = sum(r["_c"] for r in rows if r["_d"] > cap)
+    heavy_rows = sum(r["_d"] * r["_c"] for r in rows if r["_d"] > cap)
+    removed = sum(
+        (r["_d"] - cap) * r["_c"] for r in rows if r["_d"] > cap
+    )
+    total = sum(r["_d"] * r["_c"] for r in rows)
+    return cap, rows[-1]["_d"], heavy, heavy_rows, removed, total
+
+
 def _auto_degree_cap(und: DataFrame) -> tuple[int, int]:
     """Adaptive per-node degree cap from the out-degree HISTOGRAM.
 
@@ -321,19 +380,8 @@ def _auto_degree_cap(und: DataFrame) -> tuple[int, int]:
         .groupBy("_d")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    rows = sorted(hist.collect(), key=lambda r: r["_d"])
-    if not rows:
-        return LPA_AUTO_FLOOR, 0
-    n = sum(r["_c"] for r in rows)
-    q = None
-    cum = 0
-    for r in rows:
-        cum += r["_c"]
-        if cum * LPA_AUTO_Q_DEN >= n * LPA_AUTO_Q_NUM:
-            q = r["_d"]
-            break
-    cap = max(LPA_AUTO_FLOOR, q if q is not None else LPA_AUTO_FLOOR)
-    return cap, rows[-1]["_d"]
+    cap, max_deg = _cap_from_hist(hist.collect())[:2]
+    return cap, max_deg
 
 
 def label_propagation(
@@ -378,12 +426,21 @@ def label_propagation(
     The DEFAULT is ``"auto"`` (the same graduation the MinHash guard made
     in round 7): cap = max(:data:`LPA_AUTO_FLOOR`, exact 99.5th percentile
     of the node out-degree distribution), derived from one bounded
-    histogram collect (:func:`_auto_degree_cap`) over the symmetrized edge
-    list. A direct caller handing in an independently built heavy-tailed
-    edge list is now protected by default, not only when the upstream
-    minhash bucket cap happens to have trimmed the pairs. Pass an int for
-    a fixed cap, or ``None`` to opt out entirely (exact unguarded
-    semantics).
+    histogram collect over the symmetrized edge list. A direct caller
+    handing in an independently built heavy-tailed edge list is now
+    protected by default, not only when the upstream minhash bucket cap
+    happens to have trimmed the pairs. Pass an int for a fixed cap, or
+    ``None`` to opt out entirely (exact unguarded semantics).
+
+    The auto trim is applied as a HEAVY/LIGHT SPLIT rather than one
+    global window: the degree relation (cached from the same shuffle the
+    histogram needs) yields the <=0.5%-of-nodes heavy set, light rows
+    bypass the sort via a broadcast anti-join, and only heavy-node rows
+    are windowed. The trimmed set is bit-identical to the full window's
+    (same ``(w DESC, dst)`` spec), so the oracle replay is unchanged —
+    but the trim's cost becomes proportional to the tail mass instead of
+    the whole graph, which is what made auto LOSE to unguarded on the
+    round-10 41M-edge hub record.
     """
     from zarr_datafusion_search_spark.operators.cache import tracked_persist
 
@@ -411,29 +468,81 @@ def label_propagation(
                 "degree_cap must be an int, None, or 'auto'; got "
                 f"{degree_cap!r}"
             )
+        heavy = None
         if degree_cap == "auto":
-            cap, max_deg = _auto_degree_cap(und)
-            # when the percentile rule trims nothing (uniform-density
-            # graph: p99.5 == max degree), the filter keeps every row —
-            # skip the window AND the eager checkpoint of the untrimmed
-            # relation (round 10: on a 12k-clique that no-op checkpoint
-            # was a 144M-row materialization, strictly worse than the
-            # unguarded plan). Semantics identical either way.
-            trim = cap < max_deg
+            # one degree aggregation feeds BOTH the quantile histogram
+            # (bounded collect, exact integer rule — oracle-replayed) and
+            # the heavy-node id relation, so deriving the split below
+            # costs no second shuffle over the edge list
+            degs = tracked_persist(
+                und.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+            )
+            hist = degs.groupBy(F.col("_deg").alias("_d")).agg(
+                F.count(F.lit(1)).alias("_c")
+            )
+            cap, max_deg, heavy_cnt, heavy_rows, removed, total = (
+                _cap_from_hist(hist.collect())
+            )
+            # COST GATE (round 11, BENCH_LPA_GUARD_41M_hub): trim only
+            # when the histogram says it pays for itself within this
+            # call's rounds. Benefit = every round's join/agg skips the
+            # removed rows (n_rounds * removed); marginal cost = the trim
+            # window over the heavy rows + the eager checkpoint of the
+            # kept rows, weighted :data:`LPA_TRIM_COST_FACTOR` (see its
+            # calibration note). In the DENSE regime — hub mass raising
+            # the population mean so cap ~ p50 and removal is only ~half
+            # the rows — the gate skips (auto == unguarded semantics AND
+            # keeps full vote coverage); on the quadratic-community
+            # shapes the guard exists for (near-dup cliques: removal is
+            # ~all rows, many rounds) it still trims. removed == 0
+            # (uniform graph, p99.5 == max) skips trivially, subsuming
+            # the round-10 trim-skip. Integer-exact, replayed in the
+            # oracle CTE.
+            trim = n_rounds * removed > LPA_TRIM_COST_FACTOR * (
+                heavy_rows + (total - removed)
+            )
+            if trim and heavy_cnt <= LPA_HEAVY_SPLIT_MAX:
+                heavy = degs.filter(F.col("_deg") > cap).select("src")
         else:
             cap, trim = degree_cap, True
         if trim:
             wdeg = Window.partitionBy("src").orderBy(
                 F.col("w").desc(), F.col("dst")
             )
-            # checkpointed once: without it the cap window (one shuffle
-            # on src) would re-run inside every round's join
-            und = (
-                und.withColumn("_dr", F.row_number().over(wdeg))
-                .filter(F.col("_dr") <= cap)
-                .drop("_dr")
-                .localCheckpoint(eager=True)
-            )
+            if heavy is not None:
+                # HEAVY/LIGHT SPLIT (round 11, BENCH_LPA_GUARD_41M_hub):
+                # by the p99.5 construction <=0.5% of nodes exceed the
+                # cap, yet the full row_number window shuffles and sorts
+                # EVERY edge row to trim only theirs — on the 41M-edge
+                # hub shape that 82.4M-row sort cost more than the rounds
+                # it saved (auto 66 s vs 49.5 s unguarded). Light rows
+                # (degree <= cap — the window would keep them all) pass
+                # through a broadcast anti-join with no shuffle at all;
+                # only heavy-node rows are sorted, each node one window
+                # partition. The trimmed SET is identical to the full
+                # window's, so the oracle replay is unchanged.
+                light = und.join(F.broadcast(heavy), "src", "left_anti")
+                trimmed = (
+                    und.join(F.broadcast(heavy), "src", "left_semi")
+                    .withColumn("_dr", F.row_number().over(wdeg))
+                    .filter(F.col("_dr") <= cap)
+                    .drop("_dr")
+                )
+                und = light.unionByName(trimmed).localCheckpoint(eager=True)
+            else:
+                # explicit int cap (no degree relation on hand) or a
+                # heavy set too big to broadcast: the original full
+                # window. Checkpointed once: without it the cap window
+                # (one shuffle on src) would re-run inside every round's
+                # join.
+                und = (
+                    und.withColumn("_dr", F.row_number().over(wdeg))
+                    .filter(F.col("_dr") <= cap)
+                    .drop("_dr")
+                    .localCheckpoint(eager=True)
+                )
+        if degree_cap == "auto":
+            degs.unpersist()
     seeds = tracked_persist(seeds.select("node", "label"))
     labels = seeds
     for _ in range(n_rounds):

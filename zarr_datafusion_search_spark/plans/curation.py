@@ -238,21 +238,34 @@ def _semantic_oracle(
     """DuckDB twin of :func:`similarity.semantic_dedup_pairs`.
 
     ``n_centroids="auto"`` replays the operator's deterministic sizing
-    rule — ``max(16, ceil(count(*) / target_cell_rows))`` — inside the SQL
-    (integer arithmetic, no float division), exactly like the minhash
+    rule (:func:`similarity.semdedup_auto_n_centroids`) inside the SQL —
+    ``max(16, ceil(count(*) / target_cell_rows))`` up to target^2 rows,
+    ``ceil(sqrt(count(*)))`` beyond (the round-11 sqrt-k fallback) —
+    with integer arithmetic throughout, exactly like the minhash
     bucket-cap and LPA degree-cap oracles replay theirs: the rule is a
     pure function of the corpus row count, so both engines derive the
-    identical quantizer at every scale factor."""
+    identical quantizer at every scale factor. The ceil-sqrt is computed
+    as a +/-1-corrected ``floor(sqrt(double))`` (smallest k of {f-1, f,
+    f+1} with k*k >= n), exact wherever the true isqrt is within 1 of
+    the double rounding — everywhere below 2^52 rows."""
     cos_ec = _duck_cos("e.embedding", "c.cent_vec")
     cos_ab = _duck_cos("a._va", "b._vb")
     if n_centroids == "auto":
+        linear_max = similarity.SEMDEDUP_LINEAR_K_MAX_ROWS
         cents = f"""
       SELECT vec_id AS centroid_id, embedding AS cent_vec
       FROM embeddings
       QUALIFY row_number() OVER (ORDER BY vec_id) <= (
-        SELECT GREATEST(16, (COUNT(*) + {target_cell_rows - 1})
-                            // {target_cell_rows})
-        FROM embeddings
+        SELECT CASE
+          WHEN n <= {linear_max}
+            THEN GREATEST(16, (n + {target_cell_rows - 1})
+                              // {target_cell_rows})
+          WHEN (f - 1) * (f - 1) >= n THEN f - 1
+          WHEN f * f >= n THEN f
+          ELSE f + 1 END
+        FROM (SELECT n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)
+                       AS f
+              FROM (SELECT COUNT(*) AS n FROM embeddings))
       )"""
     else:
         cents = f"""

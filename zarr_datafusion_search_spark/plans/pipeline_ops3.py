@@ -655,13 +655,23 @@ def _label_propagation_oracle(
             LPA_AUTO_FLOOR,
             LPA_AUTO_Q_DEN,
             LPA_AUTO_Q_NUM,
+            LPA_TRIM_COST_FACTOR,
         )
 
         if degree_cap == "auto":
             # replay the engine's integer-exact adaptive rule
-            # (graph._auto_degree_cap): smallest degree whose cumulative
-            # node count covers 99.5% of nodes, floored
-            cap_expr = "(SELECT cap FROM dcap)"
+            # (graph._cap_from_hist): smallest degree whose cumulative
+            # node count covers 99.5% of nodes, floored — AND the round-11
+            # cost gate: trim only when n_rounds * removed_rows exceeds
+            # 2 * (heavy_rows + kept_rows), all BIGINT arithmetic, so the
+            # dense-hub regime (cap ~ population degree, removal ~half the
+            # rows) keeps unguarded semantics exactly as the engine does.
+            # The factor is graph.LPA_TRIM_COST_FACTOR, interpolated below.
+            cap_expr = (
+                "(CASE WHEN (SELECT dotrim FROM dtrim)"
+                " THEN (SELECT cap FROM dcap)"
+                " ELSE 9223372036854775807 END)"
+            )
             cap_ctes = f"""dhist AS (
       SELECT d, count(*) AS c FROM (
         SELECT src, count(*) AS d FROM und_all GROUP BY 1) GROUP BY 1
@@ -672,6 +682,21 @@ def _label_propagation_oracle(
       FROM (SELECT d, sum(c) OVER (ORDER BY d) AS cumc FROM dhist)
       WHERE cumc * {LPA_AUTO_Q_DEN}
             >= (SELECT sum(c) FROM dhist) * {LPA_AUTO_Q_NUM}
+    ),
+    dstats AS (
+      SELECT coalesce(sum(d * c), 0) AS total,
+             coalesce(sum(CASE WHEN d > (SELECT cap FROM dcap)
+                               THEN d * c ELSE 0 END), 0) AS heavy_rows,
+             coalesce(sum(CASE WHEN d > (SELECT cap FROM dcap)
+                               THEN (d - (SELECT cap FROM dcap)) * c
+                               ELSE 0 END), 0) AS removed
+      FROM dhist
+    ),
+    dtrim AS (
+      SELECT {n_rounds} * removed
+               > {LPA_TRIM_COST_FACTOR}
+                 * (heavy_rows + (total - removed)) AS dotrim
+      FROM dstats
     ),
     """
         else:
