@@ -100,6 +100,84 @@ def is_contended(
     )
 
 
+def cpu_stat_snapshot() -> dict | None:
+    """Cumulative /proc/stat CPU ticks — the raw material for the STEAL
+    share of a measurement window. Round-12 finding while A/B-attributing
+    the r11 headline regression: this box is a VM whose hypervisor steals
+    ~1% of cycles at idle but 11%+ while the suite is busy — invisible to
+    load1 AND mostly invisible to the 10-task trivial-job probe, yet it
+    inflates every query wall uniformly, which is exactly the r8/r11
+    drift signature. Returns None on non-Linux (no /proc/stat)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+    except OSError:
+        return None
+    vals = list(map(int, parts))
+    names = [
+        "user", "nice", "system", "idle", "iowait",
+        "irq", "softirq", "steal",
+    ]
+    return {n: v for n, v in zip(names, vals)}
+
+
+def steal_pct_between(start: dict | None, end: dict | None) -> float | None:
+    """Steal share (%) of all CPU ticks elapsed between two
+    :func:`cpu_stat_snapshot` readings; None if either is unavailable or
+    no ticks elapsed."""
+    if not start or not end:
+        return None
+    total = sum(end.values()) - sum(start.values())
+    if total <= 0:
+        return None
+    return round(100.0 * (end["steal"] - start["steal"]) / total, 2)
+
+
+#: cross-round ANCHOR ceiling (VERDICT r11 ask #2): the probe + load1
+#: gate demonstrably admitted two sessions ~20% apart (the r10 and r11
+#: driver records both stamped contended:false while every headline
+#: query moved +20-45%). The anchor is a REAL headline query
+#: (q1_pricing_summary at sf0.1) timed with the bench's own per-query
+#: protocol after the idle wait — a direct measurement of the thing the
+#: gate exists to protect. Committed idle history r04-r10: 0.32-0.38 s
+#: (0.321/0.323/0.351/0.364/0.376/0.379); the two retro-identified
+#: drift sessions measured 0.50 (r07) and 0.476 (r11). The ceiling is
+#: idle-max + ~16%, below both drift readings.
+ANCHOR_CEILING_S = float(os.environ.get("SPARK_GRAFT_ANCHOR_CEILING", "0.44"))
+
+
+def wait_for_anchor(anchor_fn) -> tuple[float, bool]:
+    """Anchor-query gate (VERDICT r11 ask #2): time ``anchor_fn`` (a
+    zero-arg callable that runs the anchor query to completion) with the
+    bench's per-query protocol — 1 warmup + median of 3 — and poll until
+    the median sits under :data:`ANCHOR_CEILING_S` or the shared wait
+    budget runs out. Returns ``(anchor_s, breached)``; the caller folds
+    ``breached`` into the record's ``contended`` verdict and stamps the
+    reading, so a session 20% off the cross-round band RETRIES instead of
+    committing a non-comparable number with ``contended: false``.
+
+    Runs AFTER :func:`wait_for_idle`: the probe/load1 gate screens cheap
+    and fast, the anchor then verifies the one signal the cheap gate has
+    twice been shown to miss (uniform ~20-45% drift on real query plans
+    with a clean trivial-job probe)."""
+
+    def _median() -> float:
+        anchor_fn()
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            anchor_fn()
+            ts.append(time.perf_counter() - t0)
+        return round(statistics.median(ts), 4)
+
+    deadline = time.monotonic() + CONTENTION_WAIT_S
+    a = _median()
+    while a > ANCHOR_CEILING_S and time.monotonic() < deadline:
+        time.sleep(15)
+        a = _median()
+    return a, a > ANCHOR_CEILING_S
+
+
 #: idle envelope for the DuckDB-side probe (ADVICE r9: the DuckDB timing
 #: pass — the ratio DENOMINATOR — ran after spark.stop() with no probe, so
 #: contention arriving during it silently inflated duck_s and flattered
@@ -197,7 +275,13 @@ def duck_pass_stamp(
     :func:`wait_for_duck_idle` gated its start on."""
     raw_end = probe_end_s
     settle_wait_s = 0.0
-    if probe_end_s > DUCK_PROBE_ENVELOPE_S:
+    # a raw breach past the factor makes the contended verdict final no
+    # matter what the settle loop would read — skip the up-to-60 s wait
+    # and stamp immediately (ADVICE r11)
+    if (
+        probe_end_s > DUCK_PROBE_ENVELOPE_S
+        and raw_end <= DUCK_RAW_BREACH_FACTOR * DUCK_PROBE_ENVELOPE_S
+    ):
         t0 = time.monotonic()
         deadline = t0 + 60
         while (
@@ -231,6 +315,8 @@ def host_state_stamp(
     attempts: int,
     load1_start_gated: float | None = None,
     duck_pass: dict | None = None,
+    anchor: dict | None = None,
+    steal: dict | None = None,
 ) -> dict:
     """The common ``host_state`` block every bench record carries.
 
@@ -239,7 +325,10 @@ def host_state_stamp(
     from it, so borderline records were not reconstructible).
     ``duck_pass`` is the :func:`duck_pass_stamp` block; its breach folds
     into the top-level ``contended`` — a flattered denominator is just as
-    unquotable as an inflated numerator."""
+    unquotable as an inflated numerator. ``anchor`` is the
+    :func:`wait_for_anchor` reading (``{"anchor_s", "anchor_ceiling_s",
+    "anchor_breached", "anchor_query"}``); the caller is expected to have
+    already folded its breach into ``contended``."""
     out = {
         "loadavg_start": loadavg_start,
         "load1_start_gated": load1_start_gated,
@@ -253,6 +342,15 @@ def host_state_stamp(
         "attempts": attempts,
         "contention_wait_s": CONTENTION_WAIT_S,
     }
+    if anchor is not None:
+        out["anchor"] = anchor
+    if steal is not None:
+        # forensics, not gated: steal during our own busy window is
+        # hypervisor-level contention the guest cannot control; the
+        # anchor gate catches its symptom (real-query wall drift), this
+        # stamp names the cause so a drifted record is attributable
+        # without an A/B session.
+        out["steal"] = steal
     if duck_pass is not None:
         out["duck_pass"] = duck_pass
         out["contended_spark_side"] = contended

@@ -521,9 +521,17 @@ def label_propagation(
                 # only heavy-node rows are sorted, each node one window
                 # partition. The trimmed SET is identical to the full
                 # window's, so the oracle replay is unchanged.
-                light = und.join(F.broadcast(heavy), "src", "left_anti")
+                # null-SAFE join keys (ADVICE r11): the full window
+                # partitions NULL srcs into one group and trims it like
+                # any other, but a plain equi anti/semi join never
+                # matches NULL — a NULL-keyed heavy group would silently
+                # bypass the split trim. eqNullSafe keeps the two paths
+                # bit-identical on any input.
+                hv = F.broadcast(heavy.withColumnRenamed("src", "_hsrc"))
+                on = und["src"].eqNullSafe(hv["_hsrc"])
+                light = und.join(hv, on, "left_anti")
                 trimmed = (
-                    und.join(F.broadcast(heavy), "src", "left_semi")
+                    und.join(hv, on, "left_semi")
                     .withColumn("_dr", F.row_number().over(wdeg))
                     .filter(F.col("_dr") <= cap)
                     .drop("_dr")

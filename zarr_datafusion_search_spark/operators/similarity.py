@@ -1079,6 +1079,10 @@ def semantic_cell_assignments(
     GEMM-vs-fold summation order sits in the tolerance class the 6dp
     round already absorbs; zero-norm vectors divide by NORM_EPS like
     every other GEMM path here.
+
+    ``instrument``: optional dict of Spark accumulators; only the
+    ``"assign_s"`` key is read here, and only if present — a partial
+    dict is ignored rather than raising executor-side (ADVICE r11).
     """
     if n_centroids == "auto":
         n_rows = metadata_row_count(corpus)
@@ -1129,7 +1133,12 @@ def semantic_cell_assignments(
         # so the argmax is identical to comparing the rounded cosines)
         R = np.copysign(np.floor(np.abs(S) * 1e6 + 0.5), S)
         out = pd.Series(cent_ids[np.argmax(R, axis=1)], dtype="int64")
-        if instrument:
+        # key-guarded (ADVICE r11): `instrument` is documented as a dict
+        # of Spark ACCUMULATORS keyed like semantic_dedup_pairs builds it,
+        # but this function is public — a caller's partial dict must not
+        # raise KeyError executor-side. += keeps accumulator semantics
+        # (Accumulator.__iadd__ is .add); plain-float dicts work too.
+        if instrument and "assign_s" in instrument:
             instrument["assign_s"] += _time.perf_counter() - _t0
         return out
 

@@ -201,24 +201,85 @@ _MINHASH_ORACLE = _minhash_oracle()
 
 _MH_CTES, _MH_SELECT = _minhash_pairs_sql()
 
-#: recursive transitive closure over the minhash pair graph — feasible at
-#: verification scale; the Spark side iterates min-label propagation instead
-#: (closure is quadratic in component size).
+#: unrolled round count for the bounded components oracle (VERDICT r11
+#: ask #3). The engine (operators/components.py) iterates min-label
+#: propagation to the FIXPOINT; the oracle unrolls the identical
+#: per-round rule, so the two agree iff every node sits within this many
+#: propagation rounds of its component's minimum member (its
+#: "min-eccentricity"). Measured on the minhash-0.5 pair graph of the
+#: shipped fixtures (round 12, driver BFS from each component minimum):
+#: max min-eccentricity 1 at sf0.001/sf0.01/sf0.1 (largest cluster 4)
+#: and 2 at the 10x bench scale-up (largest cluster 5) — near-dup
+#: clusters are dense and tiny, exactly why the engine's simple
+#: propagation beats large-star/small-star there. 8 rounds is 4x that
+#: margin; the convergence SENTINEL below turns any overrun into an
+#: empty (never silently wrong) result.
+COMPONENTS_ORACLE_ROUNDS = 8
+
+
+def components_oracle_ctes(n_rounds: int = COMPONENTS_ORACLE_ROUNDS) -> str:
+    """CTE chain ending in ``comp(node, component)`` over an in-scope
+    ``pairs(doc_a, doc_b, ...)`` relation: BOUNDED min-label propagation
+    replacing the recursive transitive closure the four cluster oracles
+    used through round 11 (VERDICT r11 ask #3 — the closure materializes
+    O(sum |C|^2) reach pairs, which kept all four ``duckdb_skipped`` at
+    the bench's 120 s watchdog at sf0.1 two driver rounds running, while
+    r9 had paired them at ~0.57x; this chain is ``n_rounds`` LINEAR
+    passes — one O(E) join + group-by each — the same per-round shape
+    the engine runs).
+
+    Each round replays ``components.connected_components`` exactly:
+    every node takes ``min(own label, min over neighbors' labels)``;
+    round 0 labels every node with itself. SQL recursion cannot
+    aggregate in the recursive term, so the rounds are unrolled as
+    chained CTEs like the LPA oracle (``pipeline_ops3``).
+
+    Exactness: the engine iterates to the fixpoint, so the chain ends
+    with a CONVERGENCE SENTINEL — ``comp`` is emptied unless the last
+    two rounds are identical, making an under-sized ``n_rounds`` a loud
+    row-count collapse instead of silently-close labels. See
+    :data:`COMPONENTS_ORACLE_ROUNDS` for how the default is sized."""
+    parts = [
+        """edges AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    cl0 AS (
+      SELECT a AS node, a AS component FROM (SELECT DISTINCT a FROM edges)
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""cl{r} AS MATERIALIZED (
+      SELECT l.node,
+             least(l.component, coalesce(m.mc, l.component)) AS component
+      FROM cl{r - 1} l LEFT JOIN (
+        SELECT e.a AS node, min(n.component) AS mc
+        FROM edges e JOIN cl{r - 1} n ON n.node = e.b
+        GROUP BY e.a
+      ) m ON m.node = l.node
+    )""")
+    parts.append(f"""conv AS (
+      SELECT count(*) AS n_unconverged
+      FROM cl{n_rounds} k JOIN cl{n_rounds - 1} p ON p.node = k.node
+      WHERE k.component <> p.component
+    ),
+    comp AS (
+      SELECT node, component FROM cl{n_rounds}
+      WHERE (SELECT n_unconverged FROM conv) = 0
+    )""")
+    return ",\n    ".join(parts)
+
+
+#: bounded min-label propagation over the minhash pair graph — linear
+#: per round, replay of the engine's exact iteration (see
+#: :func:`components_oracle_ctes`; the pre-r12 recursive closure was
+#: quadratic in component size and DNF'd the sf0.1 bench watchdog).
 _COMPONENTS_ORACLE = f"""
-WITH RECURSIVE {_MH_CTES},
-pairs AS ({_MH_SELECT}),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-)
-SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
-FROM reach GROUP BY a
+WITH {_MH_CTES},
+pairs AS MATERIALIZED ({_MH_SELECT}),
+{components_oracle_ctes()}
+SELECT node AS doc_id, CAST(component AS BIGINT) AS component FROM comp
 """
 
 
@@ -297,8 +358,10 @@ def dedup_minhash_lsh_guarded(spark: SparkSession, sf: str) -> DataFrame:
     doc="Connected components over the MinHash near-dup pair graph: "
     "iterative min-label propagation (one equi-join + one agg per round, "
     "rounds = graph diameter), labels converge to each component's minimum "
-    "doc_id. Oracle: recursive transitive closure in DuckDB — quadratic, "
-    "fine at verification scale, which is why the engine iterates instead.",
+    "doc_id. Oracle: the identical rounds unrolled as chained CTEs with a "
+    "convergence sentinel (components_oracle_ctes) — linear per round, so "
+    "DuckDB stays paired at bench scale where the pre-r12 recursive "
+    "closure DNF'd.",
 )
 def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     from zarr_datafusion_search_spark.operators import components
@@ -317,33 +380,21 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "dedup_cluster_survivors",
     oracle=f"""
-    WITH RECURSIVE {_MH_CTES},
-    pairs AS ({_MH_SELECT}),
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION
-      SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(a, b) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    ),
-    comp AS (
-      SELECT a AS doc_id, least(a, min(b)) AS component
-      FROM reach GROUP BY a
-    )
+    WITH {_MH_CTES},
+    pairs AS MATERIALIZED ({_MH_SELECT}),
+    {components_oracle_ctes()}
     SELECT d.source, count(*) AS n_docs,
            CAST(sum(d.n_chars) AS BIGINT) AS total_chars
     FROM documents d
-    LEFT JOIN comp c ON c.doc_id = d.doc_id
-    WHERE c.doc_id IS NULL OR c.doc_id = c.component
+    LEFT JOIN comp c ON c.node = d.doc_id
+    WHERE c.node IS NULL OR c.node = c.component
     GROUP BY d.source
     """,
     doc="End-to-end near-dup curation: collapse every MinHash cluster to its "
     "minimum-id survivor (non-clustered rows pass through) and audit the "
     "surviving corpus per source. The anti-join against cluster losers is "
-    "one broadcast-friendly shuffle.",
+    "one broadcast-friendly shuffle. Oracle: bounded min-label rounds "
+    "(components_oracle_ctes), linear per round.",
 )
 def dedup_cluster_survivors(spark: SparkSession, sf: str) -> DataFrame:
     from zarr_datafusion_search_spark.operators import components

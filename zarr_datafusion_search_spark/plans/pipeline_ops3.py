@@ -491,30 +491,18 @@ def _cluster_histogram_oracle() -> str:
     from zarr_datafusion_search_spark.plans.pipeline_ops import (
         _MH_CTES,
         _MH_SELECT,
+        components_oracle_ctes,
     )
 
     return f"""
-    WITH RECURSIVE {_MH_CTES},
-    pairs AS ({_MH_SELECT}),
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION
-      SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(a, b) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    ),
-    comp AS (
-      SELECT a AS doc_id, least(a, min(b)) AS component
-      FROM reach GROUP BY a
-    ),
+    WITH {_MH_CTES},
+    pairs AS MATERIALIZED ({_MH_SELECT}),
+    {components_oracle_ctes()},
     csizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1),
     chist AS (SELECT cluster_size, count(*) AS n_clusters FROM csizes GROUP BY 1),
     singles AS (
       SELECT count(*) AS n1 FROM documents d
-      WHERE NOT EXISTS (SELECT 1 FROM comp c WHERE c.doc_id = d.doc_id)
+      WHERE NOT EXISTS (SELECT 1 FROM comp c WHERE c.node = d.doc_id)
     )
     SELECT CAST(cluster_size AS BIGINT) AS cluster_size, n_clusters,
            CAST(cluster_size * n_clusters AS BIGINT) AS n_docs

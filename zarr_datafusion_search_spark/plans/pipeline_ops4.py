@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from zarr_datafusion_search_spark.plans.pipeline_ops import (
     _MH_CTES,
     _MH_SELECT,
+    components_oracle_ctes as _components_oracle_ctes,
 )
 from zarr_datafusion_search_spark.plans.pipeline_ops3 import _TOKS
 from zarr_datafusion_search_spark.plans.registry import register, table
@@ -305,22 +306,9 @@ from zarr_datafusion_search_spark.functions.hashing import duckdb_h64  # noqa: E
 @register(
     "leakage_safe_split",
     oracle=f"""
-    WITH RECURSIVE {_MH_CTES},
-    pairs AS ({_MH_SELECT}),
-    gedges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION
-      SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(a, b) AS (
-      SELECT a, b FROM gedges
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN gedges e ON r.b = e.a
-    ),
-    comp AS (
-      SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
-      FROM reach GROUP BY a
-    )
+    WITH {_MH_CTES},
+    pairs AS MATERIALIZED ({_MH_SELECT}),
+    {_components_oracle_ctes()}
     SELECT d.doc_id,
            coalesce(c.component, d.doc_id) AS representative,
            CASE WHEN {duckdb_h64("coalesce(c.component, d.doc_id)::VARCHAR")}
@@ -328,14 +316,15 @@ from zarr_datafusion_search_spark.functions.hashing import duckdb_h64  # noqa: E
                 WHEN {duckdb_h64("coalesce(c.component, d.doc_id)::VARCHAR")}
                      % 100 < 90 THEN 'val'
                 ELSE 'test' END AS split
-    FROM documents d LEFT JOIN comp c USING (doc_id)
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
     """,
     doc="Near-dup-aware 80/10/10 train/val/test split: every doc is "
     "assigned by the portable hash of its near-dup CLUSTER representative "
     "(component min-label; own id if unclustered), so near-duplicates can "
     "never straddle train and eval — the leakage a per-doc hash split "
     "silently ships. Deterministic, no RNG. Oracle replays components via "
-    "recursive closure + the same md5-derived hash.",
+    "bounded min-label rounds (components_oracle_ctes) + the same "
+    "md5-derived hash.",
 )
 def leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     from zarr_datafusion_search_spark.operators import dedup
