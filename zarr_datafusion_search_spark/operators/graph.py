@@ -310,7 +310,13 @@ LPA_AUTO_FLOOR = 8
 #: worst-case join rows per round is the guard's purpose, and the
 #: quadratic near-dup community is exactly the shape it exists for —
 #: so the factor stays at 2 rather than a larger margin that would
-#: hand marginal cliques back to unbounded growth.
+#: hand marginal cliques back to unbounded growth. Round 12 measured
+#: the crossover the r11 note asserted (BENCH_LPA_GUARD_clique_r5): on
+#: the same 6k-clique shape at 5 rounds auto WINS 1.60x (39.3 vs
+#: 62.8 s unguarded; explicit-32 26.0 s), so the trim's payoff flips
+#: between 3 and 5 rounds — the err-toward-trimming loss is confined
+#: to the narrow 3-round end of the marginal band, with data on both
+#: sides of the factor's calibration.
 LPA_TRIM_COST_FACTOR = 2
 
 #: the heavy/light split trim (see :func:`label_propagation`) broadcasts
