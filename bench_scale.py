@@ -467,7 +467,11 @@ def main() -> None:
     for attempt in range(1, benchutil.BENCH_ATTEMPTS + 1):
         fixed_cost_s, load1_start = benchutil.wait_for_idle(spark)
         loadavg_start = [round(x, 2) for x in os.getloadavg()]
+        steal_start = benchutil.cpu_stat_snapshot()
         st, s_raw = _time_spark(spark, registry, SCALE_QUERIES, RUNS)
+        steal_pct = benchutil.steal_pct_between(
+            steal_start, benchutil.cpu_stat_snapshot()
+        )
         release_operator_caches()
         fixed_cost_end_s = benchutil.measure_fixed_cost(spark)
         contended = benchutil.is_contended(
@@ -506,6 +510,7 @@ def main() -> None:
         attempt,
         load1_start_gated=load1_start,
         duck_pass=duck_pass,
+        steal={"spark_window_steal_pct": steal_pct},
     )
     detail = {
         "host_state": host_state,

@@ -313,8 +313,12 @@ def main() -> None:
     for attempt in range(1, benchutil.BENCH_ATTEMPTS + 1):
         fixed_cost_s, load1_start = benchutil.wait_for_idle(spark)
         loadavg_start = [round(x, 2) for x in os.getloadavg()]
+        steal_start = benchutil.cpu_stat_snapshot()
         uniform = _run_dataset(spark, registry, UNIFORM_DIR)
         skew = _run_dataset(spark, registry, SKEW_DIR)
+        steal_pct = benchutil.steal_pct_between(
+            steal_start, benchutil.cpu_stat_snapshot()
+        )
         fixed_cost_end_s = benchutil.measure_fixed_cost(spark)
         contended = benchutil.is_contended(
             fixed_cost_s, fixed_cost_end_s, load1_start
@@ -344,6 +348,7 @@ def main() -> None:
         contended,
         attempt,
         load1_start_gated=load1_start,
+        steal={"spark_window_steal_pct": steal_pct},
     )
     detail = {
         "host_state": host_state,

@@ -155,9 +155,14 @@ def test_duck_pass_stamp_raw_breach_stays_contended(monkeypatch):
     assert st["duck_probe_end_s"] == 0.01
     assert st["duck_probe_end_raw_s"] == pytest.approx(env * 1.2)
     assert st["duck_load1_start_gated"] == 1.5
-    # raw breach beyond the factor: contended even though it settled
+    # raw breach beyond the factor: contended — and the settle loop is
+    # SKIPPED outright (ADVICE r11: the verdict is already final, so the
+    # stamp must not spend up to 60 s settling a reading it cannot use);
+    # the end value therefore stays the raw breach
     st = benchutil.duck_pass_stamp(0.01, env * 1.6)
-    assert st["duck_contended"] and st["duck_probe_end_s"] == 0.01
+    assert st["duck_contended"]
+    assert st["duck_probe_end_s"] == pytest.approx(env * 1.6)
+    assert st["duck_probe_end_settle_wait_s"] == 0.0
     # clean end probe: no settle wait at all
     st = benchutil.duck_pass_stamp(0.01, 0.01)
     assert st["duck_probe_end_settle_wait_s"] == 0.0

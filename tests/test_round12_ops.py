@@ -187,6 +187,26 @@ def test_lpa_split_trims_null_keyed_group_like_full_window(spark, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# per-worker BLAS thread pinning (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_engine_pins_one_blas_thread_per_worker(spark):
+    """Every task slot runs its own Python worker, so an n-thread BLAS
+    pool per worker oversubscribes cores n-fold — and this numpy's
+    OpenBLAS spin-yields that pool in the kernel (measured 43 s user /
+    467 s SYSTEM on a 108-GFLOP dgemm loop). build_session must pin one
+    BLAS thread per worker: driver env (local-mode daemons inherit it)
+    AND executorEnv (cluster deployments)."""
+    import os
+
+    assert os.environ.get("OPENBLAS_NUM_THREADS") == "1"
+    assert (
+        spark.conf.get("spark.executorEnv.OPENBLAS_NUM_THREADS") == "1"
+    )
+
+
+# ---------------------------------------------------------------------------
 # duck settle short-circuit (ADVICE r11)
 # ---------------------------------------------------------------------------
 

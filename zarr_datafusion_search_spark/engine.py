@@ -46,7 +46,45 @@ def build_session(
     scale leave it unset and let AQE coalesce from a higher initial value.
     """
     master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    # BLAS threads are pinned to 1 PER PYTHON WORKER (round 12): every
+    # task slot already runs its own worker process, so an n-thread BLAS
+    # pool per worker oversubscribes cores n-fold — and this numpy's
+    # OpenBLAS (0.3.23.dev, pthreads) SPIN-YIELDS its pool in the kernel,
+    # measured at 43 s user / 467 s SYSTEM for a 108-GFLOP dgemm loop at
+    # defaults vs clean single-thread execution pinned. The blow-up only
+    # engages once a GEMM crosses OpenBLAS's internal multithread
+    # threshold (the SemDeDup sqrt regime's n x 4243 assignment was the
+    # first shipped shape big enough, 50-60% machine-wide sys time), so
+    # every earlier small-k record was unaffected. Set in the driver env
+    # BEFORE the JVM forks (local-mode pyspark daemons inherit it) AND as
+    # executorEnv for cluster deployments; an explicit caller export
+    # wins over both.
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    # glibc is told to RETAIN large buffers (round 12): numpy's vectorized
+    # stages allocate/free ~100 MB temporaries per Arrow batch (GEMM
+    # outputs, rounding copies, np.where masks); at glibc defaults every
+    # one is a fresh mmap whose pages are first-touch-faulted and then
+    # munmap'd — kernel work proportional to bytes processed, plus TLB
+    # shootdowns, and on virtualized hosts each fresh fault can exit to
+    # the hypervisor (measured here: 0.06 GB/s first-touch inside a taxed
+    # epoch vs 3 GB/s reused heap; the within-cell SemDeDup profile ran
+    # 12x faster with retention — 108 s wall / 100 s SYS -> 9.3 s / 0.1 s,
+    # sandwich-controlled). Raising the mmap + trim thresholds keeps
+    # those buffers on the (reused) heap: faulted once per worker, not
+    # once per batch. Worker RSS retains up to the high-water mark of a
+    # single stage's temporaries — bounded by the operators' own block
+    # sizes (e.g. SEMDEDUP_GEMM_BLOCK_ROWS), a few hundred MB.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "536870912")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "536870912")
     builder = SparkSession.builder.appName(app_name).master(master)
+    for var in (
+        "OPENBLAS_NUM_THREADS",
+        "MALLOC_MMAP_THRESHOLD_",
+        "MALLOC_TRIM_THRESHOLD_",
+    ):
+        builder = builder.config(
+            f"spark.executorEnv.{var}", os.environ[var]
+        )
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)
     if shuffle_partitions is None and master.startswith("local"):
