@@ -246,3 +246,108 @@ def test_duck_settle_loop_still_runs_on_moderate_breach(monkeypatch):
     assert stamp["duck_contended"] is False
     assert stamp["duck_probe_end_s"] == 0.1
     assert stamp["duck_probe_end_raw_s"] == pytest.approx(env + 0.01)
+
+
+# ---------------------------------------------------------------------------
+# assignment-stage f32 prefilter + banded f64 re-check (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _assign_reference_numpy(vecs, cent_ids, cents):
+    """The documented assignment semantics, rederived independently:
+    full-f64 cosine matrix, 6dp half-away-from-zero round, argmax with
+    lowest-centroid-id tie-break (np.argmax returns the first maximum
+    over the id-ascending matrix). This is the exact contract the
+    crossJoin + max_by(struct(round(cos,6), -centroid_id)) plan defined
+    and the retired all-f64 GEMM implemented."""
+    import numpy as np
+
+    from zarr_datafusion_search_spark.operators.similarity import NORM_EPS
+
+    V = np.asarray(vecs, dtype=np.float64)
+    C = np.asarray(cents, dtype=np.float64)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), NORM_EPS)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), NORM_EPS)
+    S = Vn @ Cn.T
+    R = np.copysign(np.floor(np.abs(S) * 1e6 + 0.5), S)
+    return [int(cent_ids[j]) for j in np.argmax(R, axis=1)]
+
+
+def test_assignment_band_recheck_sub_f32_gaps(spark):
+    """Adversarial band stress: query vectors whose top-2 centroid
+    cosines differ by ~1e-7..3e-6 — below or near the worst-case f32
+    dot error, so an f32-only argmax could misrank them. The shipped
+    UDF's banded f64 re-check must land every one on the true
+    f64-rounded winner (including true 6dp ties, which break to the
+    lowest centroid id)."""
+    import numpy as np
+
+    from zarr_datafusion_search_spark.operators import similarity
+
+    d = 8
+    c1 = [1.0] + [0.0] * (d - 1)
+    c2 = [0.0, 1.0] + [0.0] * (d - 2)
+    rows = [(0, c1), (1, c2)]
+    vecs = [c1, c2]
+    # q = [1, 1 - delta, 0, ...]: cos gap to the two centroids ~ delta/2
+    # (post-normalization); deltas straddle the f32 error scale and the
+    # 6dp bin width in both directions
+    for i, delta in enumerate(
+        [0.0, 1e-7, -1e-7, 1e-6, -1e-6, 3e-6, -3e-6, 2e-5, -2e-5]
+    ):
+        q = [1.0, 1.0 - delta] + [0.0] * (d - 2)
+        rows.append((10 + i, q))
+        vecs.append(q)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    # NOTE: Spark stores array<float> as f32 — feed the reference the
+    # f32-quantized values the UDF actually sees
+    vecs32 = np.asarray(vecs, dtype=np.float32).astype(np.float64)
+    expected = _assign_reference_numpy(vecs32, [0, 1], vecs32[:2])
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.semantic_cell_assignments(df, n_centroids=2)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert [got[i] for i, _ in rows] == expected
+    # the constructed ties must actually exercise both outcomes
+    assert expected[0] == 0 and expected[1] == 1
+
+
+def test_assignment_degenerate_rows_match_f64_argmax(spark):
+    """Zero vectors (NORM_EPS path) and non-finite vectors produce no
+    f32 band candidates; the fallback must reproduce the retired
+    all-f64 argmax behavior exactly (np.argmax over the rounded score
+    matrix — first-maximum/first-NaN semantics)."""
+    import math
+
+    import numpy as np
+
+    from zarr_datafusion_search_spark.operators import similarity
+
+    d = 4
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (7, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        (8, [math.nan, 1.0, 0.0, 0.0]),  # non-finite
+        (9, [0.5, 0.5, 0.0, 0.0]),  # ordinary row alongside them
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    vecs32 = np.asarray(
+        [v for _, v in rows], dtype=np.float32
+    ).astype(np.float64)
+    expected = _assign_reference_numpy(vecs32, [0, 1], vecs32[:2])
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.semantic_cell_assignments(df, n_centroids=2)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert [got[i] for i, _ in rows] == expected

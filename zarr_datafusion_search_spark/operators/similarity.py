@@ -1117,6 +1117,15 @@ def semantic_cell_assignments(
         cmat
         / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), NORM_EPS)
     ).T
+    cmat32 = cmat_t.astype(np.float32)
+    #: f32 band around each row's f32 score max (round 12). Must cover
+    #: the true f64 winner-after-rounding set: an R-max candidate sits
+    #: within the 1e-6 rounding bin of the f64 max, and the f32 dot of
+    #: 64-dim unit vectors errs by <~1e-5, so 1e-6 + 2e-5 suffices;
+    #: 2e-4 is ~10x margin — the same constant class as gemm_cell's
+    #: cut32 widening.
+    _band32 = np.float32(2e-4)
+    _sbuf: list = []  # one reusable (rows, k) f32 score buffer per task
 
     def _assign_cell_fn(vecs):
         import time as _time
@@ -1128,11 +1137,55 @@ def semantic_cell_assignments(
         Vn = V / np.maximum(
             np.linalg.norm(V, axis=1, keepdims=True), NORM_EPS
         )
-        S = Vn @ cmat_t
-        # round half-away-from-zero at 6dp, kept scaled by 1e6 (monotone,
-        # so the argmax is identical to comparing the rounded cosines)
-        R = np.copysign(np.floor(np.abs(S) * 1e6 + 0.5), S)
-        out = pd.Series(cent_ids[np.argmax(R, axis=1)], dtype="int64")
+        n, k = len(Vn), cmat_t.shape[1]
+        # f32 prefilter + banded f64 re-check (round 12): the retired
+        # all-f64 path materialized the n x k score matrix PLUS three
+        # more full-size temporaries for the 6dp round (abs/floor/
+        # copysign) — ~2.4 TB of allocate-and-touch traffic at the
+        # 18M x 4243 sqrt-regime point (BENCH_SEMDEDUP_SQRT.json is the
+        # BEFORE side of this receipt). Scores are now found in f32 into
+        # one REUSED buffer; only candidates within _band32 of each
+        # row's f32 max are re-dotted in f64 and 6dp-rounded, so the
+        # expensive exact path touches O(n) values instead of O(n*k).
+        # Semantics are IDENTICAL to the f64 argmax — the band provably
+        # contains every candidate whose rounded f64 cosine ties the
+        # row max (see _band32), the f64 re-check reproduces the 6dp
+        # half-away round, and ties still break to the lowest centroid
+        # id (candidates are emitted id-ascending within a row; the
+        # first R-max wins) — pinned by the crossJoin-parity, 6dp-tie,
+        # and round-12 sub-f32-gap tests.
+        if not _sbuf or _sbuf[0].shape[0] < n:
+            _sbuf[:] = [np.empty((n, k), dtype=np.float32)]
+        S32 = _sbuf[0][:n]
+        np.dot(Vn.astype(np.float32), cmat32, out=S32)
+        m = S32.max(axis=1)
+        ii, jj = np.nonzero(S32 >= (m[:, None] - _band32))
+        out = np.empty(n, dtype=np.int64)
+        if len(ii):
+            c64 = np.einsum("ij,ij->i", Vn[ii], cmat_t.T[jj])
+            # round half-away-from-zero at 6dp, kept scaled by 1e6
+            # (monotone, so comparisons equal comparing rounded cosines)
+            R = np.copysign(np.floor(np.abs(c64) * 1e6 + 0.5), c64)
+            starts = np.flatnonzero(np.r_[True, ii[1:] != ii[:-1]])
+            seg = np.cumsum(np.r_[True, ii[1:] != ii[:-1]]) - 1
+            is_max = R == np.maximum.reduceat(R, starts)[seg]
+            idx = np.where(is_max, np.arange(len(R)), len(R))
+            first = np.minimum.reduceat(idx, starts)
+            rows_present = ii[starts]
+            out[rows_present] = cent_ids[jj[first]]
+        else:
+            starts = rows_present = np.empty(0, dtype=np.int64)
+        if len(starts) < n:
+            # rows with non-finite scores produce no band candidates
+            # (every f32 comparison is False); keep the retired path's
+            # exact behavior for them: full-f64 argmax over the rounded
+            # scores (np.argmax first-maximum / first-NaN semantics)
+            miss = np.ones(n, dtype=bool)
+            miss[rows_present] = False
+            Sm = Vn[miss] @ cmat_t
+            Rm = np.copysign(np.floor(np.abs(Sm) * 1e6 + 0.5), Sm)
+            out[miss] = cent_ids[np.argmax(Rm, axis=1)]
+        res = pd.Series(out)
         # key-guarded (ADVICE r11): `instrument` is documented as a dict
         # of Spark ACCUMULATORS keyed like semantic_dedup_pairs builds it,
         # but this function is public — a caller's partial dict must not
@@ -1140,7 +1193,7 @@ def semantic_cell_assignments(
         # (Accumulator.__iadd__ is .add); plain-float dicts work too.
         if instrument and "assign_s" in instrument:
             instrument["assign_s"] += _time.perf_counter() - _t0
-        return out
+        return res
 
     # explicit pandas_udf call (not the decorator): `from __future__ import
     # annotations` stringifies type hints, which the decorator's signature
