@@ -17,6 +17,7 @@ sorts columns by name before hashing values.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -60,7 +61,12 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 def _harden_session(spark: SparkSession) -> None:
     """Runtime confs the queries rely on, for sessions not built by
     ``engine.build_session`` (the verification driver passes its own).
-    UTC keeps LTZ timestamp rendering aligned with the tz-naive oracle."""
+    UTC keeps LTZ timestamp rendering aligned with the tz-naive oracle.
+    Marked done per session object: each conf.set is a py4j round trip
+    and multi-table queries call ``table()`` up to 6x per plan build."""
+    if getattr(spark, "_zdss_hardened", False):
+        return
+    spark._zdss_hardened = True
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.python.filterPushdown.enabled", "true"),
@@ -71,14 +77,51 @@ def _harden_session(spark: SparkSession) -> None:
             pass
 
 
+def _path_stat(path: str) -> tuple:
+    """(size, mtime_ns) fingerprint so an in-place rewrite invalidates the
+    memoized handle; directories fingerprint the dir entry itself (its
+    mtime changes when files are added/removed)."""
+    try:
+        st = os.stat(path)
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return (-1, -1)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy DataFrame over ``<sf_dir>/<name>.parquet``.
+
+    The handle is memoized per (session, path, file-stat): a fresh
+    ``spark.read.parquet`` costs a driver-side file listing + footer
+    schema read on EVERY plan build (and the events table additionally a
+    pyarrow footer read), which multi-table queries pay up to 6x per
+    build. The memo stores only the unexecuted plan — no data, no
+    ``.cache()`` — so every action still computes from the parquet; an
+    in-place rewrite of the file changes its stat fingerprint and misses
+    the memo (same discipline as similarity's probe memo). The dict lives
+    on the session object, so it dies with the session.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name}")
     _harden_session(spark)
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
-        return _read_nanos_parquet(spark, path)
-    return spark.read.parquet(path)
+    memo = getattr(spark, "_zdss_table_memo", None)
+    if memo is None:
+        memo = {}
+        spark._zdss_table_memo = memo
+    key = (path, _path_stat(path))
+    df = memo.get(key)
+    if df is None:
+        if name == "events":
+            df = _read_nanos_parquet(spark, path)
+        else:
+            df = spark.read.parquet(path)
+        memo[key] = df
+        # one live entry per path: drop superseded fingerprints so a
+        # rewrite loop cannot grow the memo unboundedly
+        for k in [k for k in memo if k[0] == path and k != key]:
+            del memo[k]
+    return df
 
 
 def _read_nanos_parquet(spark: SparkSession, path: str) -> DataFrame:
