@@ -450,17 +450,23 @@ def _lsh_topk_small_queries(
 ) -> DataFrame:
     """Small-|Q| LSH plan: broadcast the bucketed queries, no explode.
 
-    Query buckets are computed by the SAME Arrow-batched GEMM UDF the
-    corpus side uses (one tiny job), so the sign decisions are
-    bit-identical between the two sides by construction.
+    Query buckets are computed DRIVER-SIDE with the identical numpy f64
+    GEMM the corpus-side UDF runs (same plane matrix, same ``>= 0`` sign
+    rule, same bit weights), over the collected <= LSH_SMALL_QUERY_MAX
+    query rows. The previous version ran the bucket UDF inside the
+    collect, which spun up a whole ArrowEvalPython stage (Python worker
+    launch + Arrow round trip) for a handful of rows — one full Spark
+    job of pure latency per build (guide §4/§5: don't ship tiny work to
+    executors). Sign decisions stay bit-identical: both paths compute
+    ``(vec_matrix @ plane_mat) >= 0`` in float64 BLAS.
     """
-    bk = _srp_buckets_udf(all_planes)
+    import numpy as np
+
     spark = corpus.sparkSession
     qrows = (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
-            bk(F.col(vec_col)).alias("_qbs"),
         )
     ).collect()
     if not qrows:
@@ -489,12 +495,28 @@ def _lsh_topk_small_queries(
         )
     from pyspark.sql.types import ArrayType
 
+    # identical math to _srp_buckets_udf: dim x (n_tables*ppt) f64 plane
+    # matrix, sign bits, per-table bit weights
+    n_tab = len(all_planes)
+    ppt = len(all_planes[0])
+    plane_mat = np.array(
+        [p for planes in all_planes for p in planes], dtype=np.float64
+    ).T
+    bit_weights = np.array([1 << p for p in range(ppt)], dtype=np.int64)
+    mat = np.array([list(r.q_vec) for r in qrows], dtype=np.float64)
+    bits = (mat @ plane_mat) >= 0.0
+    qbs = bits.reshape(len(mat), n_tab, ppt).astype(np.int64) @ bit_weights
+
     q_schema = (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         ).schema.add("_qbs", ArrayType(LongType()))
     )
-    qdf = spark.createDataFrame([tuple(r) for r in qrows], q_schema)
+    qdf = spark.createDataFrame(
+        [(r.query_id, r.q_vec, [int(b) for b in qbs[i]]) for i, r in enumerate(qrows)],
+        q_schema,
+    )
+    bk = _srp_buckets_udf(all_planes)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),

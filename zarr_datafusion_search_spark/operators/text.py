@@ -117,13 +117,13 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     fraction for docs with < 2 tokens (no bigram slots) — kept NULL, and
     treated as non-repetitive by the flag.
     """
+    from zarr_datafusion_search_spark.operators.dedup import word_ngrams_col
+
     toks = tokens_col("text")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size("_t") - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at("_t", i), F.element_at("_t", i + 1)
-        ),
-    )
+    # one zip_with concat per bigram instead of sequence + 2 boxed
+    # element_at probes per slot (same measured swap as with_shingles;
+    # identical strings)
+    bigrams = word_ngrams_col(F.col("_t"), 2)
     bg = (
         df.select(F.col(id_col), toks.alias("_t"))
         .filter(F.size("_t") >= 2)
@@ -868,6 +868,15 @@ def frequent_itemset_pairs(
     Pair expansion is a self zip of the per-doc sorted item array
     (i < j), all expression-level; one shuffle on the pair key.
     """
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
+
+    # amplifying stage (distinct-token explode + quadratic-in-cap pair
+    # zip) fused into the scan: a single-row-group input file would
+    # otherwise run it all on one core — measured 7.3 s -> 3.9 s at the
+    # 10x point from this spread alone (guide: scan parallelism)
+    df = ensure_scan_parallelism(df)
     items = df.select(
         F.col(id_col),
         F.array_distinct(tokens_col(text_col)).alias("_items"),

