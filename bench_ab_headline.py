@@ -52,7 +52,11 @@ B_LABEL = os.environ.get("SPARK_GRAFT_AB_B_LABEL", "current")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-OUT_PATH = os.path.join(REPO, "BENCH_AB_HEADLINE.json")
+#: override so follow-up A/Bs (e.g. r11-vs-r12) don't clobber the
+#: committed r10-attribution record this module was written for
+OUT_PATH = os.environ.get(
+    "SPARK_GRAFT_AB_OUT", os.path.join(REPO, "BENCH_AB_HEADLINE.json")
+)
 
 #: the inner suite: executed with cwd/sys.path pointed at ONE checkout, so
 #: `zarr_datafusion_search_spark` and `bench` resolve to that package.
@@ -72,6 +76,12 @@ from zarr_datafusion_search_spark.operators.cache import (
     release_operator_caches,
 )
 from bench import HEADLINE
+# optional subset (comma-separated registered names): a focused A/B on the
+# queries a change touched fits inside ONE clean host window — an unknown
+# name raises KeyError in the timing loop, loudly
+only = os.environ.get("SPARK_GRAFT_AB_QUERIES")
+if only:
+    HEADLINE = [q.strip() for q in only.split(",") if q.strip()]
 
 # inlined (not benchutil — the r10 side predates cpu_stat_snapshot):
 # hypervisor STEAL share of the timing window, the drift class load1 and

@@ -125,7 +125,23 @@ def _fold_topk(
 ) -> DataFrame:
     """Shared broadcast cross-join + JVM-fold top-k pipeline. With
     ``label_col`` set, only pairs with DIFFERING labels are ranked (the
-    hard-negative variant) and the neighbor label is carried through."""
+    hard-negative variant) and the neighbor label is carried through.
+
+    The cosine's two L2 norms are factored OUT of the per-pair expression
+    (guide §1.2 "per-task work"): ``cosine_similarity`` inlined per pair
+    re-folds ``sqrt(<q,q>)`` |C| times per query row and ``sqrt(<c,c>)``
+    |Q| times per corpus row — at |Q| x |C| pairs that is 2/3 of the
+    interpreted higher-order-function flops. Each side now computes its
+    norm once per ROW below the join; the per-pair work is one dot fold
+    plus a multiply/divide. Bit-identical: the factored expression is the
+    same sequential f64 fold, same ``sqrt``, same operand order, merely
+    hoisted — ``try_divide(dot, qn * cn)`` sees the exact doubles the
+    inline form computed."""
+    from zarr_datafusion_search_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+
     q_cols = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")]
     c_cols = [F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")]
     if label_col is not None:
@@ -145,12 +161,22 @@ def _fold_topk(
     # unsplittable input file would serialize all of them on one core
     corpus = ensure_scan_parallelism(corpus)
     scored = (
-        corpus.select(*c_cols)
-        .crossJoin(F.broadcast(queries.select(*q_cols)))
+        corpus.select(*c_cols, l2_norm("c_vec").alias("_cn"))
+        .crossJoin(
+            F.broadcast(
+                queries.select(*q_cols, l2_norm("q_vec").alias("_qn"))
+            )
+        )
         .filter(cond)
         .select(
             *out_cols,
-            F.round(cosine_similarity("q_vec", "c_vec"), COS_ROUND).alias("cosine"),
+            F.round(
+                F.try_divide(
+                    dot_product("q_vec", "c_vec"),
+                    F.col("_qn") * F.col("_cn"),
+                ),
+                COS_ROUND,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -418,13 +444,22 @@ def _with_srp_buckets(
     vecal: str,
     all_planes: list[list[list[float]]],
 ) -> DataFrame:
-    """(id, vec) -> exploded (id, vec, tbl, bucket) via the GEMM UDF."""
+    """(id, vec, norm) -> exploded (id, vec, norm, tbl, bucket) via the
+    GEMM UDF. The L2 norm rides along (computed ONCE per row, before the
+    explode) so the pair-scoring consumer divides by ``qn * cn`` instead
+    of re-folding both norms per candidate pair — the same bit-identical
+    hoist as _fold_topk (same sequential f64 fold, same sqrt)."""
+    from zarr_datafusion_search_spark.functions.vectors import l2_norm
+
     bk = _srp_buckets_udf(all_planes)
     return df.select(
         F.col(id_col).alias(idal),
         F.col(vec_col).alias(vecal),
         bk(F.col(vec_col)).alias("_bs"),
-    ).select(idal, vecal, F.posexplode("_bs").alias("tbl", "bucket"))
+        l2_norm(vec_col).alias(f"_{idal}_n"),
+    ).select(
+        idal, vecal, f"_{idal}_n", F.posexplode("_bs").alias("tbl", "bucket")
+    )
 
 
 #: at or below this many query vectors lsh_topk skips the explode +
@@ -516,11 +551,140 @@ def _lsh_topk_small_queries(
         [(r.query_id, r.q_vec, [int(b) for b in qbs[i]]) for i, r in enumerate(qrows)],
         q_schema,
     )
+    from zarr_datafusion_search_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+
+    if _has_integral_id(corpus, id_col) and _has_integral_id(queries, id_col):
+        # GEMM-candidate small path (round 12, guide §4.2/§1.2): the old
+        # plan scored EVERY colliding pair with the interpreted fold
+        # cosine (~|Q| x |C| x collision-rate higher-order-function
+        # evaluations — the dominant cost of the whole query). The same
+        # Arrow pass that buckets the corpus now also GEMMs each
+        # partition's rows against the <= LSH_SMALL_QUERY_MAX query
+        # matrix in f64, applies the any-table collision mask, and keeps
+        # its local top (k + margin) per query; only the <= |Q| x
+        # (k + margin) survivors are rescored with the sequential-fold
+        # expression, so emitted values stay bit-identical to the fold
+        # plan. Identical-output argument and margin-tie caveat are
+        # exactly :func:`brute_force_topk_gemm`'s (a true top-k member is
+        # only lost if > margin candidates tie within the 6dp rounding at
+        # the cut); zero-norm behavior matches too (clamped approx norm,
+        # NULL exact cosine).
+        take = k + 50
+        n_q = len(qrows)
+        qmat = np.array([list(r.q_vec) for r in qrows], dtype=np.float64)
+        qunit = qmat / np.maximum(
+            np.linalg.norm(qmat, axis=1, keepdims=True), NORM_EPS
+        )
+        qid_arr = np.array([int(r.query_id) for r in qrows], dtype=np.int64)
+        qbs_arr = qbs  # (|Q|, n_tables) int64 bucket ids
+
+        def cand_fn(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                cb = (
+                    ((mat @ plane_mat) >= 0.0)
+                    .reshape(len(mat), n_tab, ppt)
+                    .astype(np.int64)
+                    @ bit_weights
+                )  # (b, n_tables)
+                mat = mat / np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), NORM_EPS
+                )
+                sims = qunit @ mat.T  # (|Q|, b)
+                for qx in range(n_q):
+                    mask = (cb == qbs_arr[qx]).any(axis=1) & (
+                        ids != qid_arr[qx]
+                    )
+                    idx = np.nonzero(mask)[0]
+                    if not len(idx):
+                        continue
+                    row = sims[qx, idx]
+                    if len(idx) > take:
+                        sel = np.argpartition(-row, take - 1)[:take]
+                        idx, row = idx[sel], row[sel]
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qid_arr[qx],
+                            "neighbor_id": ids[idx],
+                            "approx": row,
+                        }
+                    )
+
+        cand = (
+            corpus.select(id_col, vec_col)
+            .mapInPandas(
+                cand_fn, "query_id long, neighbor_id long, approx double"
+            )
+        )
+        w0 = Window.partitionBy("query_id").orderBy(
+            F.col("approx").desc(), F.col("neighbor_id")
+        )
+        qf = queries.schema[id_col].dataType
+        cf = corpus.schema[id_col].dataType
+        # ids cast back to the INPUT column types (the values came from
+        # those columns) so the output schema mirrors the fold plan's
+        pruned = (
+            cand.withColumn("_r", F.row_number().over(w0))
+            .filter(F.col("_r") <= take)
+            .select(
+                F.col("query_id").cast(qf).alias("query_id"),
+                F.col("neighbor_id").cast(cf).alias("neighbor_id"),
+            )
+        )
+        c_side = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            l2_norm(vec_col).alias("_cn"),
+        )
+        scored = (
+            c_side.join(F.broadcast(pruned), "neighbor_id")
+            .join(
+                F.broadcast(
+                    qdf.select(
+                        "query_id", "q_vec", l2_norm("q_vec").alias("_qn")
+                    )
+                ),
+                "query_id",
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    F.try_divide(
+                        dot_product("q_vec", "c_vec"),
+                        F.col("_qn") * F.col("_cn"),
+                    ),
+                    COS_ROUND,
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+
     bk = _srp_buckets_udf(all_planes)
+    # non-integral ids: keep the broadcast nested-loop shape, with the
+    # norms factored out of the per-pair expression (once per corpus row /
+    # once per query row — same hoist as _fold_topk, bit-identical values)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         bk(F.col(vec_col)).alias("_bs"),
+        l2_norm(vec_col).alias("_cn"),
     )
     n_tables = len(all_planes)
     collide = F.lit(False)
@@ -533,15 +697,19 @@ def _lsh_topk_small_queries(
     # once (the OR is evaluated once per pair), so no dropDuplicates
     scored = (
         c.join(
-            F.broadcast(qdf),
+            F.broadcast(qdf.withColumn("_qn", l2_norm("q_vec"))),
             collide & (F.col("query_id") != F.col("neighbor_id")),
         )
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity("q_vec", "c_vec"), COS_ROUND).alias(
-                "cosine"
-            ),
+            F.round(
+                F.try_divide(
+                    dot_product("q_vec", "c_vec"),
+                    F.col("_qn") * F.col("_cn"),
+                ),
+                COS_ROUND,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -611,13 +779,23 @@ def lsh_topk(
     # function of the pair, so deduping after scoring is value-identical);
     # a pair colliding in j tables is scored j times map-side, which is
     # cheaper than shuffling its vectors once
+    from zarr_datafusion_search_spark.functions.vectors import dot_product
+
     cand = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity("q_vec", "c_vec"), COS_ROUND).alias("cosine"),
+            # norms factored out of the per-pair expression (hoisted into
+            # _with_srp_buckets, once per row pre-explode) — bit-identical
+            F.round(
+                F.try_divide(
+                    dot_product("q_vec", "c_vec"),
+                    F.col("_query_id_n") * F.col("_neighbor_id_n"),
+                ),
+                COS_ROUND,
+            ).alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -799,11 +977,20 @@ def embedding_near_dup_pairs_bucketed(
     # cosine BEFORE the pair-dedup, same reorder as lsh_topk: the dedup
     # shuffle carries (id, id, double) instead of two 64-float vectors;
     # the threshold still compares the UNROUNDED fold cosine
+    from zarr_datafusion_search_spark.functions.vectors import dot_product
+
     cand = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
-            "vec_a", "vec_b", cosine_similarity("va", "vb").alias("_cos")
+            "vec_a",
+            "vec_b",
+            # norms hoisted into _with_srp_buckets (once per row, not per
+            # pair) — same sequential fold + sqrt, bit-identical values
+            F.try_divide(
+                dot_product("va", "vb"),
+                F.col("_vec_a_n") * F.col("_vec_b_n"),
+            ).alias("_cos"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
@@ -887,14 +1074,32 @@ def kmeans_centroids(
     # n_centroids x dim folds per corpus row, every round, all inside the
     # corpus scan stage — repair under-split inputs once, outside the loop
     corpus = ensure_scan_parallelism(corpus)
+    from zarr_datafusion_search_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+
     for _ in range(n_iter):
+        # norms hoisted out of the per-centroid cosine: the row norm folds
+        # once per ROW per round (not once per (row, centroid)), the k
+        # centroid norms once per round on the k-row broadcast side. Same
+        # sequential f64 fold + sqrt as the inline cosine — bit-identical
+        # assignment, pinned by the integer-hit-count recall oracle.
         scored = corpus.select(
-            F.col(id_col), F.col(vec_col).alias("_v")
-        ).crossJoin(F.broadcast(cents)).select(
+            F.col(id_col), F.col(vec_col).alias("_v"), l2_norm(vec_col).alias("_vn")
+        ).crossJoin(
+            F.broadcast(cents.withColumn("_cent_n", l2_norm("cent_vec")))
+        ).select(
             id_col,
             "_v",
             "centroid_id",
-            F.round(cosine_similarity("_v", "cent_vec"), COS_ROUND).alias("_c"),
+            F.round(
+                F.try_divide(
+                    dot_product("_v", "cent_vec"),
+                    F.col("_vn") * F.col("_cent_n"),
+                ),
+                COS_ROUND,
+            ).alias("_c"),
         )
         # per-row argmin via ranking window; measured AGAINST the max_by
         # aggregation alternative here (the SemDeDup convention): carrying
@@ -956,6 +1161,11 @@ def ivf_topk(
     Pass ``centroids`` (e.g. from :func:`kmeans_centroids`) to override the
     seed selection with a refined quantizer.
     """
+    from zarr_datafusion_search_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+
     if centroids is not None:
         cents = centroids.select("centroid_id", "cent_vec")
     else:
@@ -963,21 +1173,39 @@ def ivf_topk(
         cents = c_src.select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
         )
+    # centroid norms once per centroid row (k rows), BEFORE the broadcast —
+    # the inline cosine re-folded sqrt(<c,c>) once per corpus row x centroid
+    cents = cents.withColumn("_cent_n", l2_norm("cent_vec"))
 
-    def assign(df: DataFrame, idal: str, vecal: str, keep: int) -> DataFrame:
+    def assign(
+        df: DataFrame, idal: str, vecal: str, keep: int, nal: str
+    ) -> DataFrame:
+        # row norm hoisted out of the per-centroid expression (computed
+        # once per ROW, not once per (row, centroid) pair) and carried
+        # through to the candidate-scoring stage — same sequential f64
+        # fold + sqrt as the inline form, merely hoisted: bit-identical
         scored = df.select(
-            F.col(id_col).alias(idal), F.col(vec_col).alias(vecal)
+            F.col(id_col).alias(idal),
+            F.col(vec_col).alias(vecal),
+            l2_norm(vec_col).alias(nal),
         ).crossJoin(F.broadcast(cents)).select(
             idal,
             vecal,
+            nal,
             "centroid_id",
-            F.round(cosine_similarity(vecal, "cent_vec"), COS_ROUND).alias("_c"),
+            F.round(
+                F.try_divide(
+                    dot_product(vecal, "cent_vec"),
+                    F.col(nal) * F.col("_cent_n"),
+                ),
+                COS_ROUND,
+            ).alias("_c"),
         )
         w = Window.partitionBy(idal).orderBy(F.col("_c").desc(), F.col("centroid_id"))
         return (
             scored.withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") <= keep)
-            .select(idal, vecal, "centroid_id")
+            .select(idal, vecal, nal, "centroid_id")
         )
 
     from zarr_datafusion_search_spark.operators.scanning import (
@@ -987,18 +1215,26 @@ def ivf_topk(
     # the cell-assignment folds (n_centroids x dim per corpus row) run in
     # the corpus scan stage — repair under-split inputs first
     corpus_cells = assign(
-        ensure_scan_parallelism(corpus), "neighbor_id", "c_vec", 1
+        ensure_scan_parallelism(corpus), "neighbor_id", "c_vec", 1, "_cn"
     )
-    query_cells = assign(queries, "query_id", "q_vec", n_probe)
+    query_cells = assign(queries, "query_id", "q_vec", n_probe, "_qn")
     cand = (
         corpus_cells.join(F.broadcast(query_cells), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # the hoisted per-row norms from the assignment stage are reused here:
+    # per candidate pair one dot fold + a multiply/divide (bit-identical —
+    # same doubles the inline cosine computed)
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity("q_vec", "c_vec"), COS_ROUND).alias("cosine"),
+        F.round(
+            F.try_divide(
+                dot_product("q_vec", "c_vec"), F.col("_qn") * F.col("_cn")
+            ),
+            COS_ROUND,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
