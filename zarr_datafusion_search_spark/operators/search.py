@@ -161,25 +161,33 @@ def tfidf_topk(
     few-row aggregate, broadcast; corpus rows never shuffle on anything
     but term and doc id.
     """
-    from zarr_datafusion_search_spark.operators.cache import tracked_persist
-
     spark = docs.sparkSession
     toks = tokens_col(text_col)
     # the postings relation feeds FIVE consumers (df counts, weights, doc
     # norms, scoring, corpus size) — without materialization each branch
     # re-scans and re-tokenizes the corpus (~20 file scans in the final
-    # plan). Persisting it IS the inverted-index build; the handle is
-    # tracked for release_operator_caches()
+    # plan). Materialized via a LAZY localCheckpoint rather than persist
+    # (round 12, guide §2.4/§5): under AQE the first action launches the
+    # consumers' shuffle-map stages CONCURRENTLY, and with a persist each
+    # of them raced the CacheManager and re-ran the tokenize+groupBy from
+    # scratch (3-4 duplicate ~2.5 s stages in the event log); the
+    # checkpoint truncates the lineage to one RDD whose blocks every
+    # consumer reads. Interleaved A/B at the 10x bench point: 7.0 s ->
+    # 4.3 s median (values bit-identical — same relation, materialized
+    # once). Same pattern and block-lifecycle argument as the
+    # minhash_lsh_pairs_between band checkpoint: lazy so a plan-only
+    # caller never runs a job; blocks are freed by the ContextCleaner
+    # when the frame is collected.
     from zarr_datafusion_search_spark.operators.scanning import (
         ensure_scan_parallelism,
     )
 
-    tf = tracked_persist(
+    tf = (
         ensure_scan_parallelism(docs)
         .select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    ).localCheckpoint(eager=False)
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tf.select(id_col).distinct().agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0
