@@ -564,14 +564,29 @@ def _lsh_topk_small_queries(
         # Arrow pass that buckets the corpus now also GEMMs each
         # partition's rows against the <= LSH_SMALL_QUERY_MAX query
         # matrix in f64, applies the any-table collision mask, and keeps
-        # its local top (k + margin) per query; only the <= |Q| x
-        # (k + margin) survivors are rescored with the sequential-fold
-        # expression, so emitted values stay bit-identical to the fold
-        # plan. Identical-output argument and margin-tie caveat are
-        # exactly :func:`brute_force_topk_gemm`'s (a true top-k member is
-        # only lost if > margin candidates tie within the 6dp rounding at
-        # the cut); zero-norm behavior matches too (clamped approx norm,
-        # NULL exact cosine).
+        # its local top (k + margin) per query; only those survivors are
+        # rescored with the sequential-fold expression, so emitted values
+        # stay bit-identical to the fold plan. Identical-output argument
+        # and margin-tie caveat are exactly :func:`brute_force_topk_gemm`'s
+        # (a true top-k member is only lost if > margin candidates tie
+        # within the 6dp rounding at the cut); zero-norm behavior matches
+        # too (clamped approx norm, NULL exact cosine).
+        #
+        # The survivors carry their CORPUS VECTOR out of the Arrow stage
+        # (guide §2.4/§8 "move heavy bytes once, decide on proxies"): the
+        # first form of this path pruned to ids only, then re-joined the
+        # corpus to fetch vectors for the exact rescore — which planned as
+        # a SECOND full corpus scan plus a blocking BroadcastExchange
+        # whose build side contained the whole MapInPandas subtree and an
+        # intermediate global top-(k+margin) window (2 corpus scans, 4
+        # exchanges, 2 windows). Emitting the <= partitions x |Q| x
+        # (k + margin) survivor vectors directly (bounded regardless of
+        # corpus size) leaves ONE corpus scan, one broadcast of the <= 64
+        # query rows, and the final rank window. Values: the rescore set
+        # is a SUPERSET of the old globally-pruned set (local top-take per
+        # partition, no global cut), so the exact top-k can only be closer
+        # to the all-colliding-pairs oracle; the scoring expression and
+        # tie-break are unchanged.
         take = k + 50
         n_q = len(qrows)
         qmat = np.array([list(r.q_vec) for r in qrows], dtype=np.float64)
@@ -589,7 +604,8 @@ def _lsh_topk_small_queries(
                 if not len(pdf):
                     continue
                 ids = pdf[id_col].to_numpy(dtype=np.int64)
-                mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                vec_series = pdf[vec_col].reset_index(drop=True)
+                mat = np.array(list(vec_series), dtype=np.float64)
                 cb = (
                     ((mat @ plane_mat) >= 0.0)
                     .reshape(len(mat), n_tab, ppt)
@@ -615,39 +631,29 @@ def _lsh_topk_small_queries(
                         {
                             "query_id": qid_arr[qx],
                             "neighbor_id": ids[idx],
-                            "approx": row,
+                            # ORIGINAL vector values (pre-normalization)
+                            # so the JVM rescore folds the exact doubles
+                            # the corpus column holds
+                            "c_vec": list(vec_series.iloc[idx]),
                         }
                     )
 
+        vec_dt = corpus.schema[vec_col].dataType.simpleString()
         cand = (
             corpus.select(id_col, vec_col)
             .mapInPandas(
-                cand_fn, "query_id long, neighbor_id long, approx double"
+                cand_fn,
+                f"query_id long, neighbor_id long, c_vec {vec_dt}",
             )
-        )
-        w0 = Window.partitionBy("query_id").orderBy(
-            F.col("approx").desc(), F.col("neighbor_id")
         )
         qf = queries.schema[id_col].dataType
         cf = corpus.schema[id_col].dataType
         # ids cast back to the INPUT column types (the values came from
-        # those columns) so the output schema mirrors the fold plan's
-        pruned = (
-            cand.withColumn("_r", F.row_number().over(w0))
-            .filter(F.col("_r") <= take)
-            .select(
-                F.col("query_id").cast(qf).alias("query_id"),
-                F.col("neighbor_id").cast(cf).alias("neighbor_id"),
-            )
-        )
-        c_side = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("c_vec"),
-            l2_norm(vec_col).alias("_cn"),
-        )
+        # those columns) so the output schema mirrors the fold plan's;
+        # projecting (id, id, cosine) BEFORE the rank window keeps the
+        # vectors out of the window exchange
         scored = (
-            c_side.join(F.broadcast(pruned), "neighbor_id")
-            .join(
+            cand.join(
                 F.broadcast(
                     qdf.select(
                         "query_id", "q_vec", l2_norm("q_vec").alias("_qn")
@@ -656,12 +662,12 @@ def _lsh_topk_small_queries(
                 "query_id",
             )
             .select(
-                "query_id",
-                "neighbor_id",
+                F.col("query_id").cast(qf).alias("query_id"),
+                F.col("neighbor_id").cast(cf).alias("neighbor_id"),
                 F.round(
                     F.try_divide(
                         dot_product("q_vec", "c_vec"),
-                        F.col("_qn") * F.col("_cn"),
+                        F.col("_qn") * l2_norm("c_vec"),
                     ),
                     COS_ROUND,
                 ).alias("cosine"),
