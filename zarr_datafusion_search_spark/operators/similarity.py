@@ -263,11 +263,17 @@ def brute_force_topk_gemm(
     1. **GEMM candidates**: the (small, by contract) query matrix is
        broadcast; each corpus partition computes all query cosines as one
        BLAS matmul and keeps its top ``k + candidate_margin`` per query —
-       Arrow-batched pandas, no driver materialization of the corpus.
-    2. **exact rescore**: the pruned candidates (|Q| x (k+margin) rows)
-       rejoin their vectors and recompute the cosine with the sequential-
-       fold expression, so emitted values and the (rounded cosine,
-       neighbor id) ranking are bit-identical to the oracle.
+       Arrow-batched pandas, no driver materialization of the corpus. The
+       survivors carry their corpus vector out of the Arrow stage (the
+       same single-scan restructure as ``_lsh_topk_small_queries``: the
+       ids-only form re-joined the corpus for the rescore, which planned
+       as a SECOND full corpus scan plus an intermediate global-prune
+       window — at 100 TB the corpus must be read once). The emitted
+       relation is bounded by partitions x |Q| x (k+margin) rows
+       regardless of corpus size.
+    2. **exact rescore**: every candidate recomputes the cosine with the
+       sequential-fold expression, so emitted values and the (rounded
+       cosine, neighbor id) ranking are bit-identical to the oracle.
 
     ``candidate_margin`` absorbs rounding boundary ties: a true top-k
     member can only be missed if > margin candidates tie within the final
@@ -314,7 +320,8 @@ def brute_force_topk_gemm(
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vec_series = pdf[vec_col].reset_index(drop=True)
+            mat = np.array(list(vec_series), dtype=np.float64)
             mat = mat / np.maximum(
                 np.linalg.norm(mat, axis=1, keepdims=True), NORM_EPS
             )
@@ -331,31 +338,27 @@ def brute_force_topk_gemm(
                     {
                         "query_id": qi[qx],
                         "neighbor_id": ids[keep],
-                        "approx": row[keep],
+                        # ORIGINAL (pre-normalization) vector values so
+                        # the JVM rescore folds the exact doubles the
+                        # corpus column holds
+                        "c_vec": list(vec_series.iloc[keep]),
                     }
                 )
 
     par = corpus.sparkSession.sparkContext.defaultParallelism
+    vec_dt = corpus.schema[vec_col].dataType.simpleString()
     cand = (
         corpus.select(id_col, vec_col)
         .repartition(par)
-        .mapInPandas(gemm_topk, "query_id long, neighbor_id long, approx double")
-    )
-    w0 = Window.partitionBy("query_id").orderBy(
-        F.col("approx").desc(), F.col("neighbor_id")
-    )
-    pruned = (
-        cand.withColumn("_r", F.row_number().over(w0))
-        .filter(F.col("_r") <= take)
-        .select("query_id", "neighbor_id")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        .mapInPandas(
+            gemm_topk, f"query_id long, neighbor_id long, c_vec {vec_dt}"
+        )
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    # projecting (id, id, cosine) before the rank window keeps the
+    # vectors out of the window exchange
     scored = (
-        pruned.join(c, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
+        cand.join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "neighbor_id",
