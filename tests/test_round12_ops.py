@@ -385,3 +385,77 @@ def test_tfidf_postings_checkpoint_barrier(spark, sf_dir):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         scores = [r["score"] for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# content_defined_segments: array-expression rewrite == windowed reference
+# ---------------------------------------------------------------------------
+
+
+def _segments_reference_python(doc_id, text, boundary_mod=8):
+    """Independent reimplementation of the ORIGINAL windowed semantics:
+    posexplode tokens, running count of boundary tokens strictly before
+    each position as the segment id, ordered re-concatenation per
+    (doc, segment). A boundary token is the LAST token of its segment."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"\s+", (text or "").lower()) if t]
+    segs = {}
+    run = 0
+    for tok in toks:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[1:16], 16)
+        segs.setdefault(run, []).append(tok)
+        if h % boundary_mod == 0:
+            run += 1
+    out = []
+    for sid in sorted(segs):
+        stext = " ".join(segs[sid])
+        fp = int(hashlib.md5(stext.encode()).hexdigest()[1:16], 16)
+        out.append((doc_id, sid, stext, fp))
+    return out
+
+
+def test_content_defined_segments_matches_windowed_reference(spark):
+    """The zero-token-shuffle array form (round 12 §18) must reproduce the
+    original window/groupBy construction row-for-row, including the
+    edges: a doc whose FINAL token is a boundary (the trailing empty
+    segment never materializes), a doc with no boundary tokens (one
+    segment 0), an empty doc and a NULL doc (no rows), multi-space
+    separators, and 0-based sequential segment ids."""
+    import hashlib
+
+    from zarr_datafusion_search_spark.operators import dedup
+
+    def is_boundary(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[1:16], 16) % 8 == 0
+
+    # mine deterministic vocab for boundary and plain tokens
+    vocab = [f"w{i}" for i in range(400)]
+    b_toks = [t for t in vocab if is_boundary(t)]
+    p_toks = [t for t in vocab if not is_boundary(t)]
+    assert len(b_toks) >= 3 and len(p_toks) >= 8
+    docs = [
+        # generic: boundaries in the middle
+        (1, f"{p_toks[0]} {b_toks[0]} {p_toks[1]} {p_toks[2]} {b_toks[1]} {p_toks[3]}"),
+        # final token IS a boundary -> trailing empty segment must not appear
+        (2, f"{p_toks[4]} {p_toks[5]} {b_toks[2]}"),
+        # no boundary tokens -> single segment 0
+        (3, f"{p_toks[6]} {p_toks[7]}"),
+        # whitespace runs and case folding
+        (4, f"  {p_toks[0].upper()}   {b_toks[0]}  {p_toks[1]} "),
+        # empty and NULL -> no rows
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.segment_id, r.segment_text, r.segment_fp)
+        for r in dedup.content_defined_segments(df).collect()
+    )
+    want = sorted(
+        row
+        for doc_id, text in docs
+        for row in _segments_reference_python(doc_id, text)
+    )
+    assert got == want
