@@ -459,3 +459,45 @@ def test_content_defined_segments_matches_windowed_reference(spark):
         for row in _segments_reference_python(doc_id, text)
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# simhash_pairs: lowest-matching-band uniqueness == the retired distinct()
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_pairs_multiband_match_emitted_once(spark):
+    """A pair whose simhashes agree on SEVERAL bytes meets the band join
+    once per matching band; the lowest-band filter (round 12 §20) must
+    emit it exactly once — identical docs (all 4 bands match, hamming 0)
+    are the worst case. Also pins hamming values and the max_hamming
+    cut against a brute-force pair scan of the per-doc simhashes."""
+    from zarr_datafusion_search_spark.operators import dedup
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),   # identical to 1
+        (3, "alpha beta gamma delta zeta"),      # near 1/2
+        (4, "one two three four five six"),      # unrelated
+        (5, "alpha beta gamma delta epsilon"),   # identical to 1/2
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dedup.simhash_pairs(df, max_hamming=3).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in out}
+    # no duplicate (doc_a, doc_b) rows
+    assert len(out) == len(got)
+    # brute-force reference over the engine's own per-doc hashes
+    hashes = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    want = {}
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin(hashes[a] ^ hashes[b]).count("1")
+            bands_match = any(
+                (hashes[a] >> (8 * k)) & 255 == (hashes[b] >> (8 * k)) & 255
+                for k in range(4)
+            )
+            if bands_match and ham <= 3:
+                want[(a, b)] = ham
+    assert got == want
+    assert got[(1, 2)] == 0 and got[(1, 5)] == 0 and got[(2, 5)] == 0
