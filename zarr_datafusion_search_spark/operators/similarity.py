@@ -834,9 +834,10 @@ def lsh_topk(
         w = _gemm_fanout(
             corpus, (n_q + n_tables * planes_per_table) * dim * 2
         )
+        par = corpus.sparkSession.sparkContext.defaultParallelism
         if w == 1:
             repaired = corpus.coalesce(1)
-        elif w is not None:
+        elif w is not None and w < par:
             repaired = ensure_scan_parallelism(corpus, width=w)
         else:
             repaired = ensure_scan_parallelism(corpus)
@@ -1122,6 +1123,92 @@ def quantize_embeddings_int8(
     )
 
 
+def _kmeans_assign_udf(cent_ids, cmat):
+    """Arrow-batched cell assignment, value-identical to the retired
+    crossJoin + ``round(try_divide(dot, vn*cn), 6)`` window argmax
+    (DESC cosine, centroid-id tiebreak, Spark NULL/NaN ordering).
+
+    Exactness argument (round 13): k is small, so NO banded prefilter is
+    needed — every (row, centroid) cosine is computed with the SAME f64
+    operations in the SAME order as the JVM fold: the dot and both norm
+    squares accumulate left-to-right over the dimension (one fused numpy
+    op per dimension index — each ``+=`` is the fold's single IEEE add),
+    ``sqrt``/multiply/divide are single IEEE ops. The only non-IEEE step
+    is Spark's ``round(x, 6)`` (Java ``BigDecimal.valueOf`` = shortest
+    decimal string, HALF_UP): rows whose top-two cosines sit within
+    2.5e-6 (the only regime where rounding can reorder) are re-ranked
+    with Python ``Decimal(repr(x))`` — bit-for-bit the same shortest-
+    decimal HALF_UP Java applies; everyone else's argmax is rounding-
+    invariant. Spark ordering edge cases reproduced: NULL cosine
+    (zero denom under try_divide) ranks last; NaN ranks FIRST (Spark
+    treats NaN as the largest double); all-NULL rows take the lowest
+    centroid id.
+    """
+    import numpy as np
+
+    cmat = np.asarray(cmat, dtype=np.float64)
+    k, d = cmat.shape
+    cid = np.asarray(cent_ids, dtype=np.int64)
+    # centroid norms via the same sequential fold l2_norm computes
+    cn2 = np.zeros(k)
+    for j in range(d):
+        cn2 += cmat[:, j] * cmat[:, j]
+    cn = np.sqrt(cn2)
+
+    def _assign_fn(vecs):
+        import numpy as np
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        n = len(vecs)
+        if not n:
+            return pd.Series([], dtype="int64")
+        V = np.vstack(vecs.to_numpy()).astype(np.float64)
+        dot = np.zeros((n, k))
+        vn2 = np.zeros(n)
+        for j in range(d):
+            dot += V[:, j : j + 1] * cmat[None, :, j]
+            vn2 += V[:, j] * V[:, j]
+        vn = np.sqrt(vn2)
+        denom = vn[:, None] * cn[None, :]
+        valid = denom > 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            val = dot / denom
+        nan_mask = np.isnan(val) & valid  # true NaN cosines, not NULLs
+        val = np.where(valid, val, -np.inf)  # NULL -> ranks last
+        out = np.empty(n, dtype=np.int64)
+        nan_rows = nan_mask.any(axis=1)
+        if nan_rows.any():
+            # Spark sorts NaN above every double: lowest-id NaN wins
+            out[nan_rows] = cid[nan_mask[nan_rows].argmax(axis=1)]
+        val_clean = np.where(nan_mask, -np.inf, val)
+        rowmax = val_clean.max(axis=1) if k else np.full(n, -np.inf)
+        allnull = ~np.isfinite(rowmax) & ~nan_rows  # -inf: every cosine NULL
+        out[allnull] = cid[0]
+        plain = ~nan_rows & ~allnull
+        # rounding can only reorder cosines within 2e-6 of each other;
+        # 2.5e-6 is margin. Rows with ONE candidate in that band take the
+        # plain argmax (first max = lowest centroid id on exact ties).
+        band_mask = val_clean >= (rowmax[:, None] - 2.5e-6)
+        n_cand = band_mask.sum(axis=1)
+        single = plain & (n_cand == 1)
+        out[single] = cid[val_clean[single].argmax(axis=1)]
+        six = Decimal("1e-6")
+        for i in np.nonzero(plain & (n_cand > 1))[0]:
+            js = np.nonzero(band_mask[i])[0]
+            best_j = best_r = None
+            for j in js:  # ascending centroid order: first max wins ties
+                r = Decimal(repr(float(val_clean[i, j]))).quantize(
+                    six, rounding=ROUND_HALF_UP
+                )
+                if best_r is None or r > best_r:
+                    best_r, best_j = r, j
+            out[i] = cid[best_j]
+        return pd.Series(out)
+
+    return F.pandas_udf(_assign_fn, "long")
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -1133,95 +1220,88 @@ def kmeans_centroids(
 
     Deterministic: seeds are the ``n_centroids`` lowest-id vectors, a FIXED
     ``n_iter`` Lloyd rounds (no data-dependent stopping), assignment ties
-    break on centroid id. Each round is one broadcast-assign (crossJoin with
-    the k-row centroid table, argmin by cosine) plus one aggregation
-    (``Summarizer.mean`` over ml vectors — JVM-side element-wise mean, no
-    explode), and only the k x dim centroid matrix ever reaches the driver.
+    break on centroid id. Each round is ONE job: an Arrow-batched exact
+    cell assignment inside the corpus scan (:func:`_kmeans_assign_udf` —
+    value-identical to the retired crossJoin + rounded-cosine window
+    argmax, see its docstring) feeding one ``Summarizer.mean``
+    aggregation; only k x dim worth of centroid rows ever reaches the
+    driver, where the unit-normalization runs with the same sequential
+    fold the retired JVM expression used. Round 13 (guide §8 "decide with
+    small rows"): the previous per-round plan crossJoined corpus x k and
+    pushed n x k rows CARRYING THE FULL VECTOR through a rank-window
+    exchange — two shuffles of vector payloads per round for a decision
+    that needs one narrow map; measured 4.07 -> 1.75 s on the 10x
+    ann_ivf_kmeans_recall (kmeans stage ~3.0 -> ~0.7 s), integer-hit
+    pins identical at every shipped SF.
     Returns (centroid_id, cent_vec) with unit-normalized centroids.
 
     The reference-parity :func:`ivf_topk` keeps seed centroids for exact
     cross-engine reproducibility; pass these refined centroids to it for
     better cell balance at deploy time.
     """
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-    from pyspark.ml.stat import Summarizer
+    import numpy as np
 
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.row_number()
-            .over(Window.orderBy(id_col))
-            .alias("centroid_id"),
-            F.col(vec_col).cast("array<double>").alias("cent_vec"),
-        )
-    )
     from zarr_datafusion_search_spark.operators.scanning import (
         ensure_scan_parallelism,
     )
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
 
-    # n_centroids x dim folds per corpus row, every round, all inside the
-    # corpus scan stage — repair under-split inputs once, outside the loop
-    corpus = ensure_scan_parallelism(corpus)
-    from zarr_datafusion_search_spark.functions.vectors import (
-        dot_product,
-        l2_norm,
+    spark = corpus.sparkSession
+    out_schema = "centroid_id int, cent_vec array<double>"
+    # seeds: the k lowest-id vectors (bounded collect, k rows); ids are
+    # 1..k in id order exactly like the retired row_number() seed frame
+    seed_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
     )
+    if not seed_rows:
+        return spark.createDataFrame([], out_schema)
+    cent_ids = list(range(1, len(seed_rows) + 1))
+    cmat = np.array([list(r[1]) for r in seed_rows], dtype=np.float64)
+
+    # k x dim exact cosines per corpus row: bound the Arrow stage fan-out
+    # by its flops like every other GEMM stage (width saturates the cores
+    # once the corpus is large enough)
+    dim = cmat.shape[1]
+    par = spark.sparkContext.defaultParallelism
+    w = _gemm_fanout(corpus, len(cent_ids) * dim * 2)
+    corpus_v = corpus.select(vec_col)
+    if w == 1:
+        corpus_v = corpus_v.coalesce(1)
+    elif w is not None and w < par:
+        corpus_v = ensure_scan_parallelism(corpus_v, width=w)
+    else:
+        corpus_v = ensure_scan_parallelism(corpus_v)
 
     for _ in range(n_iter):
-        # norms hoisted out of the per-centroid cosine: the row norm folds
-        # once per ROW per round (not once per (row, centroid)), the k
-        # centroid norms once per round on the k-row broadcast side. Same
-        # sequential f64 fold + sqrt as the inline cosine — bit-identical
-        # assignment, pinned by the integer-hit-count recall oracle.
-        scored = corpus.select(
-            F.col(id_col), F.col(vec_col).alias("_v"), l2_norm(vec_col).alias("_vn")
-        ).crossJoin(
-            F.broadcast(cents.withColumn("_cent_n", l2_norm("cent_vec")))
-        ).select(
-            id_col,
-            "_v",
-            "centroid_id",
-            F.round(
-                F.try_divide(
-                    dot_product("_v", "cent_vec"),
-                    F.col("_vn") * F.col("_cent_n"),
-                ),
-                COS_ROUND,
-            ).alias("_c"),
-        )
-        # per-row argmin via ranking window; measured AGAINST the max_by
-        # aggregation alternative here (the SemDeDup convention): carrying
-        # the 64-float vector through a two-phase agg buffer costs more
-        # than the local sort of the (corpus x k) relation at every tested
-        # scale, so the window stays
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("_c").desc(), F.col("centroid_id")
-        )
-        assigned = (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .select("centroid_id", array_to_vector(F.col("_v")).alias("_mv"))
-        )
-        means = assigned.groupBy("centroid_id").agg(
-            vector_to_array(Summarizer.mean(F.col("_mv"))).alias("_mean")
-        )
-        norm = F.sqrt(
-            F.aggregate(
-                "_mean", F.lit(0.0), lambda acc, x: acc + x * x
+        assign = _kmeans_assign_udf(cent_ids, cmat)
+        means = (
+            corpus_v.withColumn("cell", assign(F.col(vec_col)))
+            .groupBy("cell")
+            .agg(
+                vector_to_array(
+                    Summarizer.mean(array_to_vector(F.col(vec_col)))
+                ).alias("_mean")
             )
         )
-        # localCheckpoint the k-row centroid frame each round: without it
-        # the n_iter rounds nest crossJoin+agg lineage into one deep plan
-        # Catalyst re-analyzes per round (quadratic planning at larger
-        # n_iter). Eager checkpoint = one job per Lloyd round (the same
-        # total compute the deep lazy plan pays at the end) with constant
-        # plan depth; blocks are ContextCleaner-released on GC.
-        cents = means.select(
-            "centroid_id",
-            F.transform("_mean", lambda x: x / norm).alias("cent_vec"),
-        ).localCheckpoint(eager=True)
-    return cents
+        rows = sorted(means.collect(), key=lambda r: r["cell"])
+        # unit-normalize driver-side with the SAME sequential fold +
+        # element division the retired JVM expression applied (IEEE ops
+        # in the same order -> bit-identical centroids); empty cells
+        # vanish from the groupBy exactly as they did before
+        cent_ids = [int(r["cell"]) for r in rows]
+        nxt = np.array([list(r["_mean"]) for r in rows], dtype=np.float64)
+        nrm2 = np.zeros(len(rows))
+        for j in range(nxt.shape[1] if len(rows) else 0):
+            nrm2 += nxt[:, j] * nxt[:, j]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cmat = nxt / np.sqrt(nrm2)[:, None]
+        if not cent_ids:
+            return spark.createDataFrame([], out_schema)
+    return spark.createDataFrame(
+        [(int(c), [float(x) for x in row]) for c, row in zip(cent_ids, cmat)],
+        out_schema,
+    )
 
 
 def ivf_topk(
@@ -1302,7 +1382,15 @@ def ivf_topk(
     )
 
     # the cell-assignment folds (n_centroids x dim per corpus row) run in
-    # the corpus scan stage — repair under-split inputs first
+    # the corpus scan stage — repair under-split inputs first. Round 13
+    # ALSO tried the kmeans_centroids Arrow-GEMM assignment here
+    # (value-identical, parity-tested): counterbalanced A/B at 10x
+    # measured it 1.31x SLOWER for this plan (1.21 -> 1.57 s) — unlike
+    # the Lloyd loop (which shed a vector-carrying rank-window exchange
+    # PER ROUND), this crossJoin's n x k relation feeds one
+    # WindowGroupLimit pass and never leaves its stage, so inserting an
+    # ArrowEvalPython boundary cost more than the window saved. Receipts
+    # in OPTIMIZATION_r13.md §7; the crossJoin form stays.
     corpus_cells = assign(
         ensure_scan_parallelism(corpus), "neighbor_id", "c_vec", 1, "_cn"
     )
