@@ -403,12 +403,25 @@ def _zarr_scan_bench(spark) -> dict:
 
 
 def _time_section(
-    spark, registry, section_names, runs: int, data_dir: str
+    spark,
+    registry,
+    section_names,
+    runs: int,
+    data_dir: str,
+    stamps: dict | None = None,
+    suite_t0: float | None = None,
 ) -> dict:
+    """``stamps``/``suite_t0`` (round 13, VERDICT r12 what's-wrong #5):
+    record each query's start offset (seconds since the suite began) so
+    a contended epoch arriving MID-suite localizes to specific members
+    post-hoc instead of being inferred from dict order. Additions-only:
+    timing protocol and the summary-line contract are unchanged."""
     out: dict[str, float] = {}
     for name in (n for n in section_names if n in registry):
         spec = registry[name]
         times = []
+        if stamps is not None and suite_t0 is not None:
+            stamps[name] = round(time.perf_counter() - suite_t0, 2)
         for i in range(runs + 1):
             t0 = time.perf_counter()
             spec.spark(spark, data_dir).count()
@@ -528,9 +541,17 @@ def main() -> None:
         steal_start = _cpu_stat_snapshot()
 
         spark_times: dict[str, dict] = {}
+        query_start_offsets: dict[str, float] = {}
+        suite_t0 = time.perf_counter()
         for sec, (names, runs, data_dir) in sections.items():
             spark_times[sec] = _time_section(
-                spark, registry, names, runs, data_dir
+                spark,
+                registry,
+                names,
+                runs,
+                data_dir,
+                stamps=query_start_offsets,
+                suite_t0=suite_t0,
             )
             release_operator_caches()
             # reclaim the released cache blocks' old-gen now, not during
@@ -681,6 +702,7 @@ def main() -> None:
             "anchor_ceiling_s": ANCHOR_CEILING_S,
             "anchor_breached": anchor_breached or anchor_end_breached,
         },
+        query_start_offsets_s=query_start_offsets,
         steal={
             "spark_window_steal_pct": steal_pct,
             # one-core sustained memory-write probe, taken right after

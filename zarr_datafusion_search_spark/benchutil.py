@@ -393,6 +393,7 @@ def host_state_stamp(
     duck_pass: dict | None = None,
     anchor: dict | None = None,
     steal: dict | None = None,
+    query_start_offsets_s: dict | None = None,
 ) -> dict:
     """The common ``host_state`` block every bench record carries.
 
@@ -427,6 +428,11 @@ def host_state_stamp(
         # stamp names the cause so a drifted record is attributable
         # without an A/B session.
         out["steal"] = steal
+    if query_start_offsets_s is not None:
+        # round 13 (VERDICT r12 what's-wrong #5): each query's start
+        # offset into the Spark timing window, so a contended epoch
+        # arriving MID-suite localizes to specific members post-hoc
+        out["query_start_offsets_s"] = query_start_offsets_s
     if duck_pass is not None:
         out["duck_pass"] = duck_pass
         out["contended_spark_side"] = contended
