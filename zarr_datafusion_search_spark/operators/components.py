@@ -26,6 +26,10 @@ which is exactly why the Spark side iterates instead.
 
 from __future__ import annotations
 
+from zarr_datafusion_search_spark.operators.cache import (
+    lineage_barrier as _lb,
+)
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -47,7 +51,7 @@ def connected_components(
     # graph.label_propagation
     pair2 = pairs.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint(eager=True)
+    ).transform(_lb, eager=True)
     edges = (
         pair2.union(
             pair2.select(F.col("b").alias("a"), F.col("a").alias("b"))

@@ -20,6 +20,10 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+from zarr_datafusion_search_spark.operators.cache import (
+    lineage_barrier as _lb,
+)
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -505,10 +509,10 @@ def minhash_lsh_pairs_between(
     # ContextCleaner when the frame is garbage collected.
     bn = lsh_band_signatures(
         minhash_signatures(shn, num_hashes, id_col), rows_per_band, num_hashes, id_col
-    ).localCheckpoint(eager=False)
+    ).transform(_lb, eager=False)
     br = lsh_band_signatures(
         minhash_signatures(shr, num_hashes, id_col), rows_per_band, num_hashes, id_col
-    ).localCheckpoint(eager=False)
+    ).transform(_lb, eager=False)
     cand = (
         bn.alias("a")
         .join(

@@ -30,6 +30,10 @@ micro-jobs per query collapse into one collect.
 
 from __future__ import annotations
 
+from zarr_datafusion_search_spark.operators.cache import (
+    lineage_barrier as _lb,
+)
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -150,13 +154,13 @@ def pagerank(
         # out-weight normalization divide by zero (the oracle SQL applies
         # the identical HAVING guard)
         .filter(F.col("_w") > 0)
-        .localCheckpoint(eager=True)
+        .transform(_lb, eager=True)
     )
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_lb, eager=True)
     )
     n_nodes = nodes.count()  # scalar, reused every round
     if n_nodes == 0:
@@ -171,7 +175,7 @@ def pagerank(
     enorm = (
         e.join(outw, "_src")
         .select("_src", "_dst", (F.col("_w") / F.col("_ow")).alias("_frac"))
-        .localCheckpoint(eager=True)
+        .transform(_lb, eager=True)
     )
     has_out = enorm.select(F.col("_src").alias("node")).distinct()
 
@@ -208,7 +212,7 @@ def pagerank(
                     RANK_ROUND,
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_lb, eager=True)
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
@@ -462,7 +466,7 @@ def label_propagation(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         F.col(weight_col).alias("w"),
-    ).localCheckpoint(eager=True)
+    ).transform(_lb, eager=True)
     und = pair3.unionByName(
         pair3.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
@@ -542,7 +546,7 @@ def label_propagation(
                     .filter(F.col("_dr") <= cap)
                     .drop("_dr")
                 )
-                und = light.unionByName(trimmed).localCheckpoint(eager=True)
+                und = light.unionByName(trimmed).transform(_lb, eager=True)
             else:
                 # explicit int cap (no degree relation on hand) or a
                 # heavy set too big to broadcast: the original full
@@ -553,7 +557,7 @@ def label_propagation(
                     und.withColumn("_dr", F.row_number().over(wdeg))
                     .filter(F.col("_dr") <= cap)
                     .drop("_dr")
-                    .localCheckpoint(eager=True)
+                    .transform(_lb, eager=True)
                 )
         if degree_cap == "auto":
             degs.unpersist()
@@ -581,7 +585,7 @@ def label_propagation(
                 best.join(seeds.select("node"), "node", "left_anti")
             )
             .unionByName(keep_prev)
-            .localCheckpoint(eager=True)
+            .transform(_lb, eager=True)
         )
     return labels
 
@@ -620,7 +624,7 @@ def triangle_clustering(
         # materialized once: degrees, orientation, wedge join, and closure
         # all read this relation — without the snapshot the (possibly
         # minhash-expensive) pair plan runs four times
-        .localCheckpoint(eager=True)
+        .transform(_lb, eager=True)
     )
     deg = (
         canon.select(F.col("a").alias("node"))
@@ -638,7 +642,7 @@ def triangle_clustering(
     oriented = ranked.select(
         F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).localCheckpoint(eager=True)
+    ).transform(_lb, eager=True)
     # wedges u->v, u->w (v < w by the orientation's total order is NOT
     # guaranteed, so dedupe by unordered pair via least/greatest)
     o1 = oriented.alias("o1")
@@ -718,7 +722,7 @@ def neighborhood_mean_2hop(
             edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_lb, eager=True)
     )
     a = attrs.select(
         F.col(node_col).alias("d"), F.col(value_col).cast("double").alias("val")

@@ -14,6 +14,10 @@ training (context-window filling). Two variants:
 
 from __future__ import annotations
 
+from zarr_datafusion_search_spark.operators.cache import (
+    lineage_barrier as _lb,
+)
+
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
@@ -381,7 +385,7 @@ def distributed_rank(
                 F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + F.lit(1)
             ).alias("_lrank"),
         )
-        .localCheckpoint(eager=True)
+        .transform(_lb, eager=True)
     )
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     offsets, acc = [], 0

@@ -24,6 +24,10 @@ Shape for 100 TB:
 
 from __future__ import annotations
 
+from zarr_datafusion_search_spark.operators.cache import (
+    lineage_barrier as _lb,
+)
+
 from collections import Counter
 
 import pyspark.sql.functions as F
@@ -187,7 +191,7 @@ def tfidf_topk(
         .select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-    ).localCheckpoint(eager=False)
+    ).transform(_lb, eager=False)
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tf.select(id_col).distinct().agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0

@@ -5,6 +5,10 @@ Python UDFs in the hot path.
 
 from __future__ import annotations
 
+from zarr_datafusion_search_spark.operators.cache import (
+    lineage_barrier as _lb,
+)
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -1685,7 +1689,7 @@ def bpe_train(
             ).alias("syms"),
             "freq",
         )
-        .localCheckpoint(eager=True)
+        .transform(_lb, eager=True)
     )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -1712,7 +1716,7 @@ def bpe_train(
         merges.append((rank, a, b, n))
         words = words.select(
             _bpe_merge_fold(F.col("syms"), a, b).alias("syms"), "freq"
-        ).localCheckpoint(eager=True)
+        ).transform(_lb, eager=True)
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count long"
     )
