@@ -81,3 +81,30 @@ def test_capped_matches_unguarded_on_benign_corpus(spark):
             map(tuple, dedup.minhash_lsh_pairs(df, max_bucket_size=None).collect())
         )
     assert capped == unguarded and capped
+
+
+def test_simhash_unique_id_contract(spark):
+    """ADVICE r12 #3 asked for a pin on simhash_pairs' unique-doc-id
+    precondition. Investigating it shows the concern is structurally
+    moot: :func:`dedup.simhash` AGGREGATES per doc id (groupBy before
+    banding), so duplicated input rows collapse into one simhash row and
+    the banded relation always holds exactly one row per (id, band) —
+    the band-uniqueness filter can never emit a pair more than once,
+    with or without the retired distinct(). Pin both facts."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with dedup.dedup_cache_scope():
+        unique = dedup.simhash_pairs(df).collect()
+    assert len(unique) == 1 and (unique[0].doc_a, unique[0].doc_b) == (1, 2)
+
+    dup_rows = rows + [(2, "alpha beta gamma delta epsilon zeta")]
+    ddf = spark.createDataFrame(dup_rows, "doc_id long, text string")
+    # one simhash row per id even with duplicated input rows
+    with dedup.dedup_cache_scope():
+        assert dedup.simhash(ddf).count() == 2
+        dup = dedup.simhash_pairs(ddf).collect()
+    # hence each qualifying pair is still emitted exactly once
+    assert len(dup) == 1 and (dup[0].doc_a, dup[0].doc_b) == (1, 2)

@@ -736,9 +736,17 @@ def simhash_pairs(
     amplified the same query to 5.1 s warm, so the rewrite also shrinks
     the taxed-window blast radius. 894,962 output pairs identical. The
     banded relation is persisted so the self-join's two sides share one
-    simhash computation (doc ids are assumed unique, as the pairing
-    contract already requires — with duplicate ids the old distinct
-    additionally collapsed the duplicated pairs).
+    simhash computation. Duplicate doc ids are harmless here (round 13,
+    ADVICE r12 #3): :func:`simhash` aggregates per id BEFORE banding, so
+    the banded relation always holds one row per (id, band) and each
+    qualifying pair is emitted exactly once — pinned by
+    test_simhash_unique_id_contract.
+
+    Cache lifecycle (ADVICE r12 #1): the persist is TRACKED — direct
+    callers that never release accumulate pinned blocks across calls;
+    wrap call sites in :func:`dedup_cache_scope` (or call
+    :func:`release_dedup_caches` after materializing), as every engine
+    entry point does.
     """
     sh = simhash(df, id_col, text_col)
     banded = _tracked_persist(
@@ -826,8 +834,14 @@ def content_defined_segments(
         F.col(id_col), tokens_col(text_col).alias("_t")
     )
     t = F.col("_t")
-    # 1-based positions of boundary tokens
-    bpos = F.filter(
+    # 1-based positions of boundary tokens — PROJECTED into a named
+    # column (round 13, ADVICE r12 #2): the expression embeds a per-token
+    # md5 transform and is referenced by BOTH starts and ends; inlined,
+    # the hash pass over every token evaluated twice per row (verified in
+    # the committed plan: the md5 transform appeared twice inside the
+    # Generate). As a non-cheap multi-referenced alias it survives
+    # CollapseProject, so the hash pass now runs once per row.
+    bpos_expr = F.filter(
         F.transform(
             t,
             lambda tok, i: F.when(
@@ -836,6 +850,8 @@ def content_defined_segments(
         ),
         lambda p: p > 0,
     )
+    toks = toks.select(F.col(id_col), t, bpos_expr.alias("_bpos"))
+    bpos = F.col("_bpos")
     starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda p: p + F.lit(1)))
     ends = F.concat(bpos, F.array(F.size(t)))
     texts = F.filter(
