@@ -560,9 +560,17 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
 
         # spark-only unpaired members (no DuckDB peer — see
-        # UNPAIRED_STREAMING); 1 warmup + 1 timed run at sf-dir scale
+        # UNPAIRED_STREAMING); 1 warmup + 1 timed run at sf-dir scale.
+        # Stamped too: they run inside the anchored window, and an epoch
+        # arriving at the suite tail must localize to them as well.
         unpaired_times = _time_section(
-            spark, registry, sorted(UNPAIRED_STREAMING), 1, SF_DIR
+            spark,
+            registry,
+            sorted(UNPAIRED_STREAMING),
+            1,
+            SF_DIR,
+            stamps=query_start_offsets,
+            suite_t0=suite_t0,
         )
         release_operator_caches()
 

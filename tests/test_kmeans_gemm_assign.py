@@ -107,6 +107,33 @@ def test_assignment_matches_retired_plan_adversarial(spark):
     assert got[0] == 1  # all-NULL row takes the lowest centroid id
 
 
+def test_assignment_nan_centroid_and_bad_rows(spark):
+    """Round-13 review fixes: a NaN centroid (a Lloyd cell whose mean
+    normalized to 0/0) must rank FIRST like Spark's NaN ordering — not be
+    dropped as NULL — and NULL / length-mismatched vectors must take the
+    all-NULL path (lowest centroid id) instead of crashing the UDF."""
+    nan = float("nan")
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, None),                           # NULL vector
+        (3, [1.0, 2.0]),                     # ragged: shorter than dim
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [
+        (1, [0.5, 0.5, 0.5, 0.5]),
+        (2, [nan, nan, nan, nan]),           # NaN centroid: NaN cosines
+        (3, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    got = _udf_assign(corpus, cents)
+    want = _retired_assign(corpus, cents)
+    assert got == want
+    # NaN ranks first in Spark's DESC ordering -> every finite row lands
+    # on the NaN centroid; NULL/ragged rows take the lowest centroid id
+    assert got[0] == 2 and got[1] == 2
+    assert got[2] == 1 and got[3] == 1
+
+
 def test_refined_centroids_match_retired_pipeline(spark):
     """Full 3-round Lloyd on the sf0.001 fixture: the new implementation's
     (centroid_id, cent_vec) set must equal the retired one bit-for-bit."""

@@ -55,7 +55,8 @@ def test_reliable_without_dir_keeps_lineage_via_persist(spark, frame):
 
 def test_reliable_with_dir_uses_reliable_checkpoint(spark, frame, tmp_path):
     spark.conf.set("spark.zdss.lineageBarrier", "reliable")
-    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
     try:
         out = lineage_barrier(frame, eager=True)
         p = _plan(out)
@@ -65,6 +66,13 @@ def test_reliable_with_dir_uses_reliable_checkpoint(spark, frame, tmp_path):
         assert out.count() == 100
     finally:
         spark.conf.unset("spark.zdss.lineageBarrier")
+        release_operator_caches()
+        # clear the checkpoint dir on the SHARED session (there is no
+        # public unset API): later tests must see the no-dir state
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+        assert sc.getCheckpointDir() is None
 
 
 def test_invalid_mode_raises(spark, frame):

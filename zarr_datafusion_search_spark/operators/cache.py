@@ -12,9 +12,12 @@ with :func:`release_operator_caches` (or scope them with
 
 from __future__ import annotations
 
+import logging
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
 
 _PERSISTED: list[DataFrame] = []
 
@@ -95,8 +98,27 @@ def lineage_barrier(df: DataFrame, eager: bool = False) -> DataFrame:
     if mode == "local":
         return df.localCheckpoint(eager=eager)
     if spark.sparkContext.getCheckpointDir() is not None:
+        # persist first: a reliable checkpoint otherwise recomputes the
+        # subtree a second time when the RDD is written to the checkpoint
+        # dir (the standard Spark recommendation); the cached blocks feed
+        # the checkpoint write and are released with the other tracked
+        # handles
+        tracked_persist(df)
         return df.checkpoint(eager=eager)
-    # no checkpoint dir on a cluster: persist keeps lineage (recoverable)
+    # no checkpoint dir on a cluster: a tracked persist keeps lineage
+    # (executor loss recomputes — fault-tolerant), but it trades away the
+    # barrier semantics a checkpoint would give: concurrent AQE consumer
+    # stages can race the CacheManager (re-running the subtree), and
+    # iterative callers accumulate one pinned handle per round until
+    # release_operator_caches. Say so loudly — setCheckpointDir is the fix.
+    _log.warning(
+        "lineage_barrier: reliable mode without a checkpoint dir — "
+        "falling back to a lineage-keeping persist (fault-tolerant, but "
+        "multi-consumer plans may race the CacheManager and iterative "
+        "loops pin one cache handle per round). Call "
+        "spark.sparkContext.setCheckpointDir(...) to enable reliable "
+        "checkpoints."
+    )
     out = tracked_persist(df)
     if eager:
         out.count()

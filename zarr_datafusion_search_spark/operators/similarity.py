@@ -241,6 +241,36 @@ def _gemm_fanout(
     return max(1, min(par, w))
 
 
+def _bound_gemm_stage(
+    df: DataFrame,
+    flops_per_row: float,
+    n_rows: int | None = None,
+    default: str = "repair",
+) -> DataFrame:
+    """Apply the flop-derived width to a GEMM stage's input — the ONE
+    place the width-application policy lives (round 13): width 1 ->
+    ``coalesce`` (narrow, no exchange, one fewer AQE stage/job);
+    1 < width < cores -> ``ensure_scan_parallelism(width=...)`` (exact
+    width with its no-op fast path and idempotency guard); width == cores
+    or unknowable row count -> the ``default`` policy — ``"repair"`` (the
+    under-split gate, for stages that ride the scan partitioning) or
+    ``"repartition"`` (unconditional round-robin, for stages that always
+    re-spread)."""
+    from zarr_datafusion_search_spark.operators.scanning import (
+        ensure_scan_parallelism,
+    )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    w = _gemm_fanout(df, flops_per_row, n_rows)
+    if w == 1:
+        return df.coalesce(1)
+    if w is not None and w < par:
+        return ensure_scan_parallelism(df, width=w)
+    if default == "repartition":
+        return df.repartition(par)
+    return ensure_scan_parallelism(df)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -377,23 +407,18 @@ def brute_force_topk_gemm(
                     }
                 )
 
-    par = corpus.sparkSession.sparkContext.defaultParallelism
     # width derived from the stage's flops (|Q| GEMM cosines + top-take
     # per corpus row; parquet footers, no job) — small corpora stop
     # paying 32-way Python worker fan-out, large ones keep full
-    # parallelism (see GEMM_TASK_TARGET_FLOPS)
+    # parallelism (see GEMM_TASK_TARGET_FLOPS / _bound_gemm_stage)
     dim = max(len(qmat[0]), 1)
-    width = _gemm_fanout(corpus, len(qids) * dim * 2) or par
     vec_dt = corpus.schema[vec_col].dataType.simpleString()
-    # width 1 = the whole stage is under one task-target of flops: bound
-    # the fan-out WITHOUT an exchange (coalesce is narrow — one fewer
-    # AQE stage/job than repartition, the dominant cost at small SF)
-    src = corpus.select(id_col, vec_col)
-    cand = (
-        (src.coalesce(1) if width == 1 else src.repartition(width))
-        .mapInPandas(
-            gemm_topk, f"query_id long, neighbor_id long, c_vec {vec_dt}"
-        )
+    cand = _bound_gemm_stage(
+        corpus.select(id_col, vec_col),
+        len(qids) * dim * 2,
+        default="repartition",
+    ).mapInPandas(
+        gemm_topk, f"query_id long, neighbor_id long, c_vec {vec_dt}"
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     # projecting (id, id, cosine) before the rank window keeps the
@@ -831,16 +856,9 @@ def lsh_topk(
         # Python dispatch dominated ~60-row tasks). Width 1 skips the
         # under-split repair entirely: no exchange, one fewer AQE
         # stage/job. Unknown row count keeps the plain repair.
-        w = _gemm_fanout(
+        repaired = _bound_gemm_stage(
             corpus, (n_q + n_tables * planes_per_table) * dim * 2
         )
-        par = corpus.sparkSession.sparkContext.defaultParallelism
-        if w == 1:
-            repaired = corpus.coalesce(1)
-        elif w is not None and w < par:
-            repaired = ensure_scan_parallelism(corpus, width=w)
-        else:
-            repaired = ensure_scan_parallelism(corpus)
         return _lsh_topk_small_queries(
             repaired, queries, k, all_planes, id_col, vec_col,
         )
@@ -1019,13 +1037,13 @@ def embedding_near_dup_pairs(
     # round 13): the 32-way Python fan-out always cost more than it
     # bought below ~50k rows (measured 0.64 -> 0.40 s at sf0.1)
     dim = len(mat[0]) if len(mat) else 64
-    width = _gemm_fanout(corpus, n_rows * dim * 2, n_rows=n_rows) or (
-        corpus.sparkSession.sparkContext.defaultParallelism
-    )
-    src = corpus.select(id_col)
     return (
-        # width 1 -> coalesce: narrow, no exchange, one fewer AQE stage
-        (src.coalesce(1) if width == 1 else src.repartition(width))
+        _bound_gemm_stage(
+            corpus.select(id_col),
+            n_rows * dim * 2,
+            n_rows=n_rows,
+            default="repartition",
+        )
         .mapInPandas(gemm_candidates, "vec_a long, vec_b long, _cos double")
         .filter(F.col("_cos") >= threshold)
         .select("vec_a", "vec_b", F.round("_cos", COS_ROUND).alias("cosine"))
@@ -1163,28 +1181,45 @@ def _kmeans_assign_udf(cent_ids, cmat):
         n = len(vecs)
         if not n:
             return pd.Series([], dtype="int64")
-        V = np.vstack(vecs.to_numpy()).astype(np.float64)
-        dot = np.zeros((n, k))
-        vn2 = np.zeros(n)
+        raw = vecs.to_numpy()
+        # NULL or length-mismatched vectors: the retired zip_with padded
+        # with NULL, making EVERY cosine NULL -> the NULLs-last window
+        # assigned the lowest centroid id. Route such rows there directly
+        # instead of letting np.vstack raise.
+        bad = np.array(
+            [v is None or len(v) != d for v in raw], dtype=bool
+        )
+        out = np.empty(n, dtype=np.int64)
+        if bad.all():
+            out[:] = cid[0]
+            return pd.Series(out)
+        V = np.vstack(raw[~bad]).astype(np.float64)
+        m = len(V)
+        dot = np.zeros((m, k))
+        vn2 = np.zeros(m)
         for j in range(d):
             dot += V[:, j : j + 1] * cmat[None, :, j]
             vn2 += V[:, j] * V[:, j]
         vn = np.sqrt(vn2)
         denom = vn[:, None] * cn[None, :]
-        valid = denom > 0.0
+        # try_divide yields NULL only when the divisor is EXACTLY zero;
+        # a NaN denom (NaN centroid/vector) divides through to a NaN
+        # cosine, which Spark ranks FIRST — keep that distinction
+        valid = denom != 0.0
         with np.errstate(divide="ignore", invalid="ignore"):
             val = dot / denom
         nan_mask = np.isnan(val) & valid  # true NaN cosines, not NULLs
         val = np.where(valid, val, -np.inf)  # NULL -> ranks last
         out = np.empty(n, dtype=np.int64)
+        good_out = np.empty(m, dtype=np.int64)
         nan_rows = nan_mask.any(axis=1)
         if nan_rows.any():
             # Spark sorts NaN above every double: lowest-id NaN wins
-            out[nan_rows] = cid[nan_mask[nan_rows].argmax(axis=1)]
+            good_out[nan_rows] = cid[nan_mask[nan_rows].argmax(axis=1)]
         val_clean = np.where(nan_mask, -np.inf, val)
-        rowmax = val_clean.max(axis=1) if k else np.full(n, -np.inf)
+        rowmax = val_clean.max(axis=1) if k else np.full(m, -np.inf)
         allnull = ~np.isfinite(rowmax) & ~nan_rows  # -inf: every cosine NULL
-        out[allnull] = cid[0]
+        good_out[allnull] = cid[0]
         plain = ~nan_rows & ~allnull
         # rounding can only reorder cosines within 2e-6 of each other;
         # 2.5e-6 is margin. Rows with ONE candidate in that band take the
@@ -1192,7 +1227,7 @@ def _kmeans_assign_udf(cent_ids, cmat):
         band_mask = val_clean >= (rowmax[:, None] - 2.5e-6)
         n_cand = band_mask.sum(axis=1)
         single = plain & (n_cand == 1)
-        out[single] = cid[val_clean[single].argmax(axis=1)]
+        good_out[single] = cid[val_clean[single].argmax(axis=1)]
         six = Decimal("1e-6")
         for i in np.nonzero(plain & (n_cand > 1))[0]:
             js = np.nonzero(band_mask[i])[0]
@@ -1203,7 +1238,9 @@ def _kmeans_assign_udf(cent_ids, cmat):
                 )
                 if best_r is None or r > best_r:
                     best_r, best_j = r, j
-            out[i] = cid[best_j]
+            good_out[i] = cid[best_j]
+        out[~bad] = good_out
+        out[bad] = cid[0]
         return pd.Series(out)
 
     return F.pandas_udf(_assign_fn, "long")
@@ -1241,9 +1278,6 @@ def kmeans_centroids(
     """
     import numpy as np
 
-    from zarr_datafusion_search_spark.operators.scanning import (
-        ensure_scan_parallelism,
-    )
     from pyspark.ml.functions import array_to_vector, vector_to_array
     from pyspark.ml.stat import Summarizer
 
@@ -1263,15 +1297,9 @@ def kmeans_centroids(
     # by its flops like every other GEMM stage (width saturates the cores
     # once the corpus is large enough)
     dim = cmat.shape[1]
-    par = spark.sparkContext.defaultParallelism
-    w = _gemm_fanout(corpus, len(cent_ids) * dim * 2)
-    corpus_v = corpus.select(vec_col)
-    if w == 1:
-        corpus_v = corpus_v.coalesce(1)
-    elif w is not None and w < par:
-        corpus_v = ensure_scan_parallelism(corpus_v, width=w)
-    else:
-        corpus_v = ensure_scan_parallelism(corpus_v)
+    corpus_v = _bound_gemm_stage(
+        corpus.select(vec_col), len(cent_ids) * dim * 2
+    )
 
     for _ in range(n_iter):
         assign = _kmeans_assign_udf(cent_ids, cmat)
